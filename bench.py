@@ -1,0 +1,51 @@
+"""Driver benchmark: explicit MPM particles/sec on one chip (BASELINE
+config 3, the north-star metric).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline is measured against the A100-CUDA parity target from
+BASELINE.json: claymore-class explicit MPM on A100 sustains ~100M
+particle-steps/sec for 256k fp32 quadratic-APIC particles (literature
+anchor; the reference repo publishes no numbers — BASELINE.md).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+
+A100_PARTICLE_STEPS_PER_SEC = 100e6  # parity anchor (claymore-class MPM)
+
+
+def main():
+    from examples.mpm_block import build
+    from zpc_tpu.sim.mpm import explicit_step
+
+    n = 262144
+    sim, st, dt = build(n, dx=1.0 / 128)
+    step = jax.jit(lambda s: jax.lax.fori_loop(
+        0, 10, lambda _, t: explicit_step(sim, t, jnp.float32(dt)), s))
+    # warmup/compile
+    st = jax.block_until_ready(step(st))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        st = jax.block_until_ready(step(st))
+        best = min(best, time.perf_counter() - t0)
+    pps = n * 10 / best
+    print(json.dumps({
+        "metric": "explicit MPM particle-steps/sec (256k, fp32, APIC)",
+        "value": round(pps / 1e6, 3),
+        "unit": "M particle-steps/s",
+        "vs_baseline": round(pps / A100_PARTICLE_STEPS_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

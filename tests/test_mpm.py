@@ -1,0 +1,122 @@
+"""MPM pipeline physics regression tests.
+
+The reference has no in-repo physics tests (validation happens downstream in
+zeno) — these go further per SURVEY §4(c): conservation laws and analytic
+behavior checks on the explicit APIC step.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from zpc_tpu.geometry.collider import Collider, ColliderType
+from zpc_tpu.geometry.levelset import HalfSpace
+from zpc_tpu.models.constitutive import FixedCorotated, NeoHookean
+from zpc_tpu.sim.mpm import MPMSim, make_mpm_state, explicit_step
+
+
+def _block_of_particles(rng, n=512, lo=0.3, hi=0.7):
+    return jnp.asarray(rng.uniform(lo, hi, (n, 3)), jnp.float32)
+
+
+@pytest.fixture
+def sim():
+    model = FixedCorotated.from_young_poisson(1e4, 0.3)
+    return MPMSim(model=model, gravity=jnp.asarray([0.0, -9.8, 0.0]))
+
+
+class TestExplicitStep:
+    def test_mass_conservation(self, sim, rng):
+        x = _block_of_particles(rng)
+        st = make_mpm_state(x, dx=0.05, block_capacity=512)
+        st2 = explicit_step(sim, st, jnp.float32(1e-4))
+        grid_mass = float(jnp.sum(st2.grid.data["m"]))
+        particle_mass = float(jnp.sum(st.particles["m"]))
+        np.testing.assert_allclose(grid_mass, particle_mass, rtol=1e-5)
+
+    def test_momentum_gravity_only(self, rng):
+        # no stress (stress-free F=I), no boundary: after one step the
+        # particle momentum change equals m g dt (grid velocities advect back)
+        model = FixedCorotated.from_young_poisson(1e4, 0.3)
+        sim = MPMSim(model=model, gravity=jnp.asarray([0.0, -9.8, 0.0]))
+        x = _block_of_particles(rng, 256)
+        st = make_mpm_state(x, dx=0.05, block_capacity=512)
+        dt = 2e-4
+        st2 = explicit_step(sim, st, jnp.float32(dt))
+        m = np.asarray(st.particles["m"])
+        p0 = (m[:, None] * np.asarray(st.particles["v"])).sum(0)
+        p1 = (m[:, None] * np.asarray(st2.particles["v"])).sum(0)
+        expected = p0 + m.sum() * np.array([0.0, -9.8, 0.0]) * dt
+        np.testing.assert_allclose(p1, expected, rtol=1e-4, atol=1e-8)
+
+    def test_free_fall_trajectory(self, sim, rng):
+        # uniform free fall: F stays I, velocity tracks analytic solution
+        x = _block_of_particles(rng, 128)
+        st = make_mpm_state(x, dx=0.05, block_capacity=512)
+        dt = 1e-3
+        step = jax.jit(lambda s: explicit_step(sim, s, jnp.float32(dt)))
+        for _ in range(5):
+            st = step(st)
+        v = np.asarray(st.particles["v"])
+        np.testing.assert_allclose(v[:, 1], -9.8 * 5 * dt, rtol=1e-3)
+        F = np.asarray(st.particles["F"])
+        np.testing.assert_allclose(F, np.broadcast_to(np.eye(3), F.shape),
+                                   atol=1e-4)
+
+    def test_ground_collider_stops_fall(self, rng):
+        model = FixedCorotated.from_young_poisson(1e4, 0.3)
+        ground = Collider(HalfSpace(jnp.asarray([0.0, 0.08, 0.0]),
+                                    jnp.asarray([0.0, 1.0, 0.0])),
+                          ColliderType.sticky)
+        sim = MPMSim(model=model, gravity=jnp.asarray([0.0, -9.8, 0.0]),
+                     colliders=(ground,))
+        x = _block_of_particles(rng, 512, 0.1, 0.3)
+        st = make_mpm_state(x, dx=0.02, block_capacity=1024,
+                            velocity=jnp.tile(
+                                jnp.asarray([[0.0, -1.0, 0.0]]), (512, 1)))
+        dt = 5e-4
+        step = jax.jit(lambda s: explicit_step(sim, s, jnp.float32(dt)))
+        for _ in range(40):
+            st = step(st)
+        y = np.asarray(st.particles["x"])[:, 1]
+        # nothing can penetrate below the ground plane by more than a cell
+        assert y.min() > 0.08 - 0.02 - 1e-3
+
+    def test_elastic_block_stability(self, sim, rng):
+        # stretched block relaxes; energy shouldn't blow up over steps
+        x = _block_of_particles(rng, 512)
+        st = make_mpm_state(x, dx=0.05, block_capacity=512)
+        F0 = jnp.broadcast_to(jnp.diag(jnp.asarray([1.05, 0.95, 1.0])),
+                              (512, 3, 3))
+        st = type(st)(st.particles.update(F=F0), st.grid, st.max_vel)
+        sim0 = MPMSim(model=sim.model, gravity=jnp.zeros(3))
+        dt = 1e-4
+        step = jax.jit(lambda s: explicit_step(sim0, s, jnp.float32(dt)))
+        for _ in range(20):
+            st = step(st)
+        v = np.asarray(st.particles["v"])
+        assert np.isfinite(v).all()
+        assert np.abs(v).max() < 1.0  # relaxation velocities stay bounded
+
+    def test_padding_particles_inert(self, sim, rng):
+        x = _block_of_particles(rng, 100)
+        st_full = make_mpm_state(x, dx=0.05, block_capacity=512)
+        st_pad = make_mpm_state(x, dx=0.05, block_capacity=512, capacity=128)
+        dt = jnp.float32(1e-4)
+        a = explicit_step(sim, st_full, dt)
+        b = explicit_step(sim, st_pad, dt)
+        np.testing.assert_allclose(np.asarray(a.particles["x"])[:100],
+                                   np.asarray(b.particles["x"])[:100],
+                                   atol=1e-6)
+        # padding lanes unchanged
+        np.testing.assert_array_equal(np.asarray(b.particles["x"])[100:],
+                                      np.zeros((28, 3)))
+
+    def test_step_jits_once(self, sim, rng):
+        x = _block_of_particles(rng, 64)
+        st = make_mpm_state(x, dx=0.05, block_capacity=256)
+        step = jax.jit(explicit_step, static_argnames=())
+        st = step(sim, st, jnp.float32(1e-4))
+        st = step(sim, st, jnp.float32(2e-4))  # dt traced: no retrace needed
+        assert step._cache_size() == 1

@@ -1,0 +1,7 @@
+"""Geometry / spatial structures (reference layer 6, SURVEY §2.6)."""
+
+from .levelset import (LevelSet, HalfSpace, Sphere, Cuboid, Cylinder, Torus,
+                       TransformedLevelSet, UnionLevelSet,
+                       IntersectionLevelSet, ComplementLevelSet)
+from .collider import Collider, ColliderType, resolve_boundaries
+from .sparse_grid import SparseGrid, sparse_grid, neighbor_offsets

@@ -1,0 +1,175 @@
+"""Small-matrix decompositions, batched for the VPU.
+
+Reference: 3x3/2x2 SVD (``math/matrix/SVD.hpp``), polar & QR-SVD
+(``QRSVD.hpp``), Givens rotations (``Givens.hpp``), eigen (``Eigen.hpp``).
+
+TPU re-design: the reference runs one decomposition per CUDA thread with
+branchy scalar code.  Here every routine is written **branch-free over
+batches** so ``vmap`` lays thousands of 3x3 problems across VPU lanes:
+
+* 2x2 SVD: closed-form rotation angles (no iteration).
+* 3x3 symmetric eigen: cyclic Jacobi with a *fixed* sweep count (data
+  -independent control flow; 4 sweeps exceed fp32 precision).
+* 3x3 SVD: eigen of A^T A -> V, then QR/polar cleanup for U with sign
+  handling for degenerate/reflective cases (det(U)=det(V)=+1 convention, as
+  required by corotated constitutive models, physics/ConstitutiveModel.hpp).
+* polar decomposition via SVD.
+
+All fp32; a ``compensated`` fp64-free path is unnecessary at MPM tolerances.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .vecmat import mm
+
+__all__ = [
+    "svd2x2",
+    "svd3x3",
+    "polar_decomposition",
+    "eigh3x3",
+    "qr3x3",
+]
+
+
+def _jacobi_rotation(app, aqq, apq):
+    """Givens angle zeroing off-diagonal apq (branch-free)."""
+    tau = (aqq - app) / (2.0 * jnp.where(apq == 0.0, 1.0, apq))
+    sgn = jnp.where(tau >= 0.0, 1.0, -1.0)  # sign(0) must be 1, not 0
+    t = sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+    t = jnp.where(apq == 0.0, 0.0, t)
+    c = 1.0 / jnp.sqrt(1.0 + t * t)
+    s = t * c
+    return c, s
+
+
+def eigh3x3(A, sweeps: int = 6):
+    """Symmetric 3x3 eigendecomposition by cyclic Jacobi, batched.
+
+    Returns (eigenvalues desc-sorted [..., 3], eigenvectors [..., 3, 3]
+    columns).  Fixed sweep count -> no data-dependent control flow.
+    """
+    S = 0.5 * (A + jnp.swapaxes(A, -1, -2))
+    V = jnp.broadcast_to(jnp.eye(3, dtype=A.dtype), S.shape)
+
+    def rot(S, V, p, q):
+        c, s = _jacobi_rotation(S[..., p, p], S[..., q, q], S[..., p, q])
+        G = jnp.zeros_like(S)
+        idx = [0, 1, 2]
+        r = [i for i in idx if i not in (p, q)][0]
+        G = G.at[..., r, r].set(1.0)
+        G = G.at[..., p, p].set(c)
+        G = G.at[..., q, q].set(c)
+        G = G.at[..., p, q].set(s)
+        G = G.at[..., q, p].set(-s)
+        S = mm(mm(jnp.swapaxes(G, -1, -2), S), G)
+        V = mm(V, G)
+        return S, V
+
+    for _ in range(sweeps):
+        for (p, q) in ((0, 1), (0, 2), (1, 2)):
+            S, V = rot(S, V, p, q)
+
+    w = jnp.stack([S[..., 0, 0], S[..., 1, 1], S[..., 2, 2]], -1)
+    order = jnp.flip(jnp.argsort(w, axis=-1), axis=-1)
+    w = jnp.take_along_axis(w, order, axis=-1)
+    V = jnp.take_along_axis(V, order[..., None, :], axis=-1)
+    return w, V
+
+
+def svd2x2(A):
+    """Closed-form 2x2 SVD with rotation U, V (det=+1) and signed sigma.
+
+    Returns (U, sigma[...,2], V) with A = U @ diag(sigma) @ V^T.
+    """
+    a, b = A[..., 0, 0], A[..., 0, 1]
+    c, d = A[..., 1, 0], A[..., 1, 1]
+    E = 0.5 * (a + d)
+    F = 0.5 * (a - d)
+    G = 0.5 * (c + b)
+    H = 0.5 * (c - b)
+    Q = jnp.sqrt(E * E + H * H)
+    R = jnp.sqrt(F * F + G * G)
+    sx = Q + R
+    sy = Q - R
+    a1 = jnp.arctan2(G, F)
+    a2 = jnp.arctan2(H, E)
+    theta = 0.5 * (a2 - a1)   # V angle
+    phi = 0.5 * (a2 + a1)     # U angle
+    cU, sU = jnp.cos(phi), jnp.sin(phi)
+    cV, sV = jnp.cos(theta), jnp.sin(theta)
+    U = jnp.stack([jnp.stack([cU, -sU], -1), jnp.stack([sU, cU], -1)], -2)
+    V = jnp.stack([jnp.stack([cV, sV], -1), jnp.stack([-sV, cV], -1)], -2)
+    sigma = jnp.stack([sx, sy], -1)
+    return U, sigma, V
+
+
+def svd3x3(A, sweeps: int = 6):
+    """Batched 3x3 SVD, rotation convention: ``A = U diag(s) V^T`` with
+    ``det(U) = det(V) = +1`` and ``s0 >= s1 >= |s2|`` (s2 may be negative for
+    reflective A) — the convention corotated elasticity expects
+    (reference QRSVD.hpp).
+    """
+    ATA = mm(jnp.swapaxes(A, -1, -2), A)
+    _, V = eigh3x3(ATA, sweeps)
+    V = jnp.where(jnp.linalg.det(V)[..., None, None] < 0,
+                  V.at[..., :, 2].multiply(-1.0), V)
+    B = mm(A, V)                    # = U diag(s)
+    # column norms
+    s = jnp.sqrt(jnp.maximum(jnp.sum(B * B, axis=-2), 0.0))
+    # Build U by normalizing columns; handle near-zero columns via
+    # Gram-Schmidt completion against the larger columns.
+    eps = jnp.asarray(1e-12, A.dtype)
+    u0 = B[..., :, 0] / jnp.maximum(s[..., 0:1], eps)
+    u1 = B[..., :, 1] - jnp.sum(B[..., :, 1] * u0, -1, keepdims=True) * u0
+    n1 = jnp.linalg.norm(u1, axis=-1, keepdims=True)
+    # fallback direction when column degenerate: pick any vector orthogonal
+    # to u0
+    alt = jnp.cross(u0, jnp.broadcast_to(
+        jnp.asarray([1.0, 0.0, 0.0], A.dtype), u0.shape))
+    alt2 = jnp.cross(u0, jnp.broadcast_to(
+        jnp.asarray([0.0, 1.0, 0.0], A.dtype), u0.shape))
+    alt = jnp.where(jnp.linalg.norm(alt, axis=-1, keepdims=True) > 1e-6,
+                    alt, alt2)
+    alt = alt / jnp.maximum(jnp.linalg.norm(alt, axis=-1, keepdims=True), eps)
+    u1 = jnp.where(n1 > 1e-8, u1 / jnp.maximum(n1, eps), alt)
+    u2 = jnp.cross(u0, u1)   # right-handed completion => det(U) = +1
+    # degenerate first column (A ~ 0): fall back to identity frame
+    tiny = (s[..., 0:1] < 1e-12)
+    e0 = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], A.dtype), u0.shape)
+    e1 = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0], A.dtype), u0.shape)
+    e2 = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], A.dtype), u0.shape)
+    u0 = jnp.where(tiny, e0, u0)
+    u1 = jnp.where(tiny, e1, u1)
+    u2 = jnp.where(tiny, e2, u2)
+    U = jnp.stack([u0, u1, u2], axis=-1)
+    # Signed sigma_2: U is a rotation by construction, so for reflective A
+    # (det < 0) the third column of B = U diag(s) points along -u2; the
+    # projection gives the correctly signed singular value directly.
+    s = s.at[..., 2].set(jnp.sum(u2 * B[..., :, 2], -1))
+    return U, s, V
+
+
+def polar_decomposition(A, sweeps: int = 6):
+    """A = R S with R rotation, S symmetric PSD-ish (reference polar in
+    QRSVD.hpp) — used by corotated models."""
+    U, s, V = svd3x3(A, sweeps)
+    R = mm(U, jnp.swapaxes(V, -1, -2))
+    S = mm(V, s[..., :, None] * jnp.swapaxes(V, -1, -2))
+    return R, S
+
+
+def qr3x3(A):
+    """3x3 QR via Gram-Schmidt (reference Givens-based QR, Givens.hpp)."""
+    eps = jnp.asarray(1e-12, A.dtype)
+    a0 = A[..., :, 0]
+    q0 = a0 / jnp.maximum(jnp.linalg.norm(a0, axis=-1, keepdims=True), eps)
+    a1 = A[..., :, 1]
+    a1p = a1 - jnp.sum(a1 * q0, -1, keepdims=True) * q0
+    q1 = a1p / jnp.maximum(jnp.linalg.norm(a1p, axis=-1, keepdims=True), eps)
+    q2 = jnp.cross(q0, q1)
+    Q = jnp.stack([q0, q1, q2], axis=-1)
+    R = mm(jnp.swapaxes(Q, -1, -2), A)
+    return Q, R

@@ -1,0 +1,194 @@
+"""Plasticity models: return-mapping projections on principal stretches.
+
+Reference: CRTP ``PlasticityModelInterface`` (physics/ConstitutiveModel.hpp:618)
+with ``project_sigma`` / ``project_strain``; models
+``physics/plasticity_models/{SnowPlasticity, VonMisesCapped,
+NonAssociativeDruckerPrager}`` plus the NACC stress kernel
+(ConstitutiveModel_Vol_dP.hpp ``compute_stress_nacc``).
+
+TPU re-design: each model is a pure batched function
+``F_projected, state' = project(F_trial, state)`` working on the SVD of the
+trial deformation gradient — branch-free ``where`` selects replace the
+reference's per-thread control flow.  State (e.g. ``logJp`` for hardening)
+rides as an extra particle channel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..math.svd import svd3x3
+from ..math.vecmat import mm
+
+__all__ = ["SnowPlasticity", "VonMisesCapped", "DruckerPrager", "NACC"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SnowPlasticity:
+    """Stomakhin snow: clamp principal stretches to
+    [1-theta_c, 1+theta_s], harden by exp(xi (1 - Jp))
+    (plasticity_models/SnowPlasticity.hpp behavior)."""
+
+    theta_c: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.float32(2.5e-2))
+    theta_s: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.float32(7.5e-3))
+    xi: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.float32(10.0))
+    jp_min: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.float32(0.1))
+    jp_max: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.float32(10.0))
+
+    def project(self, F_trial, Jp):
+        U, s, V = svd3x3(F_trial)
+        s_clamped = jnp.clip(s, 1.0 - self.theta_c, 1.0 + self.theta_s)
+        F_new = mm(U, s_clamped[..., :, None] * jnp.swapaxes(V, -1, -2))
+        # volume moved into plastic part
+        Jp_new = jnp.clip(Jp * jnp.prod(s, -1) / jnp.prod(s_clamped, -1),
+                          self.jp_min, self.jp_max)
+        return F_new, Jp_new
+
+    def hardening(self, Jp):
+        """Multiplier on (mu, lam) (Stomakhin hardening)."""
+        return jnp.exp(self.xi * (1.0 - Jp))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class VonMisesCapped:
+    """Von Mises yield on Hencky strain deviator with optional cap
+    (plasticity_models/VonMisesCapped.hpp behavior)."""
+
+    yield_stress: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.float32(1e4))
+    mu: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.float32(1e5))
+
+    def project(self, F_trial, state=None):
+        U, s, V = svd3x3(F_trial)
+        eps = jnp.log(jnp.maximum(jnp.abs(s), 1e-12))
+        dev = eps - jnp.mean(eps, -1, keepdims=True)
+        dev_norm = jnp.linalg.norm(dev, axis=-1)
+        # yield: 2 mu |dev| <= sqrt(2/3) sigma_y
+        limit = jnp.sqrt(2.0 / 3.0) * self.yield_stress / (2.0 * self.mu)
+        scale = jnp.where(dev_norm > limit,
+                          limit / jnp.maximum(dev_norm, 1e-12), 1.0)
+        eps_new = jnp.mean(eps, -1, keepdims=True) + dev * scale[..., None]
+        s_new = jnp.exp(eps_new)
+        F_new = mm(U, s_new[..., :, None] * jnp.swapaxes(V, -1, -2))
+        return F_new, state
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DruckerPrager:
+    """Non-associative Drucker-Prager sand
+    (plasticity_models/NonAssociativeDruckerPrager.hpp behavior):
+    project Hencky strain onto the cone, no volume gain on expansion."""
+
+    mu: jax.Array
+    lam: jax.Array
+    friction_angle: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.float32(30.0))  # degrees
+    cohesion: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.float32(0.0))
+
+    @property
+    def alpha(self):
+        phi = self.friction_angle * (jnp.pi / 180.0)
+        s = jnp.sin(phi)
+        return jnp.sqrt(2.0 / 3.0) * 2.0 * s / (3.0 - s)
+
+    def project(self, F_trial, logJp):
+        d = F_trial.shape[-1]
+        U, s, V = svd3x3(F_trial)
+        eps = jnp.log(jnp.maximum(jnp.abs(s), 1e-12)) + \
+            (logJp / d)[..., None]   # restore stored plastic volume
+        tr = jnp.sum(eps, -1)
+        dev = eps - (tr / d)[..., None]
+        dev_norm = jnp.linalg.norm(dev, axis=-1)
+        # expansion: project to tip (all strain plastic)
+        expanding = tr > 0.0
+        # yield function on the cone
+        dg = dev_norm + self.alpha * (d * self.lam + 2.0 * self.mu) / \
+            (2.0 * self.mu) * tr - self.cohesion
+        yielding = dg > 0.0
+        scale = jnp.where(
+            yielding & ~expanding,
+            1.0 - dg / jnp.maximum(dev_norm, 1e-12), 1.0)
+        scale = jnp.maximum(scale, 0.0)
+        eps_new = jnp.where(expanding[..., None],
+                            jnp.zeros_like(eps),
+                            dev * scale[..., None] + (tr / d)[..., None] *
+                            jnp.where(yielding, 1.0, 1.0)[..., None])
+        # on shear yield keep volumetric part; on tip projection drop all
+        eps_new = jnp.where((yielding & ~expanding)[..., None],
+                            dev * scale[..., None] + (tr / d)[..., None],
+                            eps_new)
+        eps_new = jnp.where((~yielding & ~expanding)[..., None], eps, eps_new)
+        dlogJp = jnp.sum(eps, -1) - jnp.sum(eps_new, -1)
+        s_new = jnp.exp(eps_new)
+        F_new = mm(U, s_new[..., :, None] * jnp.swapaxes(V, -1, -2))
+        return F_new, logJp + dlogJp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class NACC:
+    """Non-Associated Cam-Clay (the ``compute_stress_nacc`` kernel family,
+    ConstitutiveModel_Vol_dP.hpp): elliptic yield surface in (p, q) with
+    hardening driven by logJp."""
+
+    mu: jax.Array
+    lam: jax.Array
+    beta: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.float32(0.5))
+    M: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.float32(1.85))
+    xi: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.float32(0.8))
+    hardening_on: bool = dataclasses.field(metadata=dict(static=True),
+                                           default=True)
+
+    def project(self, F_trial, logJp):
+        d = F_trial.shape[-1]
+        U, s, V = svd3x3(F_trial)
+        eps = jnp.log(jnp.maximum(jnp.abs(s), 1e-12))
+        tr = jnp.sum(eps, -1)
+        dev = eps - (tr / d)[..., None]
+        dev_norm = jnp.linalg.norm(dev, axis=-1)
+        kappa = self.lam + 2.0 * self.mu / d   # bulk-ish modulus
+        p0 = kappa * (1e-5 + jnp.sinh(self.xi * jnp.maximum(-logJp, 0.0)))
+        p = -kappa * tr                         # pressure (compression +)
+        q = jnp.sqrt(2.0) * self.mu * dev_norm  # shear measure
+        # ellipse: y = (1+2beta) q^2 + M^2 (p + beta p0)(p - p0)
+        y = (1.0 + 2.0 * self.beta) * q * q + \
+            self.M * self.M * (p + self.beta * p0) * (p - p0)
+        # case 1: p > p0 (compression cap) -> project to cap tip
+        case_cap = p > p0
+        # case 2: p < -beta p0 (tension tip)
+        case_tip = p < -self.beta * p0
+        # case 3: outside ellipse -> scale dev to the ellipse
+        q_max = self.M * jnp.sqrt(jnp.maximum(
+            -(p + self.beta * p0) * (p - p0), 0.0) /
+            (1.0 + 2.0 * self.beta))
+        scale = jnp.where((y > 0.0) & ~case_cap & ~case_tip,
+                          q_max / jnp.maximum(q, 1e-12), 1.0)
+        eps_new = dev * scale[..., None] + (tr / d)[..., None]
+        eps_cap = jnp.broadcast_to((-p0 / kappa / d)[..., None], eps.shape)
+        eps_tip = jnp.broadcast_to(
+            ((self.beta * p0) / kappa / d)[..., None], eps.shape)
+        eps_new = jnp.where(case_cap[..., None], eps_cap, eps_new)
+        eps_new = jnp.where(case_tip[..., None], eps_tip, eps_new)
+        dlogJp = jnp.where(case_cap | case_tip,
+                           tr - jnp.sum(eps_new, -1), 0.0)
+        logJp_new = logJp + (dlogJp if self.hardening_on else 0.0)
+        s_new = jnp.exp(eps_new)
+        F_new = mm(U, s_new[..., :, None] * jnp.swapaxes(V, -1, -2))
+        return F_new, logJp_new
