@@ -1,0 +1,134 @@
+"""LBVH oracle tests: brute-force overlap/nearest/ray comparisons
+(reference test strategy; the reference itself ships no BVH tests)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from zpc_tpu.containers.bvh import (build_lbvh, query_nearest,
+                                    query_overlaps, query_ray)
+
+
+def _random_boxes(rng, n, size=0.05):
+    c = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    h = rng.uniform(0.2, 1.0, (n, 3)).astype(np.float32) * size
+    return c - h, c + h
+
+
+class TestBuild:
+    @pytest.mark.parametrize("n", [1, 2, 7, 64, 500])
+    def test_topology_covers_all_leaves(self, rng, n):
+        lo, hi = _random_boxes(rng, n)
+        bvh = build_lbvh(jnp.asarray(lo), jnp.asarray(hi))
+        # root box = union of all
+        np.testing.assert_allclose(np.asarray(bvh.lo[0]), lo.min(0),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(bvh.hi[0]), hi.max(0),
+                                   atol=1e-6)
+        prim = np.asarray(bvh.leaf_prim)
+        leaves = prim[prim >= 0]
+        assert sorted(leaves.tolist()) == list(range(n))
+
+    def test_escape_terminates(self, rng):
+        lo, hi = _random_boxes(rng, 100)
+        bvh = build_lbvh(jnp.asarray(lo), jnp.asarray(hi))
+        esc = np.asarray(bvh.escape)
+        left = np.asarray(bvh.left)
+        # full preorder walk visits every node exactly once
+        visited = 0
+        node = 0
+        while node >= 0 and visited <= 500:
+            visited += 1
+            node = left[node] if left[node] >= 0 else esc[node]
+        assert visited == 2 * 100 - 1
+
+    def test_duplicate_positions(self, rng):
+        # all identical boxes: degenerate morton codes must still build
+        lo = np.zeros((32, 3), np.float32)
+        hi = np.ones((32, 3), np.float32) * 0.1
+        bvh = build_lbvh(jnp.asarray(lo), jnp.asarray(hi))
+        prim = np.asarray(bvh.leaf_prim)
+        assert sorted(prim[prim >= 0].tolist()) == list(range(32))
+
+
+class TestQueries:
+    def test_overlaps_vs_bruteforce(self, rng):
+        n, nq = 300, 64
+        lo, hi = _random_boxes(rng, n)
+        qlo, qhi = _random_boxes(rng, nq, size=0.1)
+        bvh = build_lbvh(jnp.asarray(lo), jnp.asarray(hi))
+        hits, cnt = jax.jit(lambda a, b: query_overlaps(bvh, a, b, 128))(
+            jnp.asarray(qlo), jnp.asarray(qhi))
+        hits, cnt = np.asarray(hits), np.asarray(cnt)
+        for qi in range(nq):
+            ref = set(np.nonzero(
+                (lo <= qhi[qi]).all(1) & (qlo[qi] <= hi).all(1))[0].tolist())
+            got = set(hits[qi][hits[qi] >= 0].tolist())
+            assert got == ref, f"query {qi}"
+            assert cnt[qi] == len(ref)
+
+    def test_overlaps_with_invalid(self, rng):
+        n = 100
+        lo, hi = _random_boxes(rng, n)
+        valid = np.arange(n) < 60
+        bvh = build_lbvh(jnp.asarray(lo), jnp.asarray(hi),
+                         valid=jnp.asarray(valid))
+        big_lo = jnp.asarray([[-1.0, -1, -1]], jnp.float32)
+        big_hi = jnp.asarray([[2.0, 2, 2]], jnp.float32)
+        hits, cnt = query_overlaps(bvh, big_lo, big_hi, 128)
+        got = set(np.asarray(hits[0][hits[0] >= 0]).tolist())
+        assert got == set(range(60))
+
+    def test_nearest_point_boxes(self, rng):
+        n = 200
+        lo, hi = _random_boxes(rng, n)
+        centers = 0.5 * (lo + hi)
+        pts = rng.uniform(0, 1, (32, 3)).astype(np.float32)
+        bvh = build_lbvh(jnp.asarray(lo), jnp.asarray(hi))
+        cj = jnp.asarray(centers)
+
+        def prim_dist(pid, p):
+            return jnp.linalg.norm(cj[pid] - p)
+
+        ids, dists = jax.jit(
+            lambda p: query_nearest(bvh, p, prim_dist))(jnp.asarray(pts))
+        ids, dists = np.asarray(ids), np.asarray(dists)
+        ref_d = np.linalg.norm(centers[None] - pts[:, None], axis=-1)
+        np.testing.assert_allclose(dists, ref_d.min(1), atol=1e-5)
+        np.testing.assert_array_equal(ids, ref_d.argmin(1))
+
+    def test_ray_vs_bruteforce_spheres(self, rng):
+        n = 100
+        c = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+        r = np.full(n, 0.03, np.float32)
+        lo, hi = c - r[:, None], c + r[:, None]
+        bvh = build_lbvh(jnp.asarray(lo), jnp.asarray(hi))
+        cj, rj = jnp.asarray(c), jnp.asarray(r)
+
+        def prim_hit(pid, o, d):
+            oc = o - cj[pid]
+            b = jnp.dot(oc, d)
+            disc = b * b - (jnp.dot(oc, oc) - rj[pid] ** 2)
+            t = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
+            return jnp.where((disc >= 0) & (t > 0), t, jnp.inf)
+
+        o = np.tile(np.array([[0.5, 0.5, -1.0]], np.float32), (16, 1))
+        d = rng.standard_normal((16, 3)).astype(np.float32)
+        d[:, 2] = np.abs(d[:, 2]) + 0.5
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        ids, ts = jax.jit(
+            lambda o, d: query_ray(bvh, o, d, prim_hit))(
+            jnp.asarray(o), jnp.asarray(d))
+        # brute force
+        for qi in range(16):
+            oc = o[qi] - c
+            b = (oc * d[qi]).sum(1)
+            disc = b * b - ((oc * oc).sum(1) - r ** 2)
+            t = -b - np.sqrt(np.maximum(disc, 0))
+            t = np.where((disc >= 0) & (t > 0), t, np.inf)
+            if np.isinf(t.min()):
+                assert int(ids[qi]) == -1
+            else:
+                assert abs(float(ts[qi]) - t.min()) < 1e-5
+                assert int(ids[qi]) == int(t.argmin())

@@ -1,0 +1,344 @@
+"""Linear BVH (LBVH) — GPU-style broad-phase, TPU-native.
+
+Reference: ``container/Bvh.hpp`` — Karras-2012 build (morton codes :184,
+radix sort, split-prefix topology :198-338 with ``clz`` :346, ordered
+reorder :304-338, bottom-up refit with atomic arrival flags :467) and
+stackless traversal queries (``iter_neighbors`` :662-733, ``find_nearest``
+:551-621, ``ray_intersect`` :526-543); plus ``BvttFront`` pair caching
+(container/Bvtt.hpp).
+
+TPU re-design:
+
+* **Build** is fully vectorized: morton quantization -> ``lax.sort`` ->
+  Karras split computation *per internal node in parallel* (pure VPU integer
+  math, no per-thread loops beyond two bounded ``while_loop`` binary
+  searches) -> **levelwise refit**: instead of atomic arrival flags, refit
+  iterates ``ceil(log2(n))`` rounds updating every internal node from its
+  children each round (converges bottom-up deterministically; O(n log n)
+  work but bandwidth-trivial vs the queries it serves).
+* **Escape-index ("rope") traversal**: queries use the classic stackless
+  scheme — each node stores the node to jump to when skipping its subtree;
+  traversal is a bounded ``lax.while_loop`` with pure gathers, batched over
+  query boxes by ``vmap``.
+* Primitive count is static (padded); inactive leaves carry inverted boxes
+  that fail every overlap test.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..math.bits import morton3d, common_prefix_length
+
+__all__ = ["LBvh", "build_lbvh", "query_overlaps", "query_nearest",
+           "query_ray", "aabb_overlap"]
+
+
+def aabb_overlap(lo_a, hi_a, lo_b, hi_b):
+    return jnp.all(lo_a <= hi_b, -1) & jnp.all(lo_b <= hi_a, -1)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LBvh:
+    """n leaves (primitives, sorted by morton), n-1 internal nodes.
+
+    Node ids: internal nodes [0, n-1), leaves [n-1, 2n-1) (leaf i of the
+    sorted order = node n-1+i).  ``escape`` is the stackless skip pointer in
+    a preorder-equivalent traversal; -1 terminates.
+    """
+
+    lo: jax.Array        # [2n-1, dim] node box min
+    hi: jax.Array        # [2n-1, dim] node box max
+    left: jax.Array      # [2n-1] left child (-1 for leaves)
+    right: jax.Array     # [2n-1] right child
+    escape: jax.Array    # [2n-1] skip pointer
+    leaf_prim: jax.Array  # [2n-1] original primitive id (-1 for internal)
+    count: jax.Array     # active primitive count
+
+    @property
+    def num_leaves(self) -> int:
+        return (self.lo.shape[0] + 1) // 2
+
+
+def _karras_topology(codes: jax.Array):
+    """Parallel Karras-2012 internal-node topology from sorted morton codes.
+
+    Returns (left, right, parent) for n-1 internal nodes over n leaves.
+    Duplicate codes are handled by falling back to index comparison
+    (the standard augmented-key trick; reference Bvh.hpp uses the same idea).
+    """
+    n = codes.shape[0]
+    ninternal = n - 1
+
+    def delta(i, j):
+        """Common-prefix length of augmented keys; -1 out of range."""
+        valid = (j >= 0) & (j < n)
+        jc = jnp.clip(j, 0, n - 1)
+        d = common_prefix_length(codes[i], codes[jc])
+        # tie-break equal codes on index bits
+        same = codes[i] == codes[jc]
+        d = jnp.where(same, 32 + common_prefix_length(i, jc), d)
+        return jnp.where(valid, d, -1)
+
+    i = jnp.arange(ninternal, dtype=jnp.int32)
+    # direction of the range
+    d = jnp.sign(delta(i, i + 1) - delta(i, i - 1)).astype(jnp.int32)
+    d = jnp.where(d == 0, 1, d)
+    dmin = delta(i, i - d)
+    # range length upper bound by doubling (static log2(n) rounds)
+    lmax = jnp.full((ninternal,), 2, jnp.int32)
+    rounds = max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)
+    for _ in range(rounds):
+        # double while the range still extends past lmax; the final value is
+        # the first *failing* power of two (the binary search explores
+        # [0, lmax))
+        cond = delta(i, i + lmax * d) > dmin
+        lmax = jnp.where(cond, lmax * 2, lmax)
+    # binary search exact length
+    l = jnp.zeros((ninternal,), jnp.int32)
+    t = lmax // 2
+    for _ in range(rounds + 1):
+        cond = delta(i, i + (l + t) * d) > dmin
+        l = jnp.where((t > 0) & cond, l + t, l)
+        t = t // 2
+    j = i + l * d
+    # split position: highest differing bit within [i, j]
+    dnode = delta(i, j)
+    s = jnp.zeros((ninternal,), jnp.int32)
+    t = (l + 1) // 2
+    for _ in range(rounds + 1):
+        cond = delta(i, i + (s + t) * d) > dnode
+        s = jnp.where((t > 0) & cond, s + t, s)
+        t = jnp.where(t > 1, (t + 1) // 2, 0)
+    gamma = i + s * d + jnp.minimum(d, 0)
+    lo = jnp.minimum(i, j)
+    hi = jnp.maximum(i, j)
+    left = jnp.where(lo == gamma, (n - 1) + gamma, gamma)
+    right = jnp.where(hi == gamma + 1, (n - 1) + gamma + 1, gamma + 1)
+    return left.astype(jnp.int32), right.astype(jnp.int32)
+
+
+def build_lbvh(prim_lo: jax.Array, prim_hi: jax.Array,
+               valid: Optional[jax.Array] = None) -> LBvh:
+    """Build from primitive AABBs ``[n, 3]`` (Bvh.hpp ``build`` :176-338).
+
+    jit-safe, static n.  Invalid primitives sort last and get inverted boxes.
+    """
+    n = prim_lo.shape[0]
+    dim = prim_lo.shape[-1]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    count = jnp.sum(valid.astype(jnp.int32))
+    big = jnp.asarray(3.4e38, prim_lo.dtype)
+    # quantize centers to 10-bit morton within the scene box
+    centers = 0.5 * (prim_lo + prim_hi)
+    vlo = jnp.where(valid[:, None], prim_lo, big)
+    vhi = jnp.where(valid[:, None], prim_hi, -big)
+    scene_lo = jnp.min(vlo, 0)
+    scene_hi = jnp.max(vhi, 0)
+    extent = jnp.maximum(scene_hi - scene_lo, 1e-12)
+    q = jnp.clip(((centers - scene_lo) / extent * 1024.0), 0, 1023).astype(
+        jnp.int32)
+    codes = morton3d(q)
+    codes = jnp.where(valid, codes,
+                      jnp.asarray(np.iinfo(np.int32).max, jnp.int32))
+    order = jnp.argsort(codes)  # stable; invalid go last
+    codes_s = codes[order]
+
+    if n == 1:
+        return LBvh(prim_lo, prim_hi,
+                    jnp.full((1,), -1, jnp.int32),
+                    jnp.full((1,), -1, jnp.int32),
+                    jnp.full((1,), -1, jnp.int32),
+                    jnp.zeros((1,), jnp.int32), count)
+
+    left, right = _karras_topology(codes_s)
+    ninternal = n - 1
+    total = 2 * n - 1
+    # parent pointers
+    parent = jnp.full((total,), -1, jnp.int32)
+    parent = parent.at[left].set(jnp.arange(ninternal, dtype=jnp.int32))
+    parent = parent.at[right].set(jnp.arange(ninternal, dtype=jnp.int32))
+
+    # leaf boxes in sorted order; invalid leaves inverted
+    leaf_lo = jnp.where(valid[order][:, None], prim_lo[order], big)
+    leaf_hi = jnp.where(valid[order][:, None], prim_hi[order], -big)
+    lo = jnp.concatenate([jnp.full((ninternal, dim), big), leaf_lo])
+    hi = jnp.concatenate([jnp.full((ninternal, dim), -big), leaf_hi])
+
+    # levelwise refit: each round, every internal node takes union of its
+    # children's current boxes, converging bottom-up in depth(tree) rounds.
+    # Radix-tree depth is bounded by the augmented key length (30-bit morton
+    # + index tie-break), not log2(n) — skewed geometry (points on a line)
+    # produces chains far deeper than log2(n).
+    rounds = min(n - 1, 34 + int(np.ceil(np.log2(n)))) + 1
+
+    def refit_round(_, boxes):
+        lo_c, hi_c = boxes
+        l_lo = lo_c[left]
+        l_hi = hi_c[left]
+        r_lo = lo_c[right]
+        r_hi = hi_c[right]
+        new_lo = jnp.minimum(l_lo, r_lo)
+        new_hi = jnp.maximum(l_hi, r_hi)
+        lo_c = lo_c.at[:ninternal].set(new_lo)
+        hi_c = hi_c.at[:ninternal].set(new_hi)
+        return lo_c, hi_c
+
+    lo, hi = jax.lax.fori_loop(0, rounds, refit_round, (lo, hi))
+
+    # escape pointers: escape(root) = -1; left child -> its right sibling;
+    # right child -> escape of the nearest left-child ancestor.  Resolved by
+    # pointer doubling (chains can be as deep as the tree, so linear
+    # propagation in log rounds is insufficient): J[v] climbs to the nearest
+    # left-child ancestor (or the root), J = J[J] converges in log2 rounds.
+    is_left = jnp.zeros((total,), bool).at[left].set(True)
+    sibling = jnp.full((total,), -1, jnp.int32).at[left].set(right)
+    idx_all = jnp.arange(total, dtype=jnp.int32)
+    J = jnp.where(is_left, idx_all, jnp.maximum(parent, 0))
+    hops = int(np.ceil(np.log2(total))) + 1
+
+    def jump(_, J):
+        return J[J]
+
+    J = jax.lax.fori_loop(0, hops, jump, J)
+    escape = jnp.where(is_left[J], sibling[J], -1)
+
+    leftc = jnp.concatenate([left, jnp.full((n,), -1, jnp.int32)])
+    rightc = jnp.concatenate([right, jnp.full((n,), -1, jnp.int32)])
+    leaf_prim = jnp.concatenate([
+        jnp.full((ninternal,), -1, jnp.int32),
+        jnp.where(valid[order], order, -1).astype(jnp.int32)])
+    return LBvh(lo, hi, leftc, rightc, escape, leaf_prim, count)
+
+
+def query_overlaps(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
+                   max_hits: int, valid: Optional[jax.Array] = None
+                   ) -> Tuple[jax.Array, jax.Array]:
+    """AABB overlap query, batched over query boxes.
+
+    Returns (hits [nq, max_hits] primitive ids (-1 padding), counts [nq]).
+    Stackless escape-pointer walk (Bvh.hpp iter_neighbors :662-733) inside a
+    bounded ``while_loop``, vmapped across queries.
+    """
+    total = bvh.lo.shape[0]
+    nq = q_lo.shape[0]
+    if valid is None:
+        valid = jnp.ones((nq,), bool)
+
+    def one(qlo, qhi, qvalid):
+        def cond(state):
+            node, hits, cnt = state
+            return node >= 0
+
+        def body(state):
+            node, hits, cnt = state
+            overlap = aabb_overlap(bvh.lo[node], bvh.hi[node], qlo, qhi) & \
+                qvalid
+            is_leaf = bvh.left[node] < 0
+            prim = bvh.leaf_prim[node]
+            record = overlap & is_leaf & (prim >= 0)
+            hits = jnp.where(record & (cnt < max_hits),
+                             hits.at[jnp.minimum(cnt, max_hits - 1)].set(prim),
+                             hits)
+            cnt = cnt + record.astype(jnp.int32)
+            # descend if internal & overlapping, else escape
+            nxt = jnp.where(overlap & ~is_leaf, bvh.left[node],
+                            bvh.escape[node])
+            return nxt, hits, cnt
+
+        hits0 = jnp.full((max_hits,), -1, jnp.int32)
+        node0 = jnp.int32(0)
+        _, hits, cnt = jax.lax.while_loop(cond, body, (node0, hits0,
+                                                       jnp.int32(0)))
+        return hits, jnp.minimum(cnt, max_hits)
+
+    return jax.vmap(one)(q_lo, q_hi, valid)
+
+
+def query_nearest(bvh: LBvh, points: jax.Array, prim_dist: Callable,
+                  max_iters: int = 512) -> Tuple[jax.Array, jax.Array]:
+    """Nearest-primitive query (Bvh.hpp find_nearest :551-621).
+
+    ``prim_dist(prim_id, p) -> float`` exact distance to a primitive.
+    Box lower-bound pruning + escape walk.  Returns (ids, dists).
+    """
+    def one(p):
+        def box_lb(node):
+            d = jnp.maximum(bvh.lo[node] - p, 0.0) + \
+                jnp.maximum(p - bvh.hi[node], 0.0)
+            return jnp.linalg.norm(d, axis=-1)
+
+        def cond(state):
+            node, best_id, best_d, it = state
+            return (node >= 0) & (it < max_iters)
+
+        def body(state):
+            node, best_id, best_d, it = state
+            lb = box_lb(node)
+            prune = lb >= best_d
+            is_leaf = bvh.left[node] < 0
+            prim = bvh.leaf_prim[node]
+            dist = jnp.where(is_leaf & (prim >= 0) & ~prune,
+                             prim_dist(jnp.maximum(prim, 0), p), jnp.inf)
+            better = dist < best_d
+            best_d = jnp.where(better, dist, best_d)
+            best_id = jnp.where(better, prim, best_id)
+            nxt = jnp.where(~prune & ~is_leaf, bvh.left[node],
+                            bvh.escape[node])
+            return nxt, best_id, best_d, it + 1
+
+        _, bid, bd, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.int32(-1),
+                         jnp.asarray(jnp.inf, points.dtype), jnp.int32(0)))
+        return bid, bd
+
+    return jax.vmap(one)(points)
+
+
+def query_ray(bvh: LBvh, origins: jax.Array, dirs: jax.Array,
+              prim_hit: Callable, t_max: float = np.inf,
+              max_iters: int = 512) -> Tuple[jax.Array, jax.Array]:
+    """Ray cast (Bvh.hpp ray_intersect :526-543): ``prim_hit(id, o, d) -> t``
+    (inf on miss).  Returns (prim ids, t)."""
+    def one(o, dvec):
+        inv = 1.0 / jnp.where(jnp.abs(dvec) < 1e-12,
+                              jnp.where(dvec < 0, -1e-12, 1e-12), dvec)
+
+        def box_hit(node, t_best):
+            t0 = (bvh.lo[node] - o) * inv
+            t1 = (bvh.hi[node] - o) * inv
+            tmin = jnp.max(jnp.minimum(t0, t1))
+            tmax = jnp.min(jnp.maximum(t0, t1))
+            return (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < t_best)
+
+        def cond(state):
+            node, _, _, it = state
+            return (node >= 0) & (it < max_iters)
+
+        def body(state):
+            node, best_id, best_t, it = state
+            hit = box_hit(node, best_t)
+            is_leaf = bvh.left[node] < 0
+            prim = bvh.leaf_prim[node]
+            t = jnp.where(hit & is_leaf & (prim >= 0),
+                          prim_hit(jnp.maximum(prim, 0), o, dvec), jnp.inf)
+            better = t < best_t
+            best_t = jnp.where(better, t, best_t)
+            best_id = jnp.where(better, prim, best_id)
+            nxt = jnp.where(hit & ~is_leaf, bvh.left[node],
+                            bvh.escape[node])
+            return nxt, best_id, best_t, it + 1
+
+        _, bid, bt, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.int32(-1),
+                         jnp.asarray(t_max, origins.dtype), jnp.int32(0)))
+        return bid, bt
+
+    return jax.vmap(one)(origins, dirs)
