@@ -1,0 +1,59 @@
+"""Implicit MPM tests: consistency with explicit at small dt, stability at
+large dt (where explicit blows up)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from zpc_tpu.models.constitutive import FixedCorotated
+from zpc_tpu.sim.mpm import MPMSim, make_mpm_state, explicit_step
+from zpc_tpu.sim.implicit import implicit_step
+
+
+@pytest.fixture
+def setup(rng):
+    x = jnp.asarray(rng.uniform(0.3, 0.7, (512, 3)), jnp.float32)
+    st = make_mpm_state(x, dx=0.05, block_capacity=512)
+    sim = MPMSim(model=FixedCorotated.from_young_poisson(1e4, 0.3),
+                 gravity=jnp.asarray([0.0, -9.8, 0.0]))
+    return sim, st
+
+
+class TestImplicit:
+    def test_matches_explicit_small_dt(self, setup):
+        sim, st = setup
+        # stretch so there are internal forces
+        F0 = jnp.broadcast_to(jnp.diag(jnp.asarray([1.02, 0.98, 1.0])),
+                              (512, 3, 3))
+        st = type(st)(st.particles.update(F=F0), st.grid, st.max_vel)
+        dt = jnp.float32(1e-5)
+        ex = explicit_step(sim, st, dt)
+        im = implicit_step(sim, st, dt, cg_iters=100, cg_tol=1e-6)
+        np.testing.assert_allclose(np.asarray(im.particles["v"]),
+                                   np.asarray(ex.particles["v"]),
+                                   atol=1e-4)
+
+    def test_stable_at_large_dt(self, setup):
+        sim, st = setup
+        F0 = jnp.broadcast_to(jnp.diag(jnp.asarray([1.1, 0.9, 1.0])),
+                              (512, 3, 3))
+        st = type(st)(st.particles.update(F=F0), st.grid, st.max_vel)
+        # dt far beyond the explicit CFL for E=1e4
+        dt = jnp.float32(5e-3)
+        step = jax.jit(lambda s: implicit_step(sim, s, dt, cg_iters=60))
+        for _ in range(5):
+            st = step(st)
+        v = np.asarray(st.particles["v"])
+        assert np.isfinite(v).all()
+        assert np.abs(v).max() < 10.0
+
+    def test_momentum_gravity(self, setup):
+        sim, st = setup
+        dt = 1e-4
+        im = implicit_step(sim, st, jnp.float32(dt), cg_iters=100,
+                           cg_tol=1e-6)
+        m = np.asarray(st.particles["m"])
+        p1 = (m[:, None] * np.asarray(im.particles["v"])).sum(0)
+        expected = m.sum() * np.array([0.0, -9.8, 0.0]) * dt
+        np.testing.assert_allclose(p1, expected, rtol=1e-3, atol=1e-8)
