@@ -1,0 +1,297 @@
+"""Binned explicit MPM — the fast TPU transfer path.
+
+Measured on v5e (256k particles): the baseline ``explicit_step``'s per-lane
+table queries (27N searchsorted gathers, ~800 ms) and 27N scatter-add
+(~474 ms) dominate.  This module removes both, following the structure the
+reference's upstream (claymore-style MGMPM) uses on GPUs — re-expressed as
+dense XLA ops:
+
+1. particles are stable-sorted by active-block slot and packed into
+   fixed-size **bins** (``BIN_SIZE`` particles, each bin belongs to one
+   block; blocks own ceil(count/BIN_SIZE) bins) — the claymore particle-bin
+   layout, built here from a single 256k-key sort + searchsorted on the
+   (tiny) block table;
+2. P2G is per-bin **batched matmuls**: separable B-spline weights
+   wx,wy,wz ``[bins, K, 6]`` contract against particle payloads into the
+   block's 6^3 halo-padded node cube — accumulation rides the MXU, zero
+   atomics, zero scatters (the APIC momentum's node-position dependence is
+   decomposed into 4 separable terms);
+3. bin cubes merge into block cubes with a tiny segment-sum (bins per
+   block), then **halo merge**: each block pulls the overlapping slabs of
+   its 7 negative-side neighbors with static slices + one nb x 7 table
+   query;
+4. grid update is dense on ``[nb, 4^3]``;
+5. G2P gathers each bin's halo'd 6^3 velocity cube (row gathers) and
+   contracts back with the same weights; results are un-permuted to the
+   original particle order.
+
+Bin overflow (a block exceeding its bin allocation) is detected and
+reported via ``BinnedDiagnostics.overflow`` (the bht ``_buildSuccess``
+idiom) — callers grow ``bins_capacity`` and re-trace.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..containers.block_table import build_block_table
+from ..geometry.collider import resolve_boundaries
+from ..geometry.sparse_grid import neighbor_offsets
+from ..math.interpolation import bspline_weights
+from ..math.vecmat import mm
+from .mpm import MPMSim, MPMState
+
+__all__ = ["explicit_step_binned", "BinnedConfig"]
+
+BIN_SIZE = 128  # particles per bin: MXU-friendly contraction dim
+
+
+@dataclasses.dataclass(frozen=True)
+class BinnedConfig:
+    bins_capacity: int          # static bin count (>= N/BIN_SIZE * margin)
+    halo: int = 2               # 4^3 block + 2 halo = 6^3 footprint
+
+
+def _einsum_nk(S, Q):
+    """Batched contraction over bin particles: [B,K,M] x [B,K,C] -> [B,M,C]
+    (the MXU workhorse; fp32 accumulation)."""
+    return jnp.einsum("bkm,bkc->bmc", S, Q,
+                      preferred_element_type=jnp.float32)
+
+
+def explicit_step_binned(sim: MPMSim, state: MPMState, dt,
+                         cfg: BinnedConfig) -> Tuple[MPMState, jax.Array]:
+    """One explicit APIC step via the binned transfer path.
+
+    Returns (new_state, overflow_flag).  Physics identical to
+    :func:`zpc_tpu.sim.mpm.explicit_step` up to summation order.
+    """
+    p = state.particles
+    grid = state.grid
+    dim, bs = grid.dim, grid.block_size
+    assert dim == 3 and bs == 4, "binned path is specialized to 3-D, bs=4"
+    ncell = bs ** 3            # 64
+    side = bs + cfg.halo       # 6
+    cube = side ** 3           # 216
+    nb = grid.block_capacity
+    dx = grid.dx
+    N = p.capacity
+    nbins = cfg.bins_capacity
+    K = BIN_SIZE
+
+    pmask0 = p.mask
+    x0 = p["x"]
+
+    # ---- 1. partition + bin construction -----------------------------------
+    inv_dx = 1.0 / dx
+    origin_w = grid.transform.matrix[:dim, 3]
+    xi0 = (x0 - origin_w) * inv_dx
+    base0, _, _ = bspline_weights(xi0, sim.order)
+    pblock0 = jnp.floor_divide(base0, bs)
+    grid = grid.activate(pblock0, valid=pmask0, dilation=1)
+    table = grid.table
+
+    bslot0 = table.query(pblock0)                      # [N] >=0 for valid
+    sort_key = jnp.where(pmask0 & (bslot0 >= 0), bslot0, nb)
+    pid = jnp.arange(N, dtype=jnp.int32)
+    skey, sid = jax.lax.sort((sort_key, pid), num_keys=1, is_stable=True)
+
+    # per-block ranges in the sorted order
+    blk_ids = jnp.arange(nb, dtype=jnp.int32)
+    starts = jnp.searchsorted(skey, blk_ids).astype(jnp.int32)
+    ends = jnp.searchsorted(skey, blk_ids + 1).astype(jnp.int32)
+    counts = ends - starts
+    bins_per_block = (counts + K - 1) // K
+    bin_start = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                 jnp.cumsum(bins_per_block)]).astype(jnp.int32)
+    total_bins = bin_start[-1]
+    overflow = total_bins > nbins
+
+    # block of each bin: searchsorted over bin_start
+    bin_idx = jnp.arange(nbins, dtype=jnp.int32)
+    bin_block = (jnp.searchsorted(bin_start, bin_idx, side="right") - 1
+                 ).astype(jnp.int32)
+    bin_block = jnp.clip(bin_block, 0, nb - 1)
+    bin_live = bin_idx < total_bins
+    # sorted position of each (bin, slot) lane — pure gathers
+    local_bin = bin_idx - bin_start[bin_block]
+    lane = jnp.arange(K, dtype=jnp.int32)
+    spos = (starts[bin_block] + local_bin * K)[:, None] + lane[None, :]
+    lane_ok = bin_live[:, None] & (spos < ends[bin_block][:, None])
+    spos_safe = jnp.clip(spos, 0, N - 1)
+    pids = jnp.where(lane_ok, sid[spos_safe], -1)      # [nbins, K]
+    gsafe = jnp.maximum(pids, 0)
+
+    # ---- 2. gather per-bin particle data -----------------------------------
+    def gat(a):
+        out = a[gsafe]
+        extra = (1,) * (out.ndim - 2)
+        return jnp.where(lane_ok.reshape(lane_ok.shape + extra), out, 0)
+
+    xb = gat(x0)                                       # [B,K,3]
+    vb = gat(p["v"])
+    Fb = gat(p["F"])
+    Cb = gat(p["C"])
+    mb = gat(p["m"])
+    volb = gat(p["vol"])
+
+    xib = (xb - origin_w) * inv_dx
+    baseb, wb, _ = bspline_weights(xib, sim.order)     # wb [B,K,3,S=3]
+    borigin = table.active_coords[bin_block] * bs      # [B,3] cell coords
+    off = baseb - borigin[:, None, :]                  # in [0, 3]
+    off = jnp.clip(off, 0, bs - 1)                     # safety on dead lanes
+
+    # separable stencils on the 6-wide halo cube: w*[B,K,6]
+    sidx = jnp.arange(side, dtype=jnp.int32)           # [6]
+
+    def stencil_axis(d):
+        w_axis = jnp.zeros((nbins, K, side), wb.dtype)
+        for j in range(3):  # quadratic stencil width
+            hit = (sidx[None, None, :] == (off[..., d] + j)[..., None])
+            w_axis = w_axis + jnp.where(hit, wb[..., d, j:j + 1], 0.0)
+        return w_axis
+
+    wx, wy, wz = stencil_axis(0), stencil_axis(1), stencil_axis(2)
+    fidx = sidx.astype(wx.dtype)
+    wx_i, wy_i, wz_i = wx * fidx, wy * fidx, wz * fidx  # index-weighted
+
+    # ---- 3. P2G: per-bin cube via batched matmuls --------------------------
+    Dinv = 4.0 / (dx * dx)
+    tau = sim.model.kirchhoff(Fb)
+    mban = jnp.where(lane_ok, mb, 0.0)
+    A = mban[..., None, None] * Cb - (dt * Dinv * volb)[..., None, None] * tau
+    rel0 = (borigin[:, None, :].astype(xb.dtype)) * dx - xb  # origin - xp
+    u0 = mban[..., None] * vb + jnp.einsum("bkij,bkj->bki", A, rel0)
+    C4 = 4
+    Q0 = jnp.concatenate([mban[..., None], u0], -1)            # [B,K,4]
+    zero = jnp.zeros_like(mban)[..., None]
+    QA = [jnp.concatenate([zero, dx * A[..., :, d]], -1) for d in range(3)]
+
+    S0 = (wy[:, :, :, None] * wz[:, :, None, :]).reshape(nbins, K, 36)
+    S1 = (wy_i[:, :, :, None] * wz[:, :, None, :]).reshape(nbins, K, 36)
+    S2 = (wy[:, :, :, None] * wz_i[:, :, None, :]).reshape(nbins, K, 36)
+
+    out = jnp.zeros((nbins, side, 36, C4), jnp.float32)
+    for a in range(side):
+        qa = wx[:, :, a:a + 1] * Q0 + wx_i[:, :, a:a + 1] * QA[0]
+        cube_a = _einsum_nk(S0, qa)
+        cube_a = cube_a + _einsum_nk(S1, wx[:, :, a:a + 1] * QA[1])
+        cube_a = cube_a + _einsum_nk(S2, wx[:, :, a:a + 1] * QA[2])
+        out = out.at[:, a].set(cube_a)
+    out = out.reshape(nbins, cube, C4)
+
+    # ---- 4. bins -> blocks, halo merge -------------------------------------
+    seg = jnp.where(bin_live, bin_block, nb)
+    block_cube = jax.ops.segment_sum(out, seg, num_segments=nb + 1
+                                     )[:nb].reshape(nb, side, side, side, C4)
+
+    # neighbor slots for the 7 negative-side spill directions
+    dirs = [d for d in neighbor_offsets(3, 0, 1).tolist() if any(d)]
+    coords = table.active_coords                        # [nb,3]
+    acc = block_cube[:, :bs, :bs, :bs, :]               # own region
+    for d in dirs:
+        nbr = table.query(coords - jnp.asarray(d, jnp.int32))  # spiller
+        nb_ok = (nbr >= 0) & table.mask
+        src = block_cube[jnp.maximum(nbr, 0)]
+        sl = tuple(slice(bs, side) if dd else slice(0, bs) for dd in d)
+        contrib = src[(slice(None),) + sl]
+        pad = [(0, 0)] + [(0, bs - (side - bs)) if dd else (0, 0)
+                          for dd in d] + [(0, 0)]
+        # place the slab at the low corner of the target region
+        contrib = jnp.pad(contrib, pad)
+        acc = acc + jnp.where(nb_ok[:, None, None, None, None], contrib, 0.0)
+
+    gm = acc[..., 0].reshape(nb, ncell)
+    gmv = acc[..., 1:].reshape(nb, ncell, 3)
+
+    # ---- 5. grid update -----------------------------------------------------
+    has_mass = gm > 0.0
+    gv = jnp.where(has_mass[..., None],
+                   gmv / jnp.maximum(gm, 1e-30)[..., None], 0.0)
+    gv = gv + dt * sim.gravity[None, None, :]
+    corners = jnp.asarray(neighbor_offsets(3, 0, bs - 1))
+    node_cells = coords[:, None, :] * bs + corners[None, :, :]
+    node_x = node_cells.astype(gv.dtype) * dx + origin_w
+    gv = resolve_boundaries(sim.colliders, node_x, gv)
+    gv = jnp.where(has_mass[..., None], gv, 0.0)
+    max_vel = jnp.sqrt(jnp.max(jnp.sum(gv * gv, -1)))
+
+    # ---- 6. halo'd velocity cubes, G2P --------------------------------------
+    gvb = gv.reshape(nb, bs, bs, bs, 3)
+    V = jnp.zeros((nb, side, side, side, 3), jnp.float32)
+    V = V.at[:, :bs, :bs, :bs, :].set(gvb)
+    for d in dirs:
+        nbr = table.query(coords + jnp.asarray(d, jnp.int32))  # source
+        nb_ok = (nbr >= 0) & table.mask
+        src = gvb[jnp.maximum(nbr, 0)]
+        take = tuple(slice(0, side - bs) if dd else slice(0, bs) for dd in d)
+        slab = src[(slice(None),) + take]
+        slab = jnp.where(nb_ok[:, None, None, None, None], slab, 0.0)
+        place = tuple(slice(bs, side) if dd else slice(0, bs) for dd in d)
+        V = V.at[(slice(None),) + place].set(slab)
+    Vbin = V[bin_block]                                  # [B,6,6,6,3]
+    Vbin = Vbin.reshape(nbins, side, 36, 3)
+
+    vsum = jnp.zeros((nbins, K, 3), jnp.float32)
+    bx = jnp.zeros((nbins, K, 3), jnp.float32)   # sum (a*w) v
+    by = jnp.zeros((nbins, K, 3), jnp.float32)
+    bz = jnp.zeros((nbins, K, 3), jnp.float32)
+    for a in range(side):
+        Va = Vbin[:, a]                                  # [B,36,3]
+        m0 = jnp.einsum("bkm,bmc->bkc", S0, Va,
+                        preferred_element_type=jnp.float32)
+        m1 = jnp.einsum("bkm,bmc->bkc", S1, Va,
+                        preferred_element_type=jnp.float32)
+        m2 = jnp.einsum("bkm,bmc->bkc", S2, Va,
+                        preferred_element_type=jnp.float32)
+        wa = wx[:, :, a:a + 1]
+        wai = wx_i[:, :, a:a + 1]
+        vsum = vsum + wa * m0
+        bx = bx + wai * m0
+        by = by + wa * m1
+        bz = bz + wa * m2
+
+    v_new = vsum
+    # B = vsum (x) (origin - xp) + dx * [bx|by|bz] stacked as columns
+    Bmat = v_new[..., :, None] * rel0[..., None, :] + \
+        dx * jnp.stack([bx, by, bz], axis=-1)
+    C_new = Dinv * Bmat
+
+    eye = jnp.eye(3, dtype=Fb.dtype)
+    F_new = mm(eye + dt * C_new, Fb)
+    upd = {}
+    if sim.plasticity is not None and p.has_prop("Jp"):
+        Jpb = gat(p["Jp"])
+        F_new, Jp_new = sim.plasticity.project(F_new, Jpb)
+    x_new = xb + dt * v_new
+
+    # ---- 7. un-permute back to original particle order ----------------------
+    # one int scatter builds the inverse sort; channels then un-permute with
+    # pure gathers (original id -> (bin, lane) -> flat binned index)
+    inv_sorted = jnp.zeros((N,), jnp.int32).at[sid].set(
+        jnp.arange(N, dtype=jnp.int32))
+    blk_of_p = jnp.clip(sort_key, 0, nb - 1)
+    off_in_blk = inv_sorted - starts[blk_of_p]
+    bin_of_p = bin_start[blk_of_p] + off_in_blk // K
+    lane_of_p = off_in_blk % K
+    flat_of_p = jnp.clip(bin_of_p * K + lane_of_p, 0, nbins * K - 1)
+
+    def unbin(binned, orig):
+        flatv = binned.reshape((nbins * K,) + binned.shape[2:])
+        out = flatv[flat_of_p]
+        extra = (1,) * (orig.ndim - 1)
+        return jnp.where(pmask0.reshape((-1,) + extra), out, orig)
+
+    channels = dict(
+        x=unbin(x_new, x0), v=unbin(v_new, p["v"]),
+        F=unbin(F_new, p["F"]), C=unbin(C_new, p["C"]))
+    if sim.plasticity is not None and p.has_prop("Jp"):
+        channels["Jp"] = unbin(Jp_new, p["Jp"])
+    particles = p.update(**channels)
+    grid = grid.with_data(m=gm, v=gv.reshape(nb, ncell, 3))
+    return MPMState(particles, grid, max_vel), overflow
