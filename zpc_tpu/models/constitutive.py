@@ -32,6 +32,7 @@ from ..math.vecmat import mm
 
 __all__ = [
     "lame_parameters",
+    "bcast_scalar",
     "ElasticModel",
     "NeoHookean",
     "FixedCorotated",
@@ -56,6 +57,15 @@ def _svd(F):
 
 def _det(F):
     return jnp.linalg.det(F)
+
+
+def bcast_scalar(v, ref):
+    """Broadcast a scalar-or-per-particle parameter against ``ref``:
+    appends singleton dims so [N] params align with [N,3,3] tensors (and
+    [B,K] with [B,K,3,3] in the binned layout)."""
+    v = jnp.asarray(v)
+    extra = ref.ndim - v.ndim
+    return v.reshape(v.shape + (1,) * extra) if extra > 0 else v
 
 
 def _cof(F):
@@ -113,16 +123,18 @@ class NeoHookean(ElasticModel):
         J = _det(F)
         logJ = jnp.log(jnp.maximum(J, 1e-12))
         I1 = jnp.sum(F * F, (-2, -1))
-        return 0.5 * self.mu * (I1 - d) - self.mu * logJ \
-            + 0.5 * self.lam * logJ * logJ
+        mu = bcast_scalar(self.mu, I1)
+        lam = bcast_scalar(self.lam, I1)
+        return 0.5 * mu * (I1 - d) - mu * logJ + 0.5 * lam * logJ * logJ
 
     def first_piola(self, F):
         J = _det(F)
         logJ = jnp.log(jnp.maximum(J, 1e-12))
         cof = _cof(F)
         Finv_T = cof / jnp.maximum(J, 1e-12)[..., None, None]
-        return self.mu * (F - Finv_T) + \
-            (self.lam * logJ)[..., None, None] * Finv_T
+        mu = bcast_scalar(self.mu, F)
+        lam = bcast_scalar(self.lam, F)
+        return mu * (F - Finv_T) + lam * logJ[..., None, None] * Finv_T
 
 
 @jax.tree_util.register_dataclass
@@ -134,15 +146,18 @@ class FixedCorotated(ElasticModel):
     def psi(self, F):
         U, s, V = _svd(F)
         J = jnp.prod(s, -1)
-        return self.mu * jnp.sum((s - 1.0) ** 2, -1) \
-            + 0.5 * self.lam * (J - 1.0) ** 2
+        mu = bcast_scalar(self.mu, J)
+        lam = bcast_scalar(self.lam, J)
+        return mu * jnp.sum((s - 1.0) ** 2, -1) + 0.5 * lam * (J - 1.0) ** 2
 
     def first_piola(self, F):
         U, s, V = _svd(F)
         R = mm(U, jnp.swapaxes(V, -1, -2))
         J = jnp.prod(s, -1)
-        return 2.0 * self.mu * (F - R) \
-            + (self.lam * (J - 1.0))[..., None, None] * _cof(F)
+        mu = bcast_scalar(self.mu, F)
+        lam = bcast_scalar(self.lam, F)
+        return 2.0 * mu * (F - R) + \
+            lam * (J - 1.0)[..., None, None] * _cof(F)
 
 
 @jax.tree_util.register_dataclass
@@ -155,15 +170,19 @@ class StvkWithHencky(ElasticModel):
     def psi(self, F):
         _, s, _ = _svd(F)
         eps = jnp.log(jnp.maximum(jnp.abs(s), 1e-12))
-        return self.mu * jnp.sum(eps * eps, -1) \
-            + 0.5 * self.lam * jnp.sum(eps, -1) ** 2
+        tr = jnp.sum(eps, -1)
+        mu = bcast_scalar(self.mu, tr)
+        lam = bcast_scalar(self.lam, tr)
+        return mu * jnp.sum(eps * eps, -1) + 0.5 * lam * tr ** 2
 
     def first_piola(self, F):
         U, s, V = _svd(F)
         s_safe = jnp.maximum(jnp.abs(s), 1e-12) * jnp.where(s < 0, -1.0, 1.0)
         eps = jnp.log(jnp.abs(s_safe))
-        dpsi_dsigma = (2.0 * self.mu * eps +
-                       self.lam * jnp.sum(eps, -1, keepdims=True)) / s_safe
+        mu = bcast_scalar(self.mu, eps[..., 0])[..., None]
+        lam = bcast_scalar(self.lam, eps[..., 0])[..., None]
+        dpsi_dsigma = (2.0 * mu * eps + lam *
+                       jnp.sum(eps, -1, keepdims=True)) / s_safe
         return mm(U, dpsi_dsigma[..., :, None] * jnp.swapaxes(V, -1, -2))
 
 

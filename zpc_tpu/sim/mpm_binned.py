@@ -161,8 +161,19 @@ def explicit_step_binned(sim: MPMSim, state: MPMState, dt,
     wx_i, wy_i, wz_i = wx * fidx, wy * fidx, wz * fidx  # index-weighted
 
     # ---- 3. P2G: per-bin cube via batched matmuls --------------------------
+    # per-particle model parameters (e.g. heterogeneous Lame fields from the
+    # Scene builder) follow the particles into the bin layout
+    def _bin_params(obj):
+        if obj is None:
+            return None
+        return jax.tree.map(
+            lambda a: gat(a) if (hasattr(a, "ndim") and a.ndim >= 1 and
+                                 a.shape[0] == N) else a, obj)
+
+    model = _bin_params(sim.model)
+    plasticity = _bin_params(sim.plasticity)
     Dinv = 4.0 / (dx * dx)
-    tau = sim.model.kirchhoff(Fb)
+    tau = model.kirchhoff(Fb)
     mban = jnp.where(lane_ok, mb, 0.0)
     A = mban[..., None, None] * Cb - (dt * Dinv * volb)[..., None, None] * tau
     rel0 = (borigin[:, None, :].astype(xb.dtype)) * dx - xb  # origin - xp
@@ -265,9 +276,9 @@ def explicit_step_binned(sim: MPMSim, state: MPMState, dt,
     eye = jnp.eye(3, dtype=Fb.dtype)
     F_new = mm(eye + dt * C_new, Fb)
     upd = {}
-    if sim.plasticity is not None and p.has_prop("Jp"):
+    if plasticity is not None and p.has_prop("Jp"):
         Jpb = gat(p["Jp"])
-        F_new, Jp_new = sim.plasticity.project(F_new, Jpb)
+        F_new, Jp_new = plasticity.project(F_new, Jpb)
     x_new = xb + dt * v_new
 
     # ---- 7. un-permute back to original particle order ----------------------
@@ -290,7 +301,7 @@ def explicit_step_binned(sim: MPMSim, state: MPMState, dt,
     channels = dict(
         x=unbin(x_new, x0), v=unbin(v_new, p["v"]),
         F=unbin(F_new, p["F"]), C=unbin(C_new, p["C"]))
-    if sim.plasticity is not None and p.has_prop("Jp"):
+    if plasticity is not None and p.has_prop("Jp"):
         channels["Jp"] = unbin(Jp_new, p["Jp"])
     particles = p.update(**channels)
     grid = grid.with_data(m=gm, v=gv.reshape(nb, ncell, 3))
