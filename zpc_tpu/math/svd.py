@@ -23,7 +23,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .vecmat import mm
+from .vecmat import mm, det3
 
 __all__ = [
     "svd2x2",
@@ -50,29 +50,65 @@ def eigh3x3(A, sweeps: int = 6):
 
     Returns (eigenvalues desc-sorted [..., 3], eigenvectors [..., 3, 3]
     columns).  Fixed sweep count -> no data-dependent control flow.
+
+    Scalar form: the symmetric matrix is carried as its 6 unique entries and
+    V as 3 column vectors; each rotation is ~15 elementwise FMAs.  (A
+    matrix-product formulation measured 1.8 s for 256k batches on v5e — tiny
+    batched matmuls and per-element updates are TPU anti-patterns.)
     """
-    S = 0.5 * (A + jnp.swapaxes(A, -1, -2))
-    V = jnp.broadcast_to(jnp.eye(3, dtype=A.dtype), S.shape)
+    Ah = 0.5 * (A + jnp.swapaxes(A, -1, -2))
+    a00, a11, a22 = Ah[..., 0, 0], Ah[..., 1, 1], Ah[..., 2, 2]
+    a01, a02, a12 = Ah[..., 0, 1], Ah[..., 0, 2], Ah[..., 1, 2]
+    one = jnp.ones_like(a00)
+    zero = jnp.zeros_like(a00)
+    # V columns
+    v0 = jnp.stack([one, zero, zero], -1)
+    v1 = jnp.stack([zero, one, zero], -1)
+    v2 = jnp.stack([zero, zero, one], -1)
 
-    def rot(S, V, p, q):
-        c, s = _jacobi_rotation(S[..., p, p], S[..., q, q], S[..., p, q])
-        G = jnp.zeros_like(S)
-        idx = [0, 1, 2]
-        r = [i for i in idx if i not in (p, q)][0]
-        G = G.at[..., r, r].set(1.0)
-        G = G.at[..., p, p].set(c)
-        G = G.at[..., q, q].set(c)
-        G = G.at[..., p, q].set(s)
-        G = G.at[..., q, p].set(-s)
-        S = mm(mm(jnp.swapaxes(G, -1, -2), S), G)
-        V = mm(V, G)
-        return S, V
+    def rot01(s):
+        a00, a11, a22, a01, a02, a12, v0, v1, v2 = s
+        c, sn = _jacobi_rotation(a00, a11, a01)
+        n00 = c * c * a00 - 2 * sn * c * a01 + sn * sn * a11
+        n11 = sn * sn * a00 + 2 * sn * c * a01 + c * c * a11
+        n02 = c * a02 - sn * a12
+        n12 = sn * a02 + c * a12
+        cc, ss = c[..., None], sn[..., None]
+        nv0 = cc * v0 - ss * v1
+        nv1 = ss * v0 + cc * v1
+        return n00, n11, a22, zero, n02, n12, nv0, nv1, v2
 
+    def rot02(s):
+        a00, a11, a22, a01, a02, a12, v0, v1, v2 = s
+        c, sn = _jacobi_rotation(a00, a22, a02)
+        n00 = c * c * a00 - 2 * sn * c * a02 + sn * sn * a22
+        n22 = sn * sn * a00 + 2 * sn * c * a02 + c * c * a22
+        n01 = c * a01 - sn * a12
+        n12 = sn * a01 + c * a12
+        cc, ss = c[..., None], sn[..., None]
+        nv0 = cc * v0 - ss * v2
+        nv2 = ss * v0 + cc * v2
+        return n00, a11, n22, n01, zero, n12, nv0, v1, nv2
+
+    def rot12(s):
+        a00, a11, a22, a01, a02, a12, v0, v1, v2 = s
+        c, sn = _jacobi_rotation(a11, a22, a12)
+        n11 = c * c * a11 - 2 * sn * c * a12 + sn * sn * a22
+        n22 = sn * sn * a11 + 2 * sn * c * a12 + c * c * a22
+        n01 = c * a01 - sn * a02
+        n02 = sn * a01 + c * a02
+        cc, ss = c[..., None], sn[..., None]
+        nv1 = cc * v1 - ss * v2
+        nv2 = ss * v1 + cc * v2
+        return a00, n11, n22, n01, n02, zero, v0, nv1, nv2
+
+    s = (a00, a11, a22, a01, a02, a12, v0, v1, v2)
     for _ in range(sweeps):
-        for (p, q) in ((0, 1), (0, 2), (1, 2)):
-            S, V = rot(S, V, p, q)
+        s = rot12(rot02(rot01(s)))
+    a00, a11, a22, a01, a02, a12, v0, v1, v2 = s
 
-    w = jnp.stack([S[..., 0, 0], S[..., 1, 1], S[..., 2, 2]], -1)
+    w = jnp.stack([a00, a11, a22], -1)
+    V = jnp.stack([v0, v1, v2], -1)       # columns
     order = jnp.flip(jnp.argsort(w, axis=-1), axis=-1)
     w = jnp.take_along_axis(w, order, axis=-1)
     V = jnp.take_along_axis(V, order[..., None, :], axis=-1)
@@ -114,8 +150,8 @@ def svd3x3(A, sweeps: int = 6):
     """
     ATA = mm(jnp.swapaxes(A, -1, -2), A)
     _, V = eigh3x3(ATA, sweeps)
-    V = jnp.where(jnp.linalg.det(V)[..., None, None] < 0,
-                  V.at[..., :, 2].multiply(-1.0), V)
+    V = jnp.where(det3(V)[..., None, None] < 0,
+                  jnp.concatenate([V[..., :2], -V[..., 2:]], -1), V)
     B = mm(A, V)                    # = U diag(s)
     # column norms
     s = jnp.sqrt(jnp.maximum(jnp.sum(B * B, axis=-2), 0.0))

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..math.svd import svd3x3, svd2x2
-from ..math.vecmat import mm
+from ..math.vecmat import mm, det3
 
 __all__ = [
     "lame_parameters",
@@ -56,7 +56,7 @@ def _svd(F):
 
 
 def _det(F):
-    return jnp.linalg.det(F)
+    return det3(F)
 
 
 def bcast_scalar(v, ref):
