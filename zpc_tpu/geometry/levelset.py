@@ -98,6 +98,27 @@ class Cuboid(LevelSet):
         inside = jnp.minimum(jnp.max(q, axis=-1), 0.0)
         return outside + inside
 
+    def normal(self, x):
+        """Analytic normal (autodiff fallback is ~10x slower per grid-node
+        batch): outside, the clamped-offset direction; inside, the axis of
+        the nearest face."""
+        center = 0.5 * (self.minimum + self.maximum)
+        half = 0.5 * (self.maximum - self.minimum)
+        rel = x - center
+        q = jnp.abs(rel) - half
+        sgn = jnp.where(rel >= 0, 1.0, -1.0)
+        out_dir = jnp.maximum(q, 0.0) * sgn
+        out_n = out_dir / jnp.maximum(
+            jnp.linalg.norm(out_dir, axis=-1, keepdims=True), 1e-12)
+        # inside: one-hot of the largest q component
+        amax = jnp.max(q, axis=-1, keepdims=True)
+        onehot = (q == amax).astype(x.dtype)
+        onehot = onehot / jnp.maximum(
+            jnp.sum(onehot, -1, keepdims=True), 1.0)
+        in_n = onehot * sgn
+        inside = (jnp.max(q, axis=-1) <= 0.0)[..., None]
+        return jnp.where(inside, in_n, out_n)
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)

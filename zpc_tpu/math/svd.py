@@ -107,11 +107,23 @@ def eigh3x3(A, sweeps: int = 6):
         s = rot12(rot02(rot01(s)))
     a00, a11, a22, a01, a02, a12, v0, v1, v2 = s
 
-    w = jnp.stack([a00, a11, a22], -1)
+    # descending sort by a 3-element compare-swap network (argsort +
+    # take_along_axis costs minor-axis gathers on TPU; where-swaps are free)
+    def cswap(wa, va, wb, vb):
+        swap = wb > wa
+        wa2 = jnp.where(swap, wb, wa)
+        wb2 = jnp.where(swap, wa, wb)
+        sw = swap[..., None]
+        va2 = jnp.where(sw, vb, va)
+        vb2 = jnp.where(sw, va, vb)
+        return wa2, va2, wb2, vb2
+
+    w0, w1, w2 = a00, a11, a22
+    w0, v0, w1, v1 = cswap(w0, v0, w1, v1)
+    w1, v1, w2, v2 = cswap(w1, v1, w2, v2)
+    w0, v0, w1, v1 = cswap(w0, v0, w1, v1)
+    w = jnp.stack([w0, w1, w2], -1)
     V = jnp.stack([v0, v1, v2], -1)       # columns
-    order = jnp.flip(jnp.argsort(w, axis=-1), axis=-1)
-    w = jnp.take_along_axis(w, order, axis=-1)
-    V = jnp.take_along_axis(V, order[..., None, :], axis=-1)
     return w, V
 
 

@@ -133,12 +133,19 @@ def explicit_step_binned(sim: MPMSim, state: MPMState, dt,
         extra = (1,) * (out.ndim - 2)
         return jnp.where(lane_ok.reshape(lane_ok.shape + extra), out, 0)
 
-    xb = gat(x0)                                       # [B,K,3]
-    vb = gat(p["v"])
-    Fb = gat(p["F"])
-    Cb = gat(p["C"])
-    mb = gat(p["m"])
-    volb = gat(p["vol"])
+    # one packed gather for the fixed channels (row gathers dominate over
+    # per-channel fixed costs: 6 gathers -> 1)
+    packed = jnp.concatenate(
+        [x0, p["v"], p["F"].reshape(N, 9), p["C"].reshape(N, 9),
+         p["m"][:, None], p["vol"][:, None]], axis=1)     # [N, 26]
+    pb = packed[gsafe]
+    pb = jnp.where(lane_ok[..., None], pb, 0.0)
+    xb = pb[..., 0:3]
+    vb = pb[..., 3:6]
+    Fb = pb[..., 6:15].reshape(nbins, K, 3, 3)
+    Cb = pb[..., 15:24].reshape(nbins, K, 3, 3)
+    mb = pb[..., 24]
+    volb = pb[..., 25]
 
     xib = (xb - origin_w) * inv_dx
     baseb, wb, _ = bspline_weights(xib, sim.order)     # wb [B,K,3,S=3]
@@ -292,17 +299,23 @@ def explicit_step_binned(sim: MPMSim, state: MPMState, dt,
     lane_of_p = off_in_blk % K
     flat_of_p = jnp.clip(bin_of_p * K + lane_of_p, 0, nbins * K - 1)
 
-    def unbin(binned, orig):
-        flatv = binned.reshape((nbins * K,) + binned.shape[2:])
-        out = flatv[flat_of_p]
-        extra = (1,) * (orig.ndim - 1)
-        return jnp.where(pmask0.reshape((-1,) + extra), out, orig)
-
+    # pack outputs, one gather, unpack (mirrors the packed bin gather)
+    out_packed = jnp.concatenate(
+        [x_new, v_new, F_new.reshape(nbins, K, 9),
+         C_new.reshape(nbins, K, 9)] +
+        ([Jp_new[..., None]] if (plasticity is not None and
+                                 p.has_prop("Jp")) else []),
+        axis=-1)
+    W = out_packed.shape[-1]
+    res = out_packed.reshape(nbins * K, W)[flat_of_p]
+    mk1 = pmask0[:, None]
     channels = dict(
-        x=unbin(x_new, x0), v=unbin(v_new, p["v"]),
-        F=unbin(F_new, p["F"]), C=unbin(C_new, p["C"]))
+        x=jnp.where(mk1, res[:, 0:3], x0),
+        v=jnp.where(mk1, res[:, 3:6], p["v"]),
+        F=jnp.where(mk1[..., None], res[:, 6:15].reshape(N, 3, 3), p["F"]),
+        C=jnp.where(mk1[..., None], res[:, 15:24].reshape(N, 3, 3), p["C"]))
     if plasticity is not None and p.has_prop("Jp"):
-        channels["Jp"] = unbin(Jp_new, p["Jp"])
+        channels["Jp"] = jnp.where(pmask0, res[:, 24], p["Jp"])
     particles = p.update(**channels)
     grid = grid.with_data(m=gm, v=gv.reshape(nb, ncell, 3))
     return MPMState(particles, grid, max_vel), overflow
