@@ -1,5 +1,5 @@
-"""Driver benchmark: explicit MPM particles/sec on one chip (BASELINE
-config 3, the north-star metric).
+"""Driver benchmark: explicit MPM particle-steps/sec on one chip (BASELINE
+config 3, the north-star metric), using the binned (fast) transfer path.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -14,7 +14,6 @@ import json
 import sys
 import time
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -25,20 +24,27 @@ A100_PARTICLE_STEPS_PER_SEC = 100e6  # parity anchor (claymore-class MPM)
 
 def main():
     from examples.mpm_block import build
-    from zpc_tpu.sim.mpm import explicit_step
+    from zpc_tpu.sim.mpm_binned import BinnedConfig, explicit_step_binned
 
     n = 262144
     sim, st, dt = build(n, dx=1.0 / 128)
-    step = jax.jit(lambda s: jax.lax.fori_loop(
-        0, 10, lambda _, t: explicit_step(sim, t, jnp.float32(dt)), s))
-    # warmup/compile
-    st = jax.block_until_ready(step(st))
+    cfg = BinnedConfig(bins_capacity=4096)
+    chain = 10
+
+    def chained(s):
+        def body(_, t):
+            t2, _ = explicit_step_binned(sim, t, jnp.float32(dt), cfg)
+            return t2
+        return jax.lax.fori_loop(0, chain, body, s)
+
+    step = jax.jit(chained)
+    st = jax.block_until_ready(step(st))  # compile + warm
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         st = jax.block_until_ready(step(st))
         best = min(best, time.perf_counter() - t0)
-    pps = n * 10 / best
+    pps = n * chain / best
     print(json.dumps({
         "metric": "explicit MPM particle-steps/sec (256k, fp32, APIC)",
         "value": round(pps / 1e6, 3),

@@ -142,11 +142,18 @@ def write_bgeo(path: str, positions: np.ndarray,
         w(struct.pack(">i", size))
         w(struct.pack(">i", 0))                 # FLOAT type
         w(struct.pack(f">{size}f", *([0.0] * size)))  # defaults
-    # point data: x y z w followed by attributes
-    data = np.concatenate(
-        [pos, np.ones((n, 1), np.float32)] +
-        [attrs[k] for k in attrs], axis=1).astype(">f4")
-    w(data.tobytes())
+    # point data: x y z w followed by attributes — native interleave+byteswap
+    # codec when the C library is available (utils/native.py)
+    from . import native
+
+    cols = [pos, np.ones((n, 1), np.float32)] + [attrs[k] for k in attrs]
+    widths = [3, 1] + [attrs[k].shape[1] for k in attrs]
+    packed = native.pack_be_records(cols, widths)
+    if packed is not None:
+        w(packed.tobytes())
+    else:
+        data = np.concatenate(cols, axis=1).astype(">f4")
+        w(data.tobytes())
     # end markers
     w(struct.pack(">B", 0x00))
     w(struct.pack(">B", 0xff))
