@@ -157,16 +157,37 @@ class SparseGrid:
         dilated by the ``[0, dilation]^d`` positive neighborhood (the
         stencil apron), zeroing payloads (partition-per-step idiom,
         simulation/sparsity/SparsityCompute.tpp:5-25)."""
-        table, _ = build_block_table(block_coords, self.block_capacity,
-                                     valid=valid, dim=self.dim)
+        grid, _ = self.activate_with_slots(block_coords, valid=valid,
+                                           dilation=dilation)
+        return grid
+
+    def activate_with_slots(self, block_coords: jax.Array,
+                            valid: Optional[jax.Array] = None,
+                            dilation: int = 0):
+        """Like :meth:`activate` but also returns each candidate's slot in
+        the final (dilated) table — derived from the build's own sort
+        instead of a per-candidate binary search (a 262k-lane searchsorted
+        measured ~25 ms on v5e; the remap below queries only ``capacity``
+        keys)."""
+        cap = self.block_capacity
+        table, inverse = build_block_table(block_coords, cap, valid=valid,
+                                           dim=self.dim)
         if dilation:
             offs = neighbor_offsets(self.dim, 0, dilation)
             cand = (table.active_coords[:, None, :] +
                     jnp.asarray(offs)[None, :, :]).reshape(-1, self.dim)
             vmask = jnp.repeat(table.mask, offs.shape[0])
-            table, _ = build_block_table(cand, self.block_capacity,
-                                         valid=vmask, dim=self.dim)
-        return dataclasses.replace(self, table=table).zeroed()
+            table2, inv_cand = build_block_table(cand, cap, valid=vmask,
+                                                 dim=self.dim)
+            # offset (0,..,0) is the first neighbor: candidate i*noffs maps
+            # table slot i -> dilated slot
+            remap = inv_cand[jnp.arange(cap) * offs.shape[0]]
+            slots = jnp.where(inverse >= 0,
+                              remap[jnp.maximum(inverse, 0)], -1)
+            table = table2
+        else:
+            slots = inverse
+        return dataclasses.replace(self, table=table).zeroed(), slots
 
 
 def sparse_grid(props: PropsSpec, *, dx: float, block_capacity: int,
