@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["CSRMatrix", "csr_from_coo", "spmv", "spmv_semiring", "spmv_mask",
-           "csr_transpose", "SEMIRINGS"]
+           "csr_transpose", "spgemm", "SEMIRINGS"]
 
 
 @jax.tree_util.register_dataclass
@@ -196,3 +196,38 @@ def spmv_mask(A: CSRMatrix, x: jax.Array, mask: jax.Array,
     prod = jnp.where(colm, prod, jnp.asarray(ident, prod.dtype))
     return seg(prod, rid, num_segments=A.nrows + 1,
                indices_are_sorted=True)[:-1]
+
+
+def spgemm(A: CSRMatrix, B: CSRMatrix, max_row_nnz_b: int,
+           semiring="plus_times") -> CSRMatrix:
+    """Sparse-sparse matmul C = A (x) B (``spgemm_classic``,
+    SparseMatrixOperations.hpp:100).
+
+    XLA needs static shapes, so the expansion is bounded by
+    ``max_row_nnz_b`` — the max nonzeros in any row of B (pad capacity;
+    exceeding rows are truncated, mirroring the fixed-capacity idiom used
+    throughout).  Each A-entry (i, k, v) fans out against B's row k; the
+    resulting COO triples merge through :func:`csr_from_coo`.
+    """
+    reduce_op, map_op, _ = SEMIRINGS[semiring] \
+        if isinstance(semiring, str) else semiring
+    capA = A.capacity
+    ridA = A.row_ids
+    validA = ridA < A.nrows
+    colA = jnp.maximum(A.cols, 0)
+    # B row ranges
+    startB = B.indptr[jnp.clip(colA, 0, B.nrows - 1)]
+    endB = B.indptr[jnp.clip(colA + 1, 0, B.nrows)]
+    lane = jnp.arange(max_row_nnz_b, dtype=jnp.int32)
+    pos = startB[:, None] + lane[None, :]
+    ok = validA[:, None] & (pos < endB[:, None])
+    safe = jnp.clip(pos, 0, B.capacity - 1)
+    colsC = jnp.where(ok, B.cols[safe], 0)
+    valsC = map_op(A.vals[:, None], B.vals[safe])
+    rowsC = jnp.broadcast_to(ridA[:, None], ok.shape)
+    combine = "add" if reduce_op is jnp.add else "max"
+    return csr_from_coo(jnp.where(ok, rowsC, 0).reshape(-1),
+                        jnp.where(ok, colsC, 0).reshape(-1),
+                        jnp.where(ok, valsC, 0).reshape(-1),
+                        A.nrows, B.ncols,
+                        valid=ok.reshape(-1), combine=combine)
