@@ -11,11 +11,16 @@ remaining gather with **explicit DMA of contiguous slices**:
   B-spline stencils, and contracts them on the MXU into the bin's 6^3
   halo-padded node cube;
 * `halo_merge` assembles block node values: each block program DMAs its own
-  cube + the 7 negative-neighbor cubes (indices scalar-prefetched) and adds
-  the overlapping slabs in VMEM;
+  cube + the 7 negative-neighbor cubes (indices scalar-prefetched) and
+  combines the overlapping slabs with **static 0/1 selection matmuls**
+  (Mosaic has no cheap >2-D vector shuffles; a [64,216] one-hot dot is
+  exactly the slab permutation);
 * `g2p_bins` DMAs the 8 relevant block velocity rows, assembles the 6^3
-  halo'd cube in VMEM, and contracts back to per-particle velocity/affine
-  updates.
+  halo'd cube with the transposed selection matrices, and contracts back to
+  per-particle velocity/affine updates.
+
+Mosaic constraints honored throughout: all vectors are rank<=2, small-matrix
+state is carried in column form (no [K,3,3] shape casts), iota is 2-D.
 
 Reference counterpart: the fused single-kernel transfers of the reference's
 GPU lineage (simulation/transfer/P2G.hpp, G2P2G.hpp) — redesigned around
@@ -40,27 +45,90 @@ SIDE = 6         # 4-cell block + 2 halo
 CUBE = SIDE ** 3
 C4 = 4           # mass + momentum
 
+_DIRS = [d for d in
+         [(i, j, k) for i in (0, 1) for j in (0, 1) for k in (0, 1)]
+         if any(d)]
 
-def _stencil_weights(xloc):
-    """Quadratic B-spline weights per axis for local positions (cell units
-    relative to block origin).  Returns (off [K,3] int32 base offset in
-    [0,4), w [K,3,3])."""
-    base = jnp.floor(xloc - 0.5).astype(jnp.int32)
-    fx = xloc - base.astype(xloc.dtype)
+
+def _spill_matrix(d) -> np.ndarray:
+    """[64, 216] one-hot: target block node <- spiller (-d neighbor) cube."""
+    M = np.zeros((64, CUBE), np.float32)
+    for i in range(4):
+        for j in range(4):
+            for k in range(4):
+                si, sj, sk = i + 4 * d[0], j + 4 * d[1], k + 4 * d[2]
+                if si < SIDE and sj < SIDE and sk < SIDE:
+                    M[(i * 4 + j) * 4 + k, (si * SIDE + sj) * SIDE + sk] = 1.0
+    return M
+
+
+def _pull_matrix(d) -> np.ndarray:
+    """[216, 64] one-hot: halo cube node <- +d neighbor block node."""
+    P = np.zeros((CUBE, 64), np.float32)
+    for a in range(SIDE):
+        for b in range(SIDE):
+            for c in range(SIDE):
+                da, db, dc = a >= 4, b >= 4, c >= 4
+                if (da, db, dc) != tuple(bool(x) for x in d):
+                    continue
+                i, j, k = a - 4 * da, b - 4 * db, c - 4 * dc
+                P[(a * SIDE + b) * SIDE + c, (i * 4 + j) * 4 + k] = 1.0
+    return P
+
+
+_SPILL = [_spill_matrix(d) for d in _DIRS]
+_PULL = [_pull_matrix(d) for d in [(0, 0, 0)] + _DIRS]
+
+
+def _axis_weights(xloc_d):
+    """Quadratic B-spline: base offset [K] int32 + 3 tap weights [K]."""
+    base = jnp.floor(xloc_d - 0.5).astype(jnp.int32)
+    fx = xloc_d - base.astype(xloc_d.dtype)
     w0 = 0.5 * (1.5 - fx) ** 2
     w1 = 0.75 - (fx - 1.0) ** 2
     w2 = 0.5 * (fx - 0.5) ** 2
-    return base, jnp.stack([w0, w1, w2], axis=-1)
+    return base, (w0, w1, w2)
 
 
-def _axis_stencil(off_d, w_d, dtype):
-    """[K, 6] per-axis halo-cube weights from offsets/3-tap weights."""
+def _axis_stencil(off_d, taps, dtype):
+    """[K, SIDE] halo-cube weights for one axis."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (K, SIDE), 1)
     w_axis = jnp.zeros((K, SIDE), dtype)
     for j in range(3):
         hit = lane == (off_d + j)[:, None]
-        w_axis = w_axis + jnp.where(hit, w_d[:, j:j + 1], 0.0)
+        w_axis = w_axis + jnp.where(hit, taps[j][:, None], 0.0)
     return w_axis
+
+
+def _outer36(wy, wz):
+    """[K, 36] = per-particle outer product of two [K, 6] stencils
+    (j-major), built without 3-D intermediates."""
+    return jnp.concatenate([wy[:, j:j + 1] * wz for j in range(SIDE)],
+                           axis=1)
+
+
+def _full_stencils(x, orig, dx, ok):
+    """Shared stencil construction: returns wx, wx_i, S0, S1, S2, rel0."""
+    dtype = x.dtype
+    offs = []
+    tapss = []
+    for d in range(3):
+        xloc_d = x[:, d] / dx - orig[d] * 4.0
+        base, taps = _axis_weights(xloc_d)
+        offs.append(jnp.clip(base, 0, 3))
+        tapss.append(taps)
+    wx = _axis_stencil(offs[0], tapss[0], dtype)
+    wy = _axis_stencil(offs[1], tapss[1], dtype)
+    wz = _axis_stencil(offs[2], tapss[2], dtype)
+    if ok is not None:
+        wx = wx * ok.astype(dtype)[:, None]
+    idxf = jax.lax.broadcasted_iota(jnp.int32, (K, SIDE), 1).astype(dtype)
+    wx_i = wx * idxf
+    S0 = _outer36(wy, wz)
+    S1 = _outer36(wy * idxf, wz)
+    S2 = _outer36(wy, wz * idxf)
+    rel0 = [orig[d] * (4.0 * dx) - x[:, d] for d in range(3)]
+    return wx, wx_i, S0, S1, S2, rel0
 
 
 # ---------------------------------------------------------------------------
@@ -86,38 +154,19 @@ def _p2g_kernel(starts_ref, counts_ref, origins_ref, params_ref,  # scalar
     ok = lane < count
     x = data[:, 0:3]
     v = data[:, 3:6]
-    A = data[:, 6:15].reshape(K, 3, 3)
+    Acol = [[data[:, 6 + 3 * i + j] for j in range(3)] for i in range(3)]
     m = jnp.where(ok, data[:, 15], 0.0)
+    orig = [origins_ref[b, d].astype(x.dtype) for d in range(3)]
 
-    ox = origins_ref[b, 0]
-    oy = origins_ref[b, 1]
-    oz = origins_ref[b, 2]
-    origin = jnp.stack([ox, oy, oz]).astype(x.dtype)    # block cell coords
-    xloc = x / dx - origin[None, :] * 4.0               # local cell units
-    base, w = _stencil_weights(xloc)
-    off = jnp.clip(base, 0, 3)
+    wx, wx_i, S0, S1, S2, rel0 = _full_stencils(x, orig, dx, ok)
 
-    wx = _axis_stencil(off[:, 0], w[:, 0], x.dtype)
-    wy = _axis_stencil(off[:, 1], w[:, 1], x.dtype)
-    wz = _axis_stencil(off[:, 2], w[:, 2], x.dtype)
-    okf = ok.astype(x.dtype)[:, None]
-    wx = wx * okf                                       # dead lanes off
-    idxf = jax.lax.broadcasted_iota(jnp.int32, (K, SIDE), 1).astype(x.dtype)
-    wx_i = wx * idxf
-    wy_i = wy * idxf
-    wz_i = wz * idxf
-
-    # rel0 = origin*4*dx - x ; u0 = m v + A rel0
-    rel0 = origin[None, :] * (4.0 * dx) - x
-    u0 = m[:, None] * v + jnp.einsum(
-        "kij,kj->ki", A, rel0, preferred_element_type=jnp.float32)
-    Q0 = jnp.concatenate([m[:, None], u0], axis=1)      # [K, 4]
-    QA = [jnp.concatenate([jnp.zeros((K, 1), x.dtype), dx * A[:, :, d]],
-                          axis=1) for d in range(3)]
-
-    S0 = (wy[:, :, None] * wz[:, None, :]).reshape(K, 36)
-    S1 = (wy_i[:, :, None] * wz[:, None, :]).reshape(K, 36)
-    S2 = (wy[:, :, None] * wz_i[:, None, :]).reshape(K, 36)
+    u0 = [m * v[:, i] +
+          Acol[i][0] * rel0[0] + Acol[i][1] * rel0[1] + Acol[i][2] * rel0[2]
+          for i in range(3)]
+    Q0 = jnp.stack([m, u0[0], u0[1], u0[2]], axis=1)    # [K, 4]
+    zeros = jnp.zeros((K,), x.dtype)
+    QA = [jnp.stack([zeros, dx * Acol[0][d], dx * Acol[1][d],
+                     dx * Acol[2][d]], axis=1) for d in range(3)]
 
     for a in range(SIDE):
         qa = wx[:, a:a + 1] * Q0 + wx_i[:, a:a + 1] * QA[0]
@@ -136,7 +185,7 @@ def p2g_bins(sorted_packed: jax.Array, starts: jax.Array, counts: jax.Array,
 
     ``sorted_packed``: [N, W>=16] with cols x(3) | v(3) | A(9) | m(1),
     block-sorted, padded so every ``starts[i] + K`` stays in range.
-    ``dt``/``dx`` may be traced (ride the scalar-prefetch channel).
+    ``dt``/``dx`` may be traced (they ride the scalar-prefetch channel).
     """
     W = sorted_packed.shape[1]
     params = jnp.stack([jnp.asarray(dt, jnp.float32),
@@ -162,12 +211,8 @@ def p2g_bins(sorted_packed: jax.Array, starts: jax.Array, counts: jax.Array,
 # halo merge
 # ---------------------------------------------------------------------------
 
-_DIRS = [d for d in
-         [(i, j, k) for i in (0, 1) for j in (0, 1) for k in (0, 1)]
-         if any(d)]
-
-
 def _halo_kernel(nbr_ref,                 # scalar prefetch [nb, 7]
+                 sel_ref,                 # VMEM [8, 64, CUBE] selection mats
                  cubes_ref,               # HBM [nb, CUBE, C4]
                  out_ref,                 # VMEM [1, 64, C4]
                  own, nbrs, sem):
@@ -175,21 +220,17 @@ def _halo_kernel(nbr_ref,                 # scalar prefetch [nb, 7]
     cp = pltpu.make_async_copy(cubes_ref.at[b], own, sem)
     cp.start()
     cp.wait()
-    acc = own[...].reshape(SIDE, SIDE, SIDE, C4)[:4, :4, :4, :]
-    for d_i, d in enumerate(_DIRS):
+    acc = jnp.dot(sel_ref[0], own[...], preferred_element_type=jnp.float32)
+    for d_i in range(len(_DIRS)):
         nb_idx = nbr_ref[b, d_i]
-        valid = nb_idx >= 0
+        valid = (nb_idx >= 0).astype(jnp.float32)
         safe = jnp.maximum(nb_idx, 0)
         cp = pltpu.make_async_copy(cubes_ref.at[safe], nbrs, sem)
         cp.start()
         cp.wait()
-        cube = nbrs[...].reshape(SIDE, SIDE, SIDE, C4)
-        sl = tuple(slice(4, 6) if dd else slice(0, 4) for dd in d)
-        contrib = cube[sl]
-        pad = [(0, 4 - (6 - 4)) if dd else (0, 0) for dd in d] + [(0, 0)]
-        contrib = jnp.pad(contrib, pad)
-        acc = acc + jnp.where(valid, contrib, 0.0)
-    out_ref[0] = acc.reshape(64, C4)
+        acc = acc + valid * jnp.dot(sel_ref[d_i + 1], nbrs[...],
+                                    preferred_element_type=jnp.float32)
+    out_ref[0] = acc
 
 
 def halo_merge(block_cubes: jax.Array, nbr_idx: jax.Array,
@@ -200,10 +241,13 @@ def halo_merge(block_cubes: jax.Array, nbr_idx: jax.Array,
     spiller), -1 when absent.
     """
     nb = block_cubes.shape[0]
+    sel = jnp.asarray(np.stack([_spill_matrix((0, 0, 0))] + _SPILL))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec((8, 64, CUBE), lambda b, *_: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, 64, C4), lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((CUBE, C4), jnp.float32),
@@ -215,7 +259,7 @@ def halo_merge(block_cubes: jax.Array, nbr_idx: jax.Array,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, 64, C4), jnp.float32),
         interpret=interpret,
-    )(nbr_idx, block_cubes)
+    )(nbr_idx, sel, block_cubes)
 
 
 # ---------------------------------------------------------------------------
@@ -224,7 +268,8 @@ def halo_merge(block_cubes: jax.Array, nbr_idx: jax.Array,
 
 def _g2p_kernel(starts_ref, counts_ref, origins_ref, nbr8_ref,
                 params_ref,               # scalar prefetch
-                sorted_ref,               # HBM [N, W]: x(3) | ... | F(9)
+                pull_ref,                 # VMEM [8, CUBE, 64] pull mats
+                sorted_ref,               # HBM [N, W]: x(3)|...|F(9) @ 16
                 gv_ref,                   # HBM [nb, 64, 3]
                 out_ref,                  # VMEM [1, K, 24]
                 pscratch, vscratch, sem):
@@ -237,53 +282,33 @@ def _g2p_kernel(starts_ref, counts_ref, origins_ref, nbr8_ref,
                                pscratch, sem)
     cp.start()
     cp.wait()
-    # assemble halo'd V [6,6,6,3] from 8 block rows
-    V = jnp.zeros((SIDE, SIDE, SIDE, 3), jnp.float32)
-    for i, d in enumerate([(0, 0, 0)] + _DIRS):
+    # assemble halo'd node velocities Vflat [216, 3] via pull matmuls
+    Vflat = jnp.zeros((CUBE, 3), jnp.float32)
+    for i in range(8):
         nb_idx = nbr8_ref[b, i]
-        valid = nb_idx >= 0
+        valid = (nb_idx >= 0).astype(jnp.float32)
         safe = jnp.maximum(nb_idx, 0)
         cp = pltpu.make_async_copy(gv_ref.at[safe], vscratch, sem)
         cp.start()
         cp.wait()
-        blockv = vscratch[...].reshape(4, 4, 4, 3)
-        take = tuple(slice(0, SIDE - 4) if dd else slice(0, 4) for dd in d)
-        slab = blockv[take]
-        pads = [(4, 0) if dd else (0, SIDE - 4) for dd in d] + [(0, 0)]
-        placed = jnp.pad(slab, pads)
-        V = V + jnp.where(valid, placed, 0.0)
+        Vflat = Vflat + valid * jnp.dot(pull_ref[i], vscratch[...],
+                                        preferred_element_type=jnp.float32)
 
     data = pscratch[...]
     lane = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)[:, 0]
     ok = lane < count
     x = data[:, 0:3]
-    F = data[:, 16:25].reshape(K, 3, 3)
+    Fcol = [[data[:, 16 + 3 * i + j] for j in range(3)] for i in range(3)]
+    orig = [origins_ref[b, d].astype(x.dtype) for d in range(3)]
 
-    ox = origins_ref[b, 0]
-    oy = origins_ref[b, 1]
-    oz = origins_ref[b, 2]
-    origin = jnp.stack([ox, oy, oz]).astype(x.dtype)
-    xloc = x / dx - origin[None, :] * 4.0
-    base, w = _stencil_weights(xloc)
-    off = jnp.clip(base, 0, 3)
-    wx = _axis_stencil(off[:, 0], w[:, 0], x.dtype)
-    wy = _axis_stencil(off[:, 1], w[:, 1], x.dtype)
-    wz = _axis_stencil(off[:, 2], w[:, 2], x.dtype)
-    idxf = jax.lax.broadcasted_iota(jnp.int32, (K, SIDE), 1).astype(x.dtype)
-    wx_i = wx * idxf
-    wy_i = wy * idxf
-    wz_i = wz * idxf
-    S0 = (wy[:, :, None] * wz[:, None, :]).reshape(K, 36)
-    S1 = (wy_i[:, :, None] * wz[:, None, :]).reshape(K, 36)
-    S2 = (wy[:, :, None] * wz_i[:, None, :]).reshape(K, 36)
-    Vr = V.reshape(SIDE, 36, 3)
+    wx, wx_i, S0, S1, S2, rel0 = _full_stencils(x, orig, dx, None)
 
     vsum = jnp.zeros((K, 3), jnp.float32)
     bx = jnp.zeros((K, 3), jnp.float32)
     by = jnp.zeros((K, 3), jnp.float32)
     bz = jnp.zeros((K, 3), jnp.float32)
     for a in range(SIDE):
-        Va = Vr[a]
+        Va = Vflat[a * 36:(a + 1) * 36, :]
         m0 = jnp.dot(S0, Va, preferred_element_type=jnp.float32)
         m1 = jnp.dot(S1, Va, preferred_element_type=jnp.float32)
         m2 = jnp.dot(S2, Va, preferred_element_type=jnp.float32)
@@ -294,26 +319,27 @@ def _g2p_kernel(starts_ref, counts_ref, origins_ref, nbr8_ref,
         by = by + wa * m1
         bz = bz + wa * m2
 
-    rel0 = origin[None, :] * (4.0 * dx) - x
     Dinv = 4.0 / (dx * dx)
-    B = vsum[:, :, None] * rel0[:, None, :] + \
-        dx * jnp.stack([bx, by, bz], axis=-1)
-    C_new = Dinv * B
-    # F_new = (I + dt C) F, unrolled 3x3
-    G = dt * C_new
-    G = G + jnp.eye(3, dtype=G.dtype)[None]
-    rows = []
+    bb = [bx, by, bz]   # bb[j][:, i] pairs with axis j
+    # C_ij = Dinv * (vsum_i * rel0_j + dx * bb[j]_i)
+    Ccol = [[Dinv * (vsum[:, i] * rel0[j] + dx * bb[j][:, i])
+             for j in range(3)] for i in range(3)]
+    # F_new = (I + dt C) F in column form
+    Fn = [[sum((float(i == k) + dt * Ccol[i][k]) * Fcol[k][j]
+               for k in range(3)) for j in range(3)] for i in range(3)]
+    okf = ok.astype(x.dtype)
+    cols = []
+    for d in range(3):
+        cols.append((x[:, d] + dt * vsum[:, d]) * okf)   # x_new
+    for d in range(3):
+        cols.append(vsum[:, d] * okf)                    # v_new
     for i in range(3):
-        rows.append(jnp.stack(
-            [G[:, i, 0] * F[:, 0, j] + G[:, i, 1] * F[:, 1, j] +
-             G[:, i, 2] * F[:, 2, j] for j in range(3)], axis=-1))
-    F_new = jnp.stack(rows, axis=-2)
-    x_new = x + dt * vsum
-    okf = ok.astype(x.dtype)[:, None]
-    out = jnp.concatenate([
-        x_new * okf, vsum * okf, F_new.reshape(K, 9) * okf,
-        C_new.reshape(K, 9) * okf], axis=1)
-    out_ref[0] = out
+        for j in range(3):
+            cols.append(Fn[i][j] * okf)                  # F_new
+    for i in range(3):
+        for j in range(3):
+            cols.append(Ccol[i][j] * okf)                # C_new
+    out_ref[0] = jnp.stack(cols, axis=1)
 
 
 def g2p_bins(sorted_packed: jax.Array, gv: jax.Array, starts: jax.Array,
@@ -328,10 +354,13 @@ def g2p_bins(sorted_packed: jax.Array, gv: jax.Array, starts: jax.Array,
     W = sorted_packed.shape[1]
     params = jnp.stack([jnp.asarray(dt, jnp.float32),
                         jnp.asarray(dx, jnp.float32)])
+    pull = jnp.asarray(np.stack(_PULL))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(nbins,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+        in_specs=[pl.BlockSpec((8, CUBE, 64), lambda b, *_: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, K, 24), lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -344,4 +373,4 @@ def g2p_bins(sorted_packed: jax.Array, gv: jax.Array, starts: jax.Array,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nbins, K, 24), jnp.float32),
         interpret=interpret,
-    )(starts, counts, origins, nbr8, params, sorted_packed, gv)
+    )(starts, counts, origins, nbr8, params, pull, sorted_packed, gv)
