@@ -1,0 +1,1 @@
+"""Pallas TPU kernels (hand-written hot ops)."""
