@@ -1,26 +1,26 @@
 """Pallas TPU kernels for the MPM transfer pipeline.
 
 Why these exist: XLA row-gathers measured ~6 GB/s effective on v5e (100x
-below HBM bandwidth), and the binned MPM step is gather-bound (bin pickup,
-halo slab pickup, per-bin cube selection).  These kernels replace every
-remaining gather with **explicit DMA of contiguous slices**:
+below HBM bandwidth), and the binned MPM step is gather-bound.  Design
+points (validated against Mosaic's layout rules on v5e):
 
-* particles are permuted to block-sorted order once (one XLA gather);
-  after that every bin's particles are a contiguous ``[start, start+K)``
-  slice of HBM — `p2g_bins` DMAs the slice to VMEM, builds separable
-  B-spline stencils, and contracts them on the MXU into the bin's 6^3
-  halo-padded node cube;
-* `halo_merge` assembles block node values: each block program DMAs its own
-  cube + the 7 negative-neighbor cubes (indices scalar-prefetched) and
-  combines the overlapping slabs with **static 0/1 selection matmuls**
-  (Mosaic has no cheap >2-D vector shuffles; a [64,216] one-hot dot is
-  exactly the slab permutation);
-* `g2p_bins` DMAs the 8 relevant block velocity rows, assembles the 6^3
-  halo'd cube with the transposed selection matrices, and contracts back to
-  per-particle velocity/affine updates.
+* particles are scattered **once** into a bin-padded layout
+  ``[nbins, K, W]`` (one indexed op per step, replacing the per-stage
+  gathers); the kernels then consume bins as *pipelined* BlockSpec blocks —
+  the Pallas pipeline handles small minor dims (28/24) that manual DMA
+  cannot (DMA slices need 128-lane-aligned minors);
+* P2G contracts separable B-spline stencils against particle payloads on
+  the MXU into **channel-major** 6^3 cubes ``[8, 256]`` (rows = mass +
+  momentum, lanes = 216 nodes padded to 256 — the manual-DMA-legal shape);
+* `halo_merge` DMAs each block's own + 7 spiller cubes and combines slabs
+  with static 0/1 selection matmuls (a [64, 216] one-hot dot *is* the slab
+  shuffle; Mosaic has no cheap >2-D vector permutes);
+* `g2p_bins` DMAs the 8 relevant block velocity rows ``[8, 128]`` and
+  contracts back to per-particle velocity/affine updates, written as
+  pipelined ``[K, 24]`` blocks.
 
-Mosaic constraints honored throughout: all vectors are rank<=2, small-matrix
-state is carried in column form (no [K,3,3] shape casts), iota is 2-D.
+Dead lanes carry zero mass and zero positions — they contribute nothing and
+produce no NaNs, so no per-bin count bookkeeping is needed in-kernel.
 
 Reference counterpart: the fused single-kernel transfers of the reference's
 GPU lineage (simulation/transfer/P2G.hpp, G2P2G.hpp) — redesigned around
@@ -38,12 +38,16 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["p2g_bins", "halo_merge", "g2p_bins"]
+__all__ = ["p2g_bins", "halo_merge", "g2p_bins", "PACK_W", "OUT_W"]
 
 K = 128          # bin size (particles)
 SIDE = 6         # 4-cell block + 2 halo
 CUBE = SIDE ** 3
-C4 = 4           # mass + momentum
+LCUBE = 256      # lane-padded cube
+C4 = 4           # mass + momentum channels
+ROWS = 8         # sublane-padded channel rows
+PACK_W = 28      # x(3) v(3) A(9) m(1) F(9) pad(3)
+OUT_W = 24       # x(3) v(3) F(9) C(9)
 
 _DIRS = [d for d in
          [(i, j, k) for i in (0, 1) for j in (0, 1) for k in (0, 1)]
@@ -51,8 +55,8 @@ _DIRS = [d for d in
 
 
 def _spill_matrix(d) -> np.ndarray:
-    """[64, 216] one-hot: target block node <- spiller (-d neighbor) cube."""
-    M = np.zeros((64, CUBE), np.float32)
+    """[64, LCUBE] one-hot: block node <- spiller (-d neighbor) cube."""
+    M = np.zeros((64, LCUBE), np.float32)
     for i in range(4):
         for j in range(4):
             for k in range(4):
@@ -63,8 +67,9 @@ def _spill_matrix(d) -> np.ndarray:
 
 
 def _pull_matrix(d) -> np.ndarray:
-    """[216, 64] one-hot: halo cube node <- +d neighbor block node."""
-    P = np.zeros((CUBE, 64), np.float32)
+    """[CUBE, 128] one-hot: halo cube node <- +d neighbor block node
+    (block nodes live in the first 64 lanes)."""
+    P = np.zeros((CUBE, 128), np.float32)
     for a in range(SIDE):
         for b in range(SIDE):
             for c in range(SIDE):
@@ -76,8 +81,8 @@ def _pull_matrix(d) -> np.ndarray:
     return P
 
 
-_SPILL = [_spill_matrix(d) for d in _DIRS]
-_PULL = [_pull_matrix(d) for d in [(0, 0, 0)] + _DIRS]
+_SPILL_ALL = np.stack([_spill_matrix(d) for d in [(0, 0, 0)] + _DIRS])
+_PULL_ALL = np.stack([_pull_matrix(d) for d in [(0, 0, 0)] + _DIRS])
 
 
 def _axis_weights(xloc_d):
@@ -101,17 +106,15 @@ def _axis_stencil(off_d, taps, dtype):
 
 
 def _outer36(wy, wz):
-    """[K, 36] = per-particle outer product of two [K, 6] stencils
-    (j-major), built without 3-D intermediates."""
+    """[K, 36] outer product of two [K, 6] stencils (j-major), 2-D only."""
     return jnp.concatenate([wy[:, j:j + 1] * wz for j in range(SIDE)],
                            axis=1)
 
 
-def _full_stencils(x, orig, dx, ok):
-    """Shared stencil construction: returns wx, wx_i, S0, S1, S2, rel0."""
+def _full_stencils(x, orig, dx, live):
+    """Shared stencil construction: wx, wx_i, S0, S1, S2, rel0 (lists)."""
     dtype = x.dtype
-    offs = []
-    tapss = []
+    offs, tapss = [], []
     for d in range(3):
         xloc_d = x[:, d] / dx - orig[d] * 4.0
         base, taps = _axis_weights(xloc_d)
@@ -120,8 +123,8 @@ def _full_stencils(x, orig, dx, ok):
     wx = _axis_stencil(offs[0], tapss[0], dtype)
     wy = _axis_stencil(offs[1], tapss[1], dtype)
     wz = _axis_stencil(offs[2], tapss[2], dtype)
-    if ok is not None:
-        wx = wx * ok.astype(dtype)[:, None]
+    if live is not None:
+        wx = wx * live[:, None]
     idxf = jax.lax.broadcasted_iota(jnp.int32, (K, SIDE), 1).astype(dtype)
     wx_i = wx * idxf
     S0 = _outer36(wy, wz)
@@ -135,30 +138,20 @@ def _full_stencils(x, orig, dx, ok):
 # P2G
 # ---------------------------------------------------------------------------
 
-def _p2g_kernel(starts_ref, counts_ref, origins_ref, params_ref,  # scalar
-                sorted_ref,                             # HBM [N, W]
-                out_ref,                                # VMEM [1, CUBE, C4]
-                scratch, sem):
+def _p2g_kernel(origins_ref, params_ref,                # scalar prefetch
+                bin_ref,                                # VMEM [1, K, PACK_W]
+                out_ref):                               # VMEM [1, ROWS, LCUBE]
     b = pl.program_id(0)
-    start = starts_ref[b]
-    count = counts_ref[b]
     dx = params_ref[1]
-
-    cp = pltpu.make_async_copy(
-        sorted_ref.at[pl.ds(start, K), :], scratch, sem)
-    cp.start()
-    cp.wait()
-
-    data = scratch[...]                                 # [K, W]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)[:, 0]
-    ok = lane < count
+    data = bin_ref[0]                                   # [K, PACK_W]
     x = data[:, 0:3]
     v = data[:, 3:6]
     Acol = [[data[:, 6 + 3 * i + j] for j in range(3)] for i in range(3)]
-    m = jnp.where(ok, data[:, 15], 0.0)
+    m = data[:, 15]
+    live = (m > 0.0).astype(x.dtype)
     orig = [origins_ref[b, d].astype(x.dtype) for d in range(3)]
 
-    wx, wx_i, S0, S1, S2, rel0 = _full_stencils(x, orig, dx, ok)
+    wx, wx_i, S0, S1, S2, rel0 = _full_stencils(x, orig, dx, live)
 
     u0 = [m * v[:, i] +
           Acol[i][0] * rel0[0] + Acol[i][1] * rel0[1] + Acol[i][2] * rel0[2]
@@ -168,43 +161,44 @@ def _p2g_kernel(starts_ref, counts_ref, origins_ref, params_ref,  # scalar
     QA = [jnp.stack([zeros, dx * Acol[0][d], dx * Acol[1][d],
                      dx * Acol[2][d]], axis=1) for d in range(3)]
 
+    out_ref[0] = jnp.zeros((ROWS, LCUBE), jnp.float32)  # pad rows/lanes
+    cm = (((0,), (0,)), ((), ()))                       # contract over K
     for a in range(SIDE):
         qa = wx[:, a:a + 1] * Q0 + wx_i[:, a:a + 1] * QA[0]
-        cube_a = jnp.dot(S0.T, qa, preferred_element_type=jnp.float32)
-        cube_a += jnp.dot(S1.T, wx[:, a:a + 1] * QA[1],
-                          preferred_element_type=jnp.float32)
-        cube_a += jnp.dot(S2.T, wx[:, a:a + 1] * QA[2],
-                          preferred_element_type=jnp.float32)
-        out_ref[0, a * 36:(a + 1) * 36, :] = cube_a
+        # [C4, 36] = qa^T * S: channel-major directly, no transposes
+        plane = jax.lax.dot_general(qa, S0, cm,
+                                    preferred_element_type=jnp.float32)
+        plane += jax.lax.dot_general(wx[:, a:a + 1] * QA[1], S1, cm,
+                                     preferred_element_type=jnp.float32)
+        plane += jax.lax.dot_general(wx[:, a:a + 1] * QA[2], S2, cm,
+                                     preferred_element_type=jnp.float32)
+        out_ref[0, 0:C4, a * 36:(a + 1) * 36] = plane
 
 
-def p2g_bins(sorted_packed: jax.Array, starts: jax.Array, counts: jax.Array,
-             origins: jax.Array, dt, dx, *, nbins: int,
+def p2g_bins(binned: jax.Array, origins: jax.Array, dt, dx, *,
              interpret: bool = False) -> jax.Array:
-    """Per-bin P2G cubes ``[nbins, 216, 4]`` from block-sorted particles.
+    """Per-bin channel-major P2G cubes ``[nbins, ROWS, LCUBE]``.
 
-    ``sorted_packed``: [N, W>=16] with cols x(3) | v(3) | A(9) | m(1),
-    block-sorted, padded so every ``starts[i] + K`` stays in range.
-    ``dt``/``dx`` may be traced (they ride the scalar-prefetch channel).
+    ``binned``: [nbins, K, PACK_W] bin-padded particle pack (dead lanes all
+    -zero); ``origins``: [nbins, 3] block cell coords.
     """
-    W = sorted_packed.shape[1]
+    nbins = binned.shape[0]
     params = jnp.stack([jnp.asarray(dt, jnp.float32),
                         jnp.asarray(dx, jnp.float32)])
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=2,
         grid=(nbins,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((1, CUBE, C4), lambda b, *_: (b, 0, 0),
+        in_specs=[pl.BlockSpec((1, K, PACK_W), lambda b, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, ROWS, LCUBE), lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((K, W), jnp.float32),
-                        pltpu.SemaphoreType.DMA],
     )
     return pl.pallas_call(
         _p2g_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nbins, CUBE, C4), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nbins, ROWS, LCUBE), jnp.float32),
         interpret=interpret,
-    )(starts, counts, origins, params, sorted_packed)
+    )(origins, params, binned)
 
 
 # ---------------------------------------------------------------------------
@@ -212,15 +206,18 @@ def p2g_bins(sorted_packed: jax.Array, starts: jax.Array, counts: jax.Array,
 # ---------------------------------------------------------------------------
 
 def _halo_kernel(nbr_ref,                 # scalar prefetch [nb, 7]
-                 sel_ref,                 # VMEM [8, 64, CUBE] selection mats
-                 cubes_ref,               # HBM [nb, CUBE, C4]
-                 out_ref,                 # VMEM [1, 64, C4]
+                 sel_ref,                 # VMEM [8, 64, LCUBE]
+                 cubes_ref,               # HBM [nb, ROWS, LCUBE]
+                 out_ref,                 # VMEM [1, ROWS, 128]
                  own, nbrs, sem):
     b = pl.program_id(0)
     cp = pltpu.make_async_copy(cubes_ref.at[b], own, sem)
     cp.start()
     cp.wait()
-    acc = jnp.dot(sel_ref[0], own[...], preferred_element_type=jnp.float32)
+    cl = (((1,), (1,)), ((), ()))         # contract over cube lanes
+    # [C4, 64] = cube[C4, LCUBE] x sel[64, LCUBE]^T
+    acc = jax.lax.dot_general(own[0:C4], sel_ref[0], cl,
+                              preferred_element_type=jnp.float32)
     for d_i in range(len(_DIRS)):
         nb_idx = nbr_ref[b, d_i]
         valid = (nb_idx >= 0).astype(jnp.float32)
@@ -228,36 +225,37 @@ def _halo_kernel(nbr_ref,                 # scalar prefetch [nb, 7]
         cp = pltpu.make_async_copy(cubes_ref.at[safe], nbrs, sem)
         cp.start()
         cp.wait()
-        acc = acc + valid * jnp.dot(sel_ref[d_i + 1], nbrs[...],
-                                    preferred_element_type=jnp.float32)
-    out_ref[0] = acc
+        acc = acc + valid * jax.lax.dot_general(
+            nbrs[0:C4], sel_ref[d_i + 1], cl,
+            preferred_element_type=jnp.float32)
+    out_ref[0] = jnp.pad(acc, ((0, ROWS - C4), (0, 128 - 64)))
 
 
 def halo_merge(block_cubes: jax.Array, nbr_idx: jax.Array,
                interpret: bool = False) -> jax.Array:
-    """Merge 6^3 halo cubes into 4^3 block node values ``[nb, 64, C4]``.
+    """Merge channel-major halo cubes into block node values
+    ``[nb, ROWS, 128]`` (rows 0..3 = mass+momentum, lanes 0..63 = nodes).
 
-    ``nbr_idx[b, i]`` = slot of the block at ``coord(b) - DIRS[i]`` (the
-    spiller), -1 when absent.
+    ``nbr_idx[b, i]`` = slot of the block at ``coord(b) - DIRS[i]``.
     """
     nb = block_cubes.shape[0]
-    sel = jnp.asarray(np.stack([_spill_matrix((0, 0, 0))] + _SPILL))
+    sel = jnp.asarray(_SPILL_ALL)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
-        in_specs=[pl.BlockSpec((8, 64, CUBE), lambda b, *_: (0, 0, 0),
+        in_specs=[pl.BlockSpec((8, 64, LCUBE), lambda b, *_: (0, 0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((1, 64, C4), lambda b, *_: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, ROWS, 128), lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((CUBE, C4), jnp.float32),
-                        pltpu.VMEM((CUBE, C4), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((ROWS, LCUBE), jnp.float32),
+                        pltpu.VMEM((ROWS, LCUBE), jnp.float32),
                         pltpu.SemaphoreType.DMA],
     )
     return pl.pallas_call(
         _halo_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb, 64, C4), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb, ROWS, 128), jnp.float32),
         interpret=interpret,
     )(nbr_idx, sel, block_cubes)
 
@@ -266,24 +264,18 @@ def halo_merge(block_cubes: jax.Array, nbr_idx: jax.Array,
 # G2P
 # ---------------------------------------------------------------------------
 
-def _g2p_kernel(starts_ref, counts_ref, origins_ref, nbr8_ref,
-                params_ref,               # scalar prefetch
-                pull_ref,                 # VMEM [8, CUBE, 64] pull mats
-                sorted_ref,               # HBM [N, W]: x(3)|...|F(9) @ 16
-                gv_ref,                   # HBM [nb, 64, 3]
-                out_ref,                  # VMEM [1, K, 24]
-                pscratch, vscratch, sem):
+def _g2p_kernel(origins_ref, nbr8_ref, params_ref,      # scalar prefetch
+                pull_ref,                 # VMEM [8, CUBE, 128]
+                bin_ref,                  # VMEM [1, K, PACK_W]
+                gv_ref,                   # HBM [nb, ROWS, 128] rows0..2 = v
+                out_ref,                  # VMEM [1, K, OUT_W]
+                vscratch, sem):
     b = pl.program_id(0)
-    start = starts_ref[b]
-    count = counts_ref[b]
     dt = params_ref[0]
     dx = params_ref[1]
-    cp = pltpu.make_async_copy(sorted_ref.at[pl.ds(start, K), :],
-                               pscratch, sem)
-    cp.start()
-    cp.wait()
-    # assemble halo'd node velocities Vflat [216, 3] via pull matmuls
-    Vflat = jnp.zeros((CUBE, 3), jnp.float32)
+    # assemble halo'd node velocities Vc [3, CUBE] via pull matmuls
+    cl = (((1,), (1,)), ((), ()))         # contract over the 128 node lanes
+    Vc = jnp.zeros((3, CUBE), jnp.float32)
     for i in range(8):
         nb_idx = nbr8_ref[b, i]
         valid = (nb_idx >= 0).astype(jnp.float32)
@@ -291,27 +283,32 @@ def _g2p_kernel(starts_ref, counts_ref, origins_ref, nbr8_ref,
         cp = pltpu.make_async_copy(gv_ref.at[safe], vscratch, sem)
         cp.start()
         cp.wait()
-        Vflat = Vflat + valid * jnp.dot(pull_ref[i], vscratch[...],
-                                        preferred_element_type=jnp.float32)
+        Vc = Vc + valid * jax.lax.dot_general(
+            vscratch[0:3], pull_ref[i], cl,
+            preferred_element_type=jnp.float32)
 
-    data = pscratch[...]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)[:, 0]
-    ok = lane < count
+    data = bin_ref[0]
     x = data[:, 0:3]
     Fcol = [[data[:, 16 + 3 * i + j] for j in range(3)] for i in range(3)]
+    m = data[:, 15]
+    live = (m > 0.0).astype(x.dtype)
     orig = [origins_ref[b, d].astype(x.dtype) for d in range(3)]
 
     wx, wx_i, S0, S1, S2, rel0 = _full_stencils(x, orig, dx, None)
 
+    cv = (((1,), (1,)), ((), ()))         # [K,36] x [3,36] -> [K,3]
     vsum = jnp.zeros((K, 3), jnp.float32)
     bx = jnp.zeros((K, 3), jnp.float32)
     by = jnp.zeros((K, 3), jnp.float32)
     bz = jnp.zeros((K, 3), jnp.float32)
     for a in range(SIDE):
-        Va = Vflat[a * 36:(a + 1) * 36, :]
-        m0 = jnp.dot(S0, Va, preferred_element_type=jnp.float32)
-        m1 = jnp.dot(S1, Va, preferred_element_type=jnp.float32)
-        m2 = jnp.dot(S2, Va, preferred_element_type=jnp.float32)
+        Va = Vc[:, a * 36:(a + 1) * 36]                  # [3, 36]
+        m0 = jax.lax.dot_general(S0, Va, cv,
+                                 preferred_element_type=jnp.float32)
+        m1 = jax.lax.dot_general(S1, Va, cv,
+                                 preferred_element_type=jnp.float32)
+        m2 = jax.lax.dot_general(S2, Va, cv,
+                                 preferred_element_type=jnp.float32)
         wa = wx[:, a:a + 1]
         wai = wx_i[:, a:a + 1]
         vsum = vsum + wa * m0
@@ -320,57 +317,54 @@ def _g2p_kernel(starts_ref, counts_ref, origins_ref, nbr8_ref,
         bz = bz + wa * m2
 
     Dinv = 4.0 / (dx * dx)
-    bb = [bx, by, bz]   # bb[j][:, i] pairs with axis j
-    # C_ij = Dinv * (vsum_i * rel0_j + dx * bb[j]_i)
+    bb = [bx, by, bz]
     Ccol = [[Dinv * (vsum[:, i] * rel0[j] + dx * bb[j][:, i])
              for j in range(3)] for i in range(3)]
-    # F_new = (I + dt C) F in column form
     Fn = [[sum((float(i == k) + dt * Ccol[i][k]) * Fcol[k][j]
                for k in range(3)) for j in range(3)] for i in range(3)]
-    okf = ok.astype(x.dtype)
     cols = []
     for d in range(3):
-        cols.append((x[:, d] + dt * vsum[:, d]) * okf)   # x_new
+        cols.append((x[:, d] + dt * vsum[:, d]) * live)
     for d in range(3):
-        cols.append(vsum[:, d] * okf)                    # v_new
+        cols.append(vsum[:, d] * live)
     for i in range(3):
         for j in range(3):
-            cols.append(Fn[i][j] * okf)                  # F_new
+            cols.append(Fn[i][j] * live)
     for i in range(3):
         for j in range(3):
-            cols.append(Ccol[i][j] * okf)                # C_new
+            cols.append(Ccol[i][j] * live)
     out_ref[0] = jnp.stack(cols, axis=1)
 
 
-def g2p_bins(sorted_packed: jax.Array, gv: jax.Array, starts: jax.Array,
-             counts: jax.Array, origins: jax.Array, nbr8: jax.Array,
-             dt, dx, *, nbins: int, interpret: bool = False) -> jax.Array:
-    """Per-bin G2P: returns ``[nbins, K, 24]`` = x(3)|v(3)|F(9)|C(9).
+def g2p_bins(binned: jax.Array, gv: jax.Array, origins: jax.Array,
+             nbr8: jax.Array, dt, dx, *, interpret: bool = False
+             ) -> jax.Array:
+    """Per-bin G2P: ``[nbins, K, OUT_W]`` = x|v|F|C (dead lanes zero).
 
-    ``sorted_packed``: the same [N, W] pack as P2G (cols 0:3 = x,
-    16:25 = F); ``gv``: [nb, 64, 3] grid velocities; ``nbr8[b]``: slots of
-    block b's (0,0,0)+7 positive neighbors, -1 when absent.
+    ``binned``: the P2G pack; ``gv``: [nb, ROWS, 128] node velocities
+    (rows 0..2); ``nbr8[b]``: block slots of bin b's own + 7 positive
+    neighbors, -1 when absent.
     """
-    W = sorted_packed.shape[1]
+    nbins = binned.shape[0]
     params = jnp.stack([jnp.asarray(dt, jnp.float32),
                         jnp.asarray(dx, jnp.float32)])
-    pull = jnp.asarray(np.stack(_PULL))
+    pull = jnp.asarray(_PULL_ALL)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=3,
         grid=(nbins,),
-        in_specs=[pl.BlockSpec((8, CUBE, 64), lambda b, *_: (0, 0, 0),
+        in_specs=[pl.BlockSpec((8, CUBE, 128), lambda b, *_: (0, 0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec((1, K, PACK_W), lambda b, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((1, K, 24), lambda b, *_: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, K, OUT_W), lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((K, W), jnp.float32),
-                        pltpu.VMEM((64, 3), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((ROWS, 128), jnp.float32),
                         pltpu.SemaphoreType.DMA],
     )
     return pl.pallas_call(
         _g2p_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nbins, K, 24), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nbins, K, OUT_W), jnp.float32),
         interpret=interpret,
-    )(starts, counts, origins, nbr8, params, pull, sorted_packed, gv)
+    )(origins, nbr8, params, pull, binned, gv)

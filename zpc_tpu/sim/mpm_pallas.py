@@ -1,10 +1,10 @@
 """Explicit MPM step with Pallas transfer kernels — the fastest path.
 
 Pipeline = the binned step (:mod:`zpc_tpu.sim.mpm_binned`) with the gather
--bound stages replaced by the DMA kernels in :mod:`zpc_tpu.ops.p2g_pallas`:
-exactly two XLA row-gathers remain (permute particles to block-sorted order,
-un-permute the results); everything between is contiguous DMA + MXU
-contractions + dense grid math.
+-bound stages replaced by the kernels in :mod:`zpc_tpu.ops.p2g_pallas`:
+exactly two XLA indexed ops remain per step (scatter particles into the
+bin-padded layout, gather the results back); everything between is
+pipelined VMEM blocks, contiguous DMA, and MXU contractions.
 
 Physics identical to ``explicit_step`` / ``explicit_step_binned`` up to
 summation order (shared oracle tests).
@@ -36,7 +36,6 @@ def explicit_step_pallas(sim: MPMSim, state: MPMState, dt,
     grid = state.grid
     dim, bs = grid.dim, grid.block_size
     assert dim == 3 and bs == 4 and BIN_SIZE == PK.K
-    ncell = bs ** 3
     nb = grid.block_capacity
     dx = grid.dx
     N = p.capacity
@@ -47,7 +46,7 @@ def explicit_step_pallas(sim: MPMSim, state: MPMState, dt,
     x0 = p["x"]
     origin_w = grid.transform.matrix[:dim, 3]
 
-    # ---- partition + bins (XLA; shared structure with mpm_binned) ----------
+    # ---- partition + bin structure (XLA; shared with mpm_binned) -----------
     inv_dx = 1.0 / dx
     xi0 = (x0 - origin_w) * inv_dx
     base0, _, _ = bspline_weights(xi0, sim.order)
@@ -74,38 +73,38 @@ def explicit_step_pallas(sim: MPMSim, state: MPMState, dt,
         (jnp.searchsorted(bin_start, bin_idx, side="right") - 1
          ).astype(jnp.int32), 0, nb - 1)
     bin_live = bin_idx < total_bins
-    local_bin = bin_idx - bin_start[bin_block]
-    lane_start = starts[bin_block] + local_bin * K
-    Npad = N + K
-    starts_abs = jnp.clip(jnp.where(bin_live, lane_start, N), 0, Npad - K)
-    counts_bin = jnp.where(bin_live,
-                           jnp.clip(ends[bin_block] - lane_start, 0, K), 0)
     origins = table.active_coords[bin_block]            # [nbins, 3]
 
-    # ---- pack + permute to sorted order (gather #1) ------------------------
+    # original particle -> flat bin-lane position (for scatter + gather)
+    inv_sorted = jnp.zeros((N,), jnp.int32).at[sid].set(pid)
+    blk_of_p = jnp.clip(sort_key, 0, nb - 1)
+    off_in_blk = inv_sorted - starts[blk_of_p]
+    bin_of_p = bin_start[blk_of_p] + off_in_blk // K
+    lane_of_p = off_in_blk % K
+    flat_of_p = bin_of_p * K + lane_of_p
+    valid_p = pmask0 & (sort_key < nb) & (flat_of_p < nbins * K)
+    flat_safe = jnp.clip(flat_of_p, 0, nbins * K - 1)
+
+    # ---- pack + scatter into bin-padded layout (indexed op #1) -------------
     Dinv = 4.0 / (dx * dx)
     m0 = jnp.where(pmask0, p["m"], 0.0)
     vol0 = jnp.where(pmask0, p["vol"], 0.0)
-
-    def _bin_params(obj):
-        return obj  # per-particle model leaves stay N-ordered here
-
     tau = sim.model.kirchhoff(p["F"])
     A = m0[:, None, None] * p["C"] - \
         (dt * Dinv * vol0)[:, None, None] * tau
+    has_Jp = sim.plasticity is not None and p.has_prop("Jp")
+    jp_col = (p["Jp"][:, None] if has_Jp
+              else jnp.zeros((N, 1), x0.dtype))
     packed = jnp.concatenate([
         x0, p["v"], A.reshape(N, 9), m0[:, None], p["F"].reshape(N, 9),
-        jnp.zeros((N, 3), x0.dtype)], axis=1)           # [N, 28]
-    sid_pad = jnp.concatenate([sid, jnp.zeros((K,), jnp.int32)])
-    sorted_packed = packed[sid_pad]                     # [N+K, 28]
-    # poison the pad region so dead lanes contribute nothing even if read
-    pad_mask = jnp.arange(Npad) < jnp.minimum(
-        jnp.sum(pmask0.astype(jnp.int32)), N)
-    sorted_packed = jnp.where(pad_mask[:, None], sorted_packed, 0.0)
+        jp_col, jnp.zeros((N, 2), x0.dtype)], axis=1)   # [N, PACK_W=28]
+    dst = jnp.where(valid_p, flat_safe, nbins * K)
+    binned = jnp.zeros((nbins * K + 1, PK.PACK_W), jnp.float32
+                       ).at[dst].set(packed)[:-1].reshape(nbins, K,
+                                                          PK.PACK_W)
 
-    # ---- P2G kernel + bins->blocks + halo merge ----------------------------
-    cubes = PK.p2g_bins(sorted_packed, starts_abs, counts_bin, origins,
-                        dt, dx, nbins=nbins, interpret=interpret)
+    # ---- P2G kernel + bins->blocks segsum + halo merge ---------------------
+    cubes = PK.p2g_bins(binned, origins, dt, dx, interpret=interpret)
     seg = jnp.where(bin_live, bin_block, nb)
     block_cubes = jax.ops.segment_sum(cubes, seg, num_segments=nb + 1)[:nb]
 
@@ -115,10 +114,9 @@ def explicit_step_pallas(sim: MPMSim, state: MPMState, dt,
     nbr_spill = jax.vmap(
         lambda d: table.query(coords - d[None, :]), out_axes=1)(dirs)
     nbr_spill = jnp.where(table.mask[:, None], nbr_spill, -1)
-    acc = PK.halo_merge(block_cubes, nbr_spill, interpret=interpret)
-
-    gm = acc[..., 0]
-    gmv = acc[..., 1:]
+    node_vals = PK.halo_merge(block_cubes, nbr_spill, interpret=interpret)
+    gm = node_vals[:, 0, :64]                           # [nb, 64]
+    gmv = jnp.moveaxis(node_vals[:, 1:4, :64], 1, 2)    # [nb, 64, 3]
 
     # ---- grid update (dense XLA) -------------------------------------------
     has_mass = gm > 0.0
@@ -131,6 +129,9 @@ def explicit_step_pallas(sim: MPMSim, state: MPMState, dt,
     gv = resolve_boundaries(sim.colliders, node_x, gv)
     gv = jnp.where(has_mass[..., None], gv, 0.0)
     max_vel = jnp.sqrt(jnp.max(jnp.sum(gv * gv, -1)))
+    # channel-major node velocities for the G2P kernel
+    gvp = jnp.zeros((nb, PK.ROWS, 128), jnp.float32)
+    gvp = gvp.at[:, 0:3, 0:64].set(jnp.moveaxis(gv, 2, 1))
 
     # ---- G2P kernel ---------------------------------------------------------
     nbr_pull = jax.vmap(
@@ -138,34 +139,20 @@ def explicit_step_pallas(sim: MPMSim, state: MPMState, dt,
     own = jnp.arange(nb, dtype=jnp.int32)[:, None]
     nbr8_blocks = jnp.concatenate([own, nbr_pull], axis=1)  # [nb, 8]
     nbr8_blocks = jnp.where(table.mask[:, None], nbr8_blocks, -1)
-    nbr8 = nbr8_blocks[bin_block]                          # [nbins, 8]
-    res = PK.g2p_bins(sorted_packed, gv, starts_abs, counts_bin, origins,
-                      nbr8, dt, dx, nbins=nbins, interpret=interpret)
-    # res: [nbins, K, 24] = x|v|F|C
+    nbr8 = nbr8_blocks[bin_block]                           # [nbins, 8]
+    res = PK.g2p_bins(binned, gvp, origins, nbr8, dt, dx,
+                      interpret=interpret)                  # [nbins, K, 24]
 
-    # ---- plasticity (XLA elementwise on binned layout) ---------------------
-    upd_Jp = None
-    if sim.plasticity is not None and p.has_prop("Jp"):
+    # ---- plasticity (XLA elementwise on the binned layout) -----------------
+    if has_Jp:
         F_new = res[..., 6:15].reshape(nbins, K, 3, 3)
-        Jp_sorted = jnp.where(pmask0, p["Jp"], 0.0)[sid_pad]
-        lane = jnp.arange(K, dtype=jnp.int32)
-        spos = starts_abs[:, None] + lane[None, :]
-        Jp_b = Jp_sorted[jnp.clip(spos, 0, Npad - 1)]
+        Jp_b = binned[..., 25]
         F_proj, Jp_new = sim.plasticity.project(F_new, Jp_b)
         res = jnp.concatenate(
             [res[..., :6], F_proj.reshape(nbins, K, 9), res[..., 15:]], -1)
-        upd_Jp = Jp_new
 
-    # ---- un-permute (gather #2) --------------------------------------------
-    inv_sorted = jnp.zeros((N,), jnp.int32).at[sid].set(
-        jnp.arange(N, dtype=jnp.int32))
-    blk_of_p = jnp.clip(sort_key, 0, nb - 1)
-    off_in_blk = inv_sorted - starts[blk_of_p]
-    bin_of_p = bin_start[blk_of_p] + off_in_blk // K
-    lane_of_p = off_in_blk % K
-    flat_of_p = jnp.clip(bin_of_p * K + lane_of_p, 0, nbins * K - 1)
-    flat_res = res.reshape(nbins * K, res.shape[-1])[flat_of_p]
-
+    # ---- gather results back (indexed op #2) -------------------------------
+    flat_res = res.reshape(nbins * K, res.shape[-1])[flat_safe]
     mk1 = pmask0[:, None]
     channels = dict(
         x=jnp.where(mk1, flat_res[:, 0:3], x0),
@@ -174,8 +161,8 @@ def explicit_step_pallas(sim: MPMSim, state: MPMState, dt,
                     flat_res[:, 6:15].reshape(N, 3, 3), p["F"]),
         C=jnp.where(mk1[..., None],
                     flat_res[:, 15:24].reshape(N, 3, 3), p["C"]))
-    if upd_Jp is not None:
-        Jp_flat = upd_Jp.reshape(nbins * K)[flat_of_p]
+    if has_Jp:
+        Jp_flat = Jp_new.reshape(nbins * K)[flat_safe]
         channels["Jp"] = jnp.where(pmask0, Jp_flat, p["Jp"])
     particles = p.update(**channels)
     grid = grid.with_data(m=gm, v=gv)
