@@ -43,3 +43,20 @@ def test_snow_hardens_Jp():
     assert (np.abs(Jp - 1.0) > 1e-3).all()    # volume moved to plastic part
     s_min = np.linalg.svd(F, compute_uv=False).min()
     assert s_min > 0.97                       # elastic part clamped
+
+
+def test_anisotropic_arap_piola_matches_fd(rng):
+    from zpc_tpu.models.constitutive import AnisotropicArap
+    m = AnisotropicArap(jnp.float32(1e3), jnp.float32(1e3),
+                        mu_fiber=jnp.float32(5e2))
+    F = np.eye(3) + 0.1 * rng.standard_normal((3, 3)).astype(np.float32)
+    P = np.asarray(m.first_piola(jnp.asarray(F[None], jnp.float32)))[0]
+    eps = 1e-3
+    for i in range(3):
+        for j in range(3):
+            Fp = F.copy(); Fp[i, j] += eps
+            Fm = F.copy(); Fm[i, j] -= eps
+            fd = (float(m.psi(jnp.asarray(Fp[None], jnp.float32))[0]) -
+                  float(m.psi(jnp.asarray(Fm[None], jnp.float32))[0])) / \
+                (2 * eps)
+            assert abs(P[i, j] - fd) < 0.15, (i, j, P[i, j], fd)

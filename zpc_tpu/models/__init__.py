@@ -1,6 +1,7 @@
 """Physics models (reference layer 7, SURVEY §2.7)."""
 
 from .constitutive import (ElasticModel, NeoHookean, FixedCorotated,
-                           StvkWithHencky, EquationOfState, lame_parameters)
+                           StvkWithHencky, EquationOfState,
+                           AnisotropicArap, lame_parameters, bcast_scalar)
 from .plasticity import SnowPlasticity, VonMisesCapped, DruckerPrager, NACC
 from .cfl import (sound_speed, timestep_linear_elasticity, timestep_velocity)

@@ -38,6 +38,7 @@ __all__ = [
     "FixedCorotated",
     "StvkWithHencky",
     "EquationOfState",
+    "AnisotropicArap",
 ]
 
 
@@ -224,3 +225,45 @@ class EquationOfState(ElasticModel):
         J = _det(F)
         p = self.pressure(J)
         return (-p)[..., None, None] * _cof(F)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class AnisotropicArap(ElasticModel):
+    """Corotated ARAP energy + transversely isotropic fiber reinforcement
+    (constitutive_models/AnisotropicArap.hpp behavior):
+    psi = mu |F - R|^2 + mu_fiber (|F a| - 1)^2 for unit fiber direction a.
+
+    ``fiber`` may be one direction [3] or per-particle [..., 3].
+    """
+
+    fiber: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.asarray([1.0, 0.0, 0.0]))
+    mu_fiber: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.float32(0.0))
+
+    def _fa(self, F):
+        a = self.fiber
+        if a.ndim < F.ndim - 1:
+            a = jnp.broadcast_to(a, F.shape[:-2] + (3,))
+        return jnp.einsum("...ij,...j->...i", F, a), a
+
+    def psi(self, F):
+        U, s, V = _svd(F)
+        mu = bcast_scalar(self.mu, s[..., 0])
+        arap = mu * jnp.sum((s - 1.0) ** 2, -1)
+        Fa, _ = self._fa(F)
+        ell = jnp.linalg.norm(Fa, axis=-1)
+        muf = bcast_scalar(self.mu_fiber, ell)
+        return arap + muf * (ell - 1.0) ** 2
+
+    def first_piola(self, F):
+        U, s, V = _svd(F)
+        R = mm(U, jnp.swapaxes(V, -1, -2))
+        mu = bcast_scalar(self.mu, F)
+        P = 2.0 * mu * (F - R)
+        Fa, a = self._fa(F)
+        ell = jnp.maximum(jnp.linalg.norm(Fa, axis=-1, keepdims=True), 1e-12)
+        muf = bcast_scalar(self.mu_fiber, F)
+        dpsi = 2.0 * muf * (1.0 - 1.0 / ell)[..., None]
+        return P + dpsi * Fa[..., :, None] * a[..., None, :]
