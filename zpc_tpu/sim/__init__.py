@@ -1,3 +1,8 @@
 """Simulation pipelines (reference layer 8, SURVEY §2.8)."""
 
 from .mpm import MPMSim, MPMState, make_mpm_state, explicit_step
+from .mpm_binned import BinnedConfig, explicit_step_binned
+from .mpm_pallas import explicit_step_pallas
+from .implicit import implicit_step
+from .scene import Scene
+from .runner import simulate
