@@ -130,6 +130,20 @@ class SparseGrid:
             out = wexp * v if out is None else out + wexp * v
         return out
 
+    def sample_staggered(self, prop: str, x_world: jax.Array,
+                         default=0.0) -> jax.Array:
+        """MAC-grid sampling (SparseGrid.hpp:418-498 staggered paths): the
+        d-th component of ``prop`` lives on faces offset by -dx/2 along d;
+        each component is sampled with its own shifted trilinear stencil."""
+        comps = []
+        for d in range(self.dim):
+            shift = jnp.zeros((self.dim,), x_world.dtype).at[d].set(
+                0.5 * self.dx)
+            comp = self.sample(prop, x_world + shift, default)
+            comps.append(comp[..., d] if comp.ndim > x_world.ndim - 1
+                         else comp)
+        return jnp.stack(comps, axis=-1)
+
     def sample_gradient(self, prop: str, x_world: jax.Array) -> jax.Array:
         """Gradient of the trilinear field via autodiff (replaces the
         hand-derived gradient stencils in the reference)."""
