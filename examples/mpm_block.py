@@ -25,7 +25,7 @@ from zpc_tpu.sim.mpm import MPMSim, make_mpm_state, explicit_step
 from zpc_tpu.utils.profile import bench
 
 
-def build(n_particles: int, dx: float, block_capacity: int = 8192):
+def build(n_particles: int, dx: float, block_capacity: int = 4096):
     rng = np.random.default_rng(7)
     # cube of side L centered in a unit domain, dropped from height
     L = 0.25

@@ -132,3 +132,31 @@ class TestQueries:
             else:
                 assert abs(float(ts[qi]) - t.min()) < 1e-5
                 assert int(ids[qi]) == int(t.argmin())
+
+
+class TestBvttFront:
+    def test_rebuild_and_refresh(self, rng):
+        from zpc_tpu.containers.bvh import BvttFront
+        n, nq = 200, 40
+        lo, hi = _random_boxes(rng, n)
+        qlo, qhi = _random_boxes(rng, nq, size=0.08)
+        bvh = build_lbvh(jnp.asarray(lo), jnp.asarray(hi))
+        front = BvttFront.rebuild(bvh, jnp.asarray(qlo), jnp.asarray(qhi),
+                                  max_hits_per_query=64, capacity=4096)
+        cnt = int(front.count)
+        ref_pairs = set()
+        for qi in range(nq):
+            for pi in np.nonzero((lo <= qhi[qi]).all(1) &
+                                 (qlo[qi] <= hi).all(1))[0]:
+                ref_pairs.add((qi, int(pi)))
+        got = set(zip(np.asarray(front.qid)[:cnt].tolist(),
+                      np.asarray(front.pid)[:cnt].tolist()))
+        assert got == ref_pairs
+        # refresh against unchanged boxes: all pairs stay live
+        live = front.refresh(jnp.asarray(lo), jnp.asarray(hi),
+                             jnp.asarray(qlo), jnp.asarray(qhi))
+        assert int(jnp.sum(live)) == cnt
+        # move queries away: pairs die
+        live2 = front.refresh(jnp.asarray(lo), jnp.asarray(hi),
+                              jnp.asarray(qlo + 10), jnp.asarray(qhi + 10))
+        assert int(jnp.sum(live2)) == 0

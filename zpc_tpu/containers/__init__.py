@@ -8,5 +8,5 @@ from .dense_field import DenseField, dense_field
 from .index_buckets import (IndexBuckets, build_index_buckets,
                             neighbor_candidates)
 from .bvh import (LBvh, build_lbvh, query_overlaps, query_nearest,
-                  query_ray, aabb_overlap)
+                  query_ray, aabb_overlap, BvttFront)
 from .ordered_map import OrderedMap, ordered_map, RingBuffer, ring_buffer

@@ -36,7 +36,7 @@ import numpy as np
 from ..math.bits import morton3d, common_prefix_length
 
 __all__ = ["LBvh", "build_lbvh", "query_overlaps", "query_nearest",
-           "query_ray", "aabb_overlap"]
+           "query_ray", "aabb_overlap", "BvttFront"]
 
 
 def aabb_overlap(lo_a, hi_a, lo_b, hi_b):
@@ -342,3 +342,53 @@ def query_ray(bvh: LBvh, origins: jax.Array, dirs: jax.Array,
         return bid, bt
 
     return jax.vmap(one)(origins, dirs)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BvttFront:
+    """Broad-phase pair front (reference ``container/Bvtt.hpp``): a
+    retained set of candidate (query, primitive) pairs, rebuilt from BVH
+    overlap queries and re-validated cheaply between rebuilds.
+
+    TPU form: padded pair arrays + count.  ``refresh`` re-tests the cached
+    pairs against current boxes (pure gathers, no traversal); ``rebuild``
+    runs the full traversal.  This mirrors the reference's front idiom of
+    amortizing traversals across frames.
+    """
+
+    qid: jax.Array     # [cap] query index, -1 padding
+    pid: jax.Array     # [cap] primitive index
+    count: jax.Array
+
+    @property
+    def capacity(self) -> int:
+        return self.qid.shape[0]
+
+    @staticmethod
+    def rebuild(bvh: "LBvh", q_lo, q_hi, max_hits_per_query: int,
+                capacity: int) -> "BvttFront":
+        hits, cnt = query_overlaps(bvh, q_lo, q_hi, max_hits_per_query)
+        nq, mh = hits.shape
+        qid = jnp.broadcast_to(jnp.arange(nq, dtype=jnp.int32)[:, None],
+                               (nq, mh)).reshape(-1)
+        pid = hits.reshape(-1)
+        ok = pid >= 0
+        pos = jnp.cumsum(ok.astype(jnp.int32)) - 1
+        total = pos[-1] + 1
+        dst = jnp.where(ok, jnp.minimum(pos, capacity - 1), capacity)
+        qout = jnp.full((capacity + 1,), -1, jnp.int32).at[dst].set(
+            qid)[:capacity]
+        pout = jnp.full((capacity + 1,), -1, jnp.int32).at[dst].set(
+            pid)[:capacity]
+        return BvttFront(qout, pout,
+                         jnp.minimum(total, capacity).astype(jnp.int32))
+
+    def refresh(self, prim_lo, prim_hi, q_lo, q_hi) -> jax.Array:
+        """Mask of pairs still overlapping under updated boxes (the cheap
+        per-frame front validation)."""
+        qs = jnp.maximum(self.qid, 0)
+        ps = jnp.maximum(self.pid, 0)
+        live = (self.qid >= 0)
+        return live & aabb_overlap(prim_lo[ps], prim_hi[ps],
+                                   q_lo[qs], q_hi[qs])
