@@ -202,37 +202,43 @@ def explicit_step_binned(sim: MPMSim, state: MPMState, dt,
         out = out.at[:, a].set(cube_a)
     out = out.reshape(nbins, cube, C4)
 
-    # ---- 4. bins -> blocks, halo merge -------------------------------------
-    # one-hot selection matmul on the MXU replaces segment_sum (a 4096-row
-    # scatter-add measured ~25 ms on v5e; this is ~1 ms of matmul).
-    # HIGHEST precision keeps fp32-exact accumulation of the P2G values.
-    sel = ((bin_block[None, :] == jnp.arange(nb, dtype=jnp.int32)[:, None])
-           & bin_live[None, :]).astype(jnp.float32)
-    block_cube = jax.lax.dot_general(
-        sel, out.reshape(nbins, cube * C4),
+    # ---- 4. bins -> blocks + halo merge in ONE one-hot matmul --------------
+    # Each bin contributes to (up to) 8 blocks: its own (interior region of
+    # the 6^3 cube) and the 7 positive neighbors (spill slabs).  Static 0/1
+    # "spill" matrices [64, 216] turn each cube into its per-direction
+    # [64, C4] block contribution; a single concatenated one-hot selection
+    # matmul then accumulates all (direction, bin) contributions into block
+    # node values.  This replaces both the bins->blocks segment reduction
+    # and the 7 neighbor row-gathers (row gathers run ~6 GB/s on v5e;
+    # HIGHEST-precision one-hot matmuls are exact in fp32 and ride the MXU).
+    from ..ops.p2g_pallas import _SPILL_ALL, _PULL_ALL
+
+    dirs = [d for d in neighbor_offsets(3, 0, 1).tolist() if any(d)]
+    coords = table.active_coords                        # [nb,3]
+    dirs_j = jnp.asarray(dirs, jnp.int32)               # [7, 3]
+    nbr_pos = jax.vmap(
+        lambda d: table.query(coords + d[None, :]), out_axes=1)(dirs_j)
+    own_ids = jnp.arange(nb, dtype=jnp.int32)[:, None]
+    nbr8_blocks = jnp.concatenate([own_ids, nbr_pos], axis=1)  # [nb, 8]
+    nbr8_blocks = jnp.where(table.mask[:, None], nbr8_blocks, -1)
+
+    spill = jnp.asarray(_SPILL_ALL[:, :, :cube])        # [8, 64, 216]
+    spilled = jnp.einsum("dts,nsc->dntc", spill, out,
+                         preferred_element_type=jnp.float32)  # [8,B,64,C4]
+    tgt = nbr8_blocks[bin_block].T                      # [8, nbins]
+    tgt = jnp.where(bin_live[None, :], tgt, -1)
+    sel_cat = (tgt.reshape(-1)[None, :] ==
+               jnp.arange(nb, dtype=jnp.int32)[:, None]
+               ).astype(jnp.float32)                    # [nb, 8*nbins]
+    acc = jax.lax.dot_general(
+        sel_cat, spilled.reshape(8 * nbins, ncell * C4),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    ).reshape(nb, side, side, side, C4)
+    ).reshape(nb, ncell, C4)
 
-    # neighbor slots for the 7 negative-side spill directions
-    dirs = [d for d in neighbor_offsets(3, 0, 1).tolist() if any(d)]
-    coords = table.active_coords                        # [nb,3]
-    acc = block_cube[:, :bs, :bs, :bs, :]               # own region
-    for d in dirs:
-        nbr = table.query(coords - jnp.asarray(d, jnp.int32))  # spiller
-        nb_ok = (nbr >= 0) & table.mask
-        src = block_cube[jnp.maximum(nbr, 0)]
-        sl = tuple(slice(bs, side) if dd else slice(0, bs) for dd in d)
-        contrib = src[(slice(None),) + sl]
-        pad = [(0, 0)] + [(0, bs - (side - bs)) if dd else (0, 0)
-                          for dd in d] + [(0, 0)]
-        # place the slab at the low corner of the target region
-        contrib = jnp.pad(contrib, pad)
-        acc = acc + jnp.where(nb_ok[:, None, None, None, None], contrib, 0.0)
-
-    gm = acc[..., 0].reshape(nb, ncell)
-    gmv = acc[..., 1:].reshape(nb, ncell, 3)
+    gm = acc[..., 0]
+    gmv = acc[..., 1:]
 
     # ---- 5. grid update -----------------------------------------------------
     has_mass = gm > 0.0
@@ -246,27 +252,21 @@ def explicit_step_binned(sim: MPMSim, state: MPMState, dt,
     gv = jnp.where(has_mass[..., None], gv, 0.0)
     max_vel = jnp.sqrt(jnp.max(jnp.sum(gv * gv, -1)))
 
-    # ---- 6. halo'd velocity cubes, G2P --------------------------------------
-    gvb = gv.reshape(nb, bs, bs, bs, 3)
-    V = jnp.zeros((nb, side, side, side, 3), jnp.float32)
-    V = V.at[:, :bs, :bs, :bs, :].set(gvb)
-    for d in dirs:
-        nbr = table.query(coords + jnp.asarray(d, jnp.int32))  # source
-        nb_ok = (nbr >= 0) & table.mask
-        src = gvb[jnp.maximum(nbr, 0)]
-        take = tuple(slice(0, side - bs) if dd else slice(0, bs) for dd in d)
-        slab = src[(slice(None),) + take]
-        slab = jnp.where(nb_ok[:, None, None, None, None], slab, 0.0)
-        place = tuple(slice(bs, side) if dd else slice(0, bs) for dd in d)
-        V = V.at[(slice(None),) + place].set(slab)
-    # per-bin cube pickup as a transposed one-hot matmul (row gather of
-    # 4096 x 2.6KB measured ~10x slower than this MXU select)
-    Vbin = jax.lax.dot_general(
-        sel, V.reshape(nb, cube * 3),
+    # ---- 6. halo'd velocity cubes via the transposed selection matmul ------
+    # Vbin[j] needs the 6^3 node cube around bin j's block: nodes come from
+    # the block itself + its 7 positive neighbors.  The same concatenated
+    # one-hot (transposed) picks the 8 source blocks per bin; static "pull"
+    # matrices place their 64 nodes into the halo cube.  Zero gathers.
+    Vd = jax.lax.dot_general(
+        sel_cat, gv.reshape(nb, ncell * 3),
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    ).reshape(nbins, side, 36, 3)
+    ).reshape(8, nbins, ncell, 3)
+    pull = jnp.asarray(_PULL_ALL[:, :, :ncell])         # [8, 216, 64]
+    Vbin = jnp.einsum("dst,dnte->nse", pull, Vd,
+                      preferred_element_type=jnp.float32
+                      ).reshape(nbins, side, 36, 3)
 
     vsum = jnp.zeros((nbins, K, 3), jnp.float32)
     bx = jnp.zeros((nbins, K, 3), jnp.float32)   # sum (a*w) v
