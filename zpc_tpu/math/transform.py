@@ -150,12 +150,15 @@ class Transform:
         return Transform(jnp.eye(4, dtype=dtype))
 
     def apply(self, p):
-        """Points: rotate/scale + translate."""
-        return mm(p, self.matrix[:3, :3].T) + self.matrix[:3, 3]
+        """Points: rotate/scale + translate (dim inferred from p, so the
+        same 4x4 carrier serves 2-D grids)."""
+        d = p.shape[-1]
+        return mm(p, self.matrix[:d, :d].T) + self.matrix[:d, 3]
 
     def apply_vector(self, v):
         """Vectors: no translation."""
-        return mm(v, self.matrix[:3, :3].T)
+        d = v.shape[-1]
+        return mm(v, self.matrix[:d, :d].T)
 
     def inverse(self) -> "Transform":
         R = self.matrix[:3, :3]
@@ -170,7 +173,8 @@ class Transform:
 
 
 def translation(t) -> Transform:
-    M = jnp.eye(4).at[:3, 3].set(jnp.asarray(t, jnp.float32))
+    t = jnp.asarray(t, jnp.float32)
+    M = jnp.eye(4).at[:t.shape[0], 3].set(t)
     return Transform(M)
 
 

@@ -77,27 +77,27 @@ def make_mpm_state(x: jax.Array, *, dx: float, rho: float = 1e3,
                    capacity: Optional[int] = None,
                    with_Jp: bool = False, Jp0: float = 0.0) -> MPMState:
     """Build particle + grid state from positions (Scene-builder analog,
-    simulation/init/Scene.cpp:36-91)."""
-    n = x.shape[0]
+    simulation/init/Scene.cpp:36-91).  Dimension (2 or 3) follows x."""
+    n, dim = x.shape
     cap = capacity or n
-    vol0 = dx ** 3 / ppc
-    props = [prop("x", 3), prop("v", 3), prop("F", (3, 3)),
-             prop("C", (3, 3)), prop("m"), prop("vol")]
+    vol0 = dx ** dim / ppc
+    props = [prop("x", dim), prop("v", dim), prop("F", (dim, dim)),
+             prop("C", (dim, dim)), prop("m"), prop("vol")]
     if with_Jp:
         props.append(prop("Jp"))
     data = {
         "x": x,
-        "v": velocity if velocity is not None else jnp.zeros((n, 3)),
-        "F": jnp.broadcast_to(jnp.eye(3), (n, 3, 3)),
-        "C": jnp.zeros((n, 3, 3)),
+        "v": velocity if velocity is not None else jnp.zeros((n, dim)),
+        "F": jnp.broadcast_to(jnp.eye(dim), (n, dim, dim)),
+        "C": jnp.zeros((n, dim, dim)),
         "m": jnp.full((n,), rho * vol0),
         "vol": jnp.full((n,), vol0),
     }
     if with_Jp:
         data["Jp"] = jnp.full((n,), Jp0)
     particles = structured_field(props, cap, data=data, size=n)
-    grid = sparse_grid([prop("m"), prop("v", 3)], dx=dx,
-                       block_capacity=block_capacity)
+    grid = sparse_grid([prop("m"), prop("v", dim)], dx=dx,
+                       block_capacity=block_capacity, dim=dim)
     return MPMState(particles, grid, jnp.float32(0.0))
 
 
@@ -107,13 +107,15 @@ def _stencil(sim: MPMSim, grid: SparseGrid, x: jax.Array):
     Returns (cells [N,S^3,3], w3 [N,S^3], base [N,3], xi [N,3]).
     """
     S = stencil_size(sim.order)
+    dim = grid.dim
     xi = grid.world_to_index(x)                       # cell units
-    base, w, _ = bspline_weights(xi, sim.order)       # [N,3], [N,3,S]
-    offs = jnp.asarray(neighbor_offsets(3, 0, S - 1))  # [S^3,3] ij-order
+    base, w, _ = bspline_weights(xi, sim.order)       # [N,d], [N,d,S]
+    offs = jnp.asarray(neighbor_offsets(dim, 0, S - 1))  # [S^d,d] ij-order
     cells = base[:, None, :] + offs[None, :, :]
     # w3[p, o] = prod_d w[p, d, offs[o, d]]
-    w3 = (w[:, 0, :, None, None] * w[:, 1, None, :, None] *
-          w[:, 2, None, None, :]).reshape(x.shape[0], S ** 3)
+    w3 = jnp.ones((x.shape[0], offs.shape[0]), xi.dtype)
+    for d in range(dim):
+        w3 = w3 * w[:, d, :][:, offs[:, d]]
     return cells, w3, base, xi
 
 
@@ -152,10 +154,10 @@ def explicit_step(sim: MPMSim, state: MPMState, dt) -> MPMState:
     # scatter [N*S^3] lanes into flat grid cells (+1 trash slot)
     slot = grid.cell_slot(cells)                 # [N,S^3], -1 on miss
     slot = jnp.where(slot >= 0, slot, cap_cells)
-    payload = jnp.concatenate([mass_c[..., None], mom], -1)  # [N,S^3,4]
-    acc = jnp.zeros((cap_cells + 1, 4), payload.dtype)
+    payload = jnp.concatenate([mass_c[..., None], mom], -1)  # [N,S^d,1+d]
+    acc = jnp.zeros((cap_cells + 1, 1 + dim), payload.dtype)
     acc = acc.at[slot.reshape(-1)].add(
-        payload.reshape(-1, 4))[:cap_cells]
+        payload.reshape(-1, 1 + dim))[:cap_cells]
     gm = acc[:, 0]
     gmv = acc[:, 1:]
 
