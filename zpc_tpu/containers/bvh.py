@@ -121,7 +121,8 @@ def _karras_topology(codes: jax.Array):
     hi = jnp.maximum(i, j)
     left = jnp.where(lo == gamma, (n - 1) + gamma, gamma)
     right = jnp.where(hi == gamma + 1, (n - 1) + gamma + 1, gamma + 1)
-    return left.astype(jnp.int32), right.astype(jnp.int32)
+    return (left.astype(jnp.int32), right.astype(jnp.int32),
+            lo.astype(jnp.int32), hi.astype(jnp.int32))
 
 
 def build_lbvh(prim_lo: jax.Array, prim_hi: jax.Array,
@@ -158,7 +159,7 @@ def build_lbvh(prim_lo: jax.Array, prim_hi: jax.Array,
                     jnp.full((1,), -1, jnp.int32),
                     jnp.zeros((1,), jnp.int32), count)
 
-    left, right = _karras_topology(codes_s)
+    left, right, rlo, rhi = _karras_topology(codes_s)
     ninternal = n - 1
     total = 2 * n - 1
     # parent pointers
@@ -169,29 +170,42 @@ def build_lbvh(prim_lo: jax.Array, prim_hi: jax.Array,
     # leaf boxes in sorted order; invalid leaves inverted
     leaf_lo = jnp.where(valid[order][:, None], prim_lo[order], big)
     leaf_hi = jnp.where(valid[order][:, None], prim_hi[order], -big)
-    lo = jnp.concatenate([jnp.full((ninternal, dim), big), leaf_lo])
-    hi = jnp.concatenate([jnp.full((ninternal, dim), -big), leaf_hi])
 
-    # levelwise refit: each round, every internal node takes union of its
-    # children's current boxes, converging bottom-up in depth(tree) rounds.
-    # Radix-tree depth is bounded by the augmented key length (30-bit morton
-    # + index tie-break), not log2(n) — skewed geometry (points on a line)
-    # produces chains far deeper than log2(n).
-    rounds = min(n - 1, 34 + int(np.ceil(np.log2(n)))) + 1
+    # Internal boxes by range-min/max queries over the sorted leaf boxes:
+    # Karras gives every internal node its sorted-leaf range [rlo, rhi];
+    # a sparse table (log2(n) strided-min rounds, slice ops only — no
+    # gathers) answers all n-1 box unions with 2 gathers per node.  This
+    # replaces the depth-bound levelwise refit (tree depth is bounded by the
+    # augmented key length ~50, i.e. 50 gather rounds for skewed geometry).
+    levels = int(np.ceil(np.log2(n))) + 1
 
-    def refit_round(_, boxes):
-        lo_c, hi_c = boxes
-        l_lo = lo_c[left]
-        l_hi = hi_c[left]
-        r_lo = lo_c[right]
-        r_hi = hi_c[right]
-        new_lo = jnp.minimum(l_lo, r_lo)
-        new_hi = jnp.maximum(l_hi, r_hi)
-        lo_c = lo_c.at[:ninternal].set(new_lo)
-        hi_c = hi_c.at[:ninternal].set(new_hi)
-        return lo_c, hi_c
+    def sparse_table(base, combine, pad):
+        tabs = [base]
+        for k in range(1, levels):
+            h = 1 << (k - 1)
+            prev = tabs[-1]
+            shifted = jnp.concatenate(
+                [prev[h:], jnp.full((min(h, n),) + prev.shape[1:], pad,
+                                    prev.dtype)])[:n]
+            tabs.append(combine(prev, shifted))
+        return jnp.stack(tabs)              # [levels, n, dim]
 
-    lo, hi = jax.lax.fori_loop(0, rounds, refit_round, (lo, hi))
+    tmin = sparse_table(leaf_lo, jnp.minimum, big)
+    tmax = sparse_table(leaf_hi, jnp.maximum, -big)
+    length = (rhi - rlo + 1).astype(jnp.int32)
+    # k = floor(log2(length)) via clz
+    from ..math.bits import clz32
+
+    kk = 31 - clz32(length)
+    pow2 = (jnp.int32(1) << kk)
+    a = rlo
+    b = rhi - pow2 + 1
+    flat_min = tmin.reshape(levels * n, dim)
+    flat_max = tmax.reshape(levels * n, dim)
+    int_lo = jnp.minimum(flat_min[kk * n + a], flat_min[kk * n + b])
+    int_hi = jnp.maximum(flat_max[kk * n + a], flat_max[kk * n + b])
+    lo = jnp.concatenate([int_lo, leaf_lo])
+    hi = jnp.concatenate([int_hi, leaf_hi])
 
     # escape pointers: escape(root) = -1; left child -> its right sibling;
     # right child -> escape of the nearest left-child ancestor.  Resolved by
