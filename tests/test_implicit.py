@@ -57,3 +57,40 @@ class TestImplicit:
         p1 = (m[:, None] * np.asarray(im.particles["v"])).sum(0)
         expected = m.sum() * np.array([0.0, -9.8, 0.0]) * dt
         np.testing.assert_allclose(p1, expected, rtol=1e-3, atol=1e-8)
+
+
+class TestImplicitBinned:
+    def test_matches_scatter_implicit(self, setup):
+        from zpc_tpu.sim.mpm_binned import BinnedConfig
+        from zpc_tpu.sim.implicit_binned import implicit_step_binned
+        sim, st = setup
+        F0 = jnp.broadcast_to(jnp.diag(jnp.asarray([1.03, 0.97, 1.0])),
+                              (512, 3, 3))
+        st = type(st)(st.particles.update(F=F0), st.grid, st.max_vel)
+        dt = jnp.float32(5e-4)
+        ref = implicit_step(sim, st, dt, cg_iters=80, cg_tol=1e-6)
+        out, ov = implicit_step_binned(sim, st, dt,
+                                       BinnedConfig(bins_capacity=64),
+                                       cg_iters=80, cg_tol=1e-6)
+        assert not bool(ov)
+        np.testing.assert_allclose(np.asarray(out.particles["v"]),
+                                   np.asarray(ref.particles["v"]),
+                                   atol=5e-4)
+        np.testing.assert_allclose(np.asarray(out.particles["x"]),
+                                   np.asarray(ref.particles["x"]),
+                                   atol=1e-6)
+
+    def test_stable_large_dt(self, setup):
+        from zpc_tpu.sim.mpm_binned import BinnedConfig
+        from zpc_tpu.sim.implicit_binned import implicit_step_binned
+        sim, st = setup
+        F0 = jnp.broadcast_to(jnp.diag(jnp.asarray([1.1, 0.9, 1.0])),
+                              (512, 3, 3))
+        st = type(st)(st.particles.update(F=F0), st.grid, st.max_vel)
+        step = jax.jit(lambda s: implicit_step_binned(
+            sim, s, jnp.float32(5e-3), BinnedConfig(bins_capacity=64),
+            cg_iters=60)[0])
+        for _ in range(5):
+            st = step(st)
+        v = np.asarray(st.particles["v"])
+        assert np.isfinite(v).all() and np.abs(v).max() < 10.0

@@ -1,4 +1,4 @@
-"""Binned explicit MPM — the fast TPU transfer path.
+"""Binned MPM transfers — the fast XLA path, exposed as reusable machinery.
 
 Measured on v5e (256k particles): the baseline ``explicit_step``'s per-lane
 table queries (27N searchsorted gathers, ~800 ms) and 27N scatter-add
@@ -8,45 +8,42 @@ dense XLA ops:
 
 1. particles are stable-sorted by active-block slot and packed into
    fixed-size **bins** (``BIN_SIZE`` particles, each bin belongs to one
-   block; blocks own ceil(count/BIN_SIZE) bins) — the claymore particle-bin
-   layout, built here from a single 256k-key sort + searchsorted on the
-   (tiny) block table;
-2. P2G is per-bin **batched matmuls**: separable B-spline weights
-   wx,wy,wz ``[bins, K, 6]`` contract against particle payloads into the
-   block's 6^3 halo-padded node cube — accumulation rides the MXU, zero
-   atomics, zero scatters (the APIC momentum's node-position dependence is
-   decomposed into 4 separable terms);
-3. bin cubes merge into block cubes with a tiny segment-sum (bins per
-   block), then **halo merge**: each block pulls the overlapping slabs of
-   its 7 negative-side neighbors with static slices + one nb x 7 table
-   query;
-4. grid update is dense on ``[nb, 4^3]``;
-5. G2P gathers each bin's halo'd 6^3 velocity cube (row gathers) and
-   contracts back with the same weights; results are un-permuted to the
-   original particle order.
+   block) — built from one sort + searchsorted on the (tiny) block table;
+2. P2G/G2P are per-bin **batched matmuls**: separable B-spline stencils
+   ``[bins, K, 6]`` contract against particle payloads; the APIC node
+   -position dependence is decomposed into 4 separable terms;
+3. bins -> blocks **and** the inter-block halo merge happen in a single
+   concatenated one-hot selection matmul (HIGHEST precision = exact fp32)
+   — zero gathers in grid assembly; the transposed selection assembles the
+   per-bin halo velocity cubes for G2P the same way.
 
-Bin overflow (a block exceeding its bin allocation) is detected and
-reported via ``BinnedDiagnostics.overflow`` (the bht ``_buildSuccess``
-idiom) — callers grow ``bins_capacity`` and re-trace.
+The bin workspace (:func:`prepare_bins` -> :class:`BinWorkspace`) is
+separated from the physics so the **implicit** solver reuses it: stencils
+and selection matrices are built once per step and every CG iteration's
+operator apply is two einsum passes + two selection matmuls
+(:mod:`zpc_tpu.sim.implicit_binned`).
+
+Bin overflow is detected exactly (bht ``_buildSuccess`` idiom) — callers
+grow ``bins_capacity`` and re-trace.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..containers.block_table import build_block_table
 from ..geometry.collider import resolve_boundaries
-from ..geometry.sparse_grid import neighbor_offsets
+from ..geometry.sparse_grid import SparseGrid, neighbor_offsets
 from ..math.interpolation import bspline_weights
 from ..math.vecmat import mm
 from .mpm import MPMSim, MPMState
 
-__all__ = ["explicit_step_binned", "BinnedConfig"]
+__all__ = ["explicit_step_binned", "BinnedConfig", "BinWorkspace",
+           "prepare_bins", "BIN_SIZE"]
 
 BIN_SIZE = 128  # particles per bin: MXU-friendly contraction dim
 
@@ -58,36 +55,173 @@ class BinnedConfig:
 
 
 def _einsum_nk(S, Q):
-    """Batched contraction over bin particles: [B,K,M] x [B,K,C] -> [B,M,C]
-    (the MXU workhorse; fp32 accumulation)."""
+    """[B,K,M] x [B,K,C] -> [B,M,C] (MXU; fp32 accumulation)."""
     return jnp.einsum("bkm,bkc->bmc", S, Q,
                       preferred_element_type=jnp.float32)
 
 
-def explicit_step_binned(sim: MPMSim, state: MPMState, dt,
-                         cfg: BinnedConfig) -> Tuple[MPMState, jax.Array]:
-    """One explicit APIC step via the binned transfer path.
+_HI = jax.lax.Precision.HIGHEST
 
-    Returns (new_state, overflow_flag).  Physics identical to
-    :func:`zpc_tpu.sim.mpm.explicit_step` up to summation order.
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BinWorkspace:
+    """Per-step bin structure + stencils, shared by explicit/implicit paths.
+
+    Shapes: B = bins_capacity, K = BIN_SIZE, nb = block capacity.
     """
+
+    grid: SparseGrid            # activated, zeroed
+    overflow: jax.Array
+    lane_ok: jax.Array          # [B, K]
+    gsafe: jax.Array            # [B, K] particle ids (clamped)
+    flat_of_p: jax.Array        # [N] original -> flat bin lane
+    pmask0: jax.Array           # [N]
+    rel0: jax.Array             # [B, K, 3] block-origin-world - x_p
+    wx: jax.Array               # [B, K, 6]
+    wx_i: jax.Array
+    S0: jax.Array               # [B, K, 36]
+    S1: jax.Array
+    S2: jax.Array
+    sel_cat: jax.Array          # [nb, 8B] one-hot (bins+halo -> blocks)
+    xb: jax.Array               # gathered particle channels
+    vb: jax.Array
+    Fb: jax.Array
+    Cb: jax.Array
+    mban: jax.Array
+    volb: jax.Array
+
+    # -- derived sizes ---------------------------------------------------------
+    @property
+    def nbins(self) -> int:
+        return self.lane_ok.shape[0]
+
+    @property
+    def nb(self) -> int:
+        return self.grid.block_capacity
+
+    def bin_leaves(self, obj):
+        """Gather per-particle pytree leaves into the bin layout."""
+        if obj is None:
+            return None
+        N = self.pmask0.shape[0]
+
+        def g(a):
+            if not (hasattr(a, "ndim") and a.ndim >= 1 and a.shape[0] == N):
+                return a
+            out = a[self.gsafe]
+            extra = (1,) * (out.ndim - 2)
+            return jnp.where(self.lane_ok.reshape(
+                self.lane_ok.shape + extra), out, 0)
+
+        return jax.tree.map(g, obj)
+
+    # -- transfer primitives ----------------------------------------------------
+    def p2g(self, Q0, QA) -> jax.Array:
+        """Scatter separable payloads to grid nodes: ``[nb, 64, C]``.
+
+        node(a,b,c) += wx_a wy_b wz_c Q0 + dx-scaled index-weighted terms
+        QA[d] paired with the d-axis index stencil (the APIC decomposition).
+        """
+        side, C = 6, Q0.shape[-1]
+        nbins = self.nbins
+        out = jnp.zeros((nbins, side, 36, C), jnp.float32)
+        for a in range(side):
+            qa = self.wx[:, :, a:a + 1] * Q0 + \
+                self.wx_i[:, :, a:a + 1] * QA[0]
+            cube_a = _einsum_nk(self.S0, qa)
+            cube_a = cube_a + _einsum_nk(
+                self.S1, self.wx[:, :, a:a + 1] * QA[1])
+            cube_a = cube_a + _einsum_nk(
+                self.S2, self.wx[:, :, a:a + 1] * QA[2])
+            out = out.at[:, a].set(cube_a)
+        out = out.reshape(nbins, 216, C)
+        from ..ops.p2g_pallas import _SPILL_ALL
+
+        spill = jnp.asarray(_SPILL_ALL[:, :, :216])     # [8, 64, 216]
+        spilled = jnp.einsum("dts,nsc->dntc", spill, out,
+                             preferred_element_type=jnp.float32)
+        acc = jax.lax.dot_general(
+            self.sel_cat, spilled.reshape(8 * nbins, 64 * C),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI,
+        ).reshape(self.nb, 64, C)
+        return acc
+
+    def g2p(self, node_vals: jax.Array):
+        """Gather grid node values back to particles.
+
+        ``node_vals``: [nb, 64, C].  Returns (s0, s_idx) where
+        s0[B,K,C] = sum w * val and s_idx = [sx, sy, sz] index-weighted sums
+        (building blocks for velocity + affine/B reconstruction).
+        """
+        nb, _, C = node_vals.shape
+        nbins = self.nbins
+        Vd = jax.lax.dot_general(
+            self.sel_cat, node_vals.reshape(nb, 64 * C),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI,
+        ).reshape(8, nbins, 64, C)
+        from ..ops.p2g_pallas import _PULL_ALL
+
+        pull = jnp.asarray(_PULL_ALL[:, :, :64])        # [8, 216, 64]
+        Vbin = jnp.einsum("dst,dnte->nse", pull, Vd,
+                          preferred_element_type=jnp.float32
+                          ).reshape(nbins, 6, 36, C)
+        K = BIN_SIZE
+        s0 = jnp.zeros((nbins, K, C), jnp.float32)
+        sx = jnp.zeros((nbins, K, C), jnp.float32)
+        sy = jnp.zeros((nbins, K, C), jnp.float32)
+        sz = jnp.zeros((nbins, K, C), jnp.float32)
+        for a in range(6):
+            Va = Vbin[:, a]
+            m0 = jnp.einsum("bkm,bmc->bkc", self.S0, Va,
+                            preferred_element_type=jnp.float32)
+            m1 = jnp.einsum("bkm,bmc->bkc", self.S1, Va,
+                            preferred_element_type=jnp.float32)
+            m2 = jnp.einsum("bkm,bmc->bkc", self.S2, Va,
+                            preferred_element_type=jnp.float32)
+            wa = self.wx[:, :, a:a + 1]
+            wai = self.wx_i[:, :, a:a + 1]
+            s0 = s0 + wa * m0
+            sx = sx + wai * m0
+            sy = sy + wa * m1
+            sz = sz + wa * m2
+        return s0, [sx, sy, sz]
+
+    def node_positions(self) -> jax.Array:
+        """World positions of grid nodes ``[nb, 64, 3]``."""
+        g = self.grid
+        corners = jnp.asarray(neighbor_offsets(3, 0, 3))
+        cells = g.table.active_coords[:, None, :] * 4 + corners[None]
+        origin_w = g.transform.matrix[:3, 3]
+        return cells.astype(jnp.float32) * g.dx + origin_w
+
+    def unbin(self, binned: jax.Array, orig: jax.Array) -> jax.Array:
+        """[B,K,...] -> original particle order, padding preserved."""
+        K = BIN_SIZE
+        flatv = binned.reshape((self.nbins * K,) + binned.shape[2:])
+        out = flatv[self.flat_of_p]
+        extra = (1,) * (orig.ndim - 1)
+        return jnp.where(self.pmask0.reshape((-1,) + extra), out, orig)
+
+
+def prepare_bins(sim: MPMSim, state: MPMState, cfg: BinnedConfig
+                 ) -> BinWorkspace:
+    """Partition + bin construction + stencils (once per step)."""
     p = state.particles
     grid = state.grid
     dim, bs = grid.dim, grid.block_size
     assert dim == 3 and bs == 4, "binned path is specialized to 3-D, bs=4"
-    ncell = bs ** 3            # 64
-    side = bs + cfg.halo       # 6
-    cube = side ** 3           # 216
     nb = grid.block_capacity
     dx = grid.dx
     N = p.capacity
     nbins = cfg.bins_capacity
     K = BIN_SIZE
+    side = 6
 
     pmask0 = p.mask
     x0 = p["x"]
-
-    # ---- 1. partition + bin construction -----------------------------------
     inv_dx = 1.0 / dx
     origin_w = grid.transform.matrix[:dim, 3]
     xi0 = (x0 - origin_w) * inv_dx
@@ -100,40 +234,39 @@ def explicit_step_binned(sim: MPMSim, state: MPMState, dt,
     pid = jnp.arange(N, dtype=jnp.int32)
     skey, sid = jax.lax.sort((sort_key, pid), num_keys=1, is_stable=True)
 
-    # per-block ranges in the sorted order
     blk_ids = jnp.arange(nb, dtype=jnp.int32)
     starts = jnp.searchsorted(skey, blk_ids).astype(jnp.int32)
     ends = jnp.searchsorted(skey, blk_ids + 1).astype(jnp.int32)
     counts = ends - starts
     bins_per_block = (counts + K - 1) // K
-    bin_start = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                                 jnp.cumsum(bins_per_block)]).astype(jnp.int32)
+    bin_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32),
+         jnp.cumsum(bins_per_block)]).astype(jnp.int32)
     total_bins = bin_start[-1]
     overflow = total_bins > nbins
 
-    # block of each bin: searchsorted over bin_start
     bin_idx = jnp.arange(nbins, dtype=jnp.int32)
-    bin_block = (jnp.searchsorted(bin_start, bin_idx, side="right") - 1
-                 ).astype(jnp.int32)
-    bin_block = jnp.clip(bin_block, 0, nb - 1)
+    bin_block = jnp.clip(
+        (jnp.searchsorted(bin_start, bin_idx, side="right") - 1
+         ).astype(jnp.int32), 0, nb - 1)
     bin_live = bin_idx < total_bins
-    # sorted position of each (bin, slot) lane — pure gathers
     local_bin = bin_idx - bin_start[bin_block]
     lane = jnp.arange(K, dtype=jnp.int32)
     spos = (starts[bin_block] + local_bin * K)[:, None] + lane[None, :]
     lane_ok = bin_live[:, None] & (spos < ends[bin_block][:, None])
     spos_safe = jnp.clip(spos, 0, N - 1)
-    pids = jnp.where(lane_ok, sid[spos_safe], -1)      # [nbins, K]
+    pids = jnp.where(lane_ok, sid[spos_safe], -1)
     gsafe = jnp.maximum(pids, 0)
 
-    # ---- 2. gather per-bin particle data -----------------------------------
-    def gat(a):
-        out = a[gsafe]
-        extra = (1,) * (out.ndim - 2)
-        return jnp.where(lane_ok.reshape(lane_ok.shape + extra), out, 0)
+    # inverse mapping (original particle -> flat bin lane)
+    inv_sorted = jnp.zeros((N,), jnp.int32).at[sid].set(pid)
+    blk_of_p = jnp.clip(sort_key, 0, nb - 1)
+    off_in_blk = inv_sorted - starts[blk_of_p]
+    bin_of_p = bin_start[blk_of_p] + off_in_blk // K
+    lane_of_p = off_in_blk % K
+    flat_of_p = jnp.clip(bin_of_p * K + lane_of_p, 0, nbins * K - 1)
 
-    # one packed gather for the fixed channels (row gathers dominate over
-    # per-channel fixed costs: 6 gathers -> 1)
+    # packed particle gather (one indexed op)
     packed = jnp.concatenate(
         [x0, p["v"], p["F"].reshape(N, 9), p["C"].reshape(N, 9),
          p["m"][:, None], p["vol"][:, None]], axis=1)     # [N, 26]
@@ -143,192 +276,108 @@ def explicit_step_binned(sim: MPMSim, state: MPMState, dt,
     vb = pb[..., 3:6]
     Fb = pb[..., 6:15].reshape(nbins, K, 3, 3)
     Cb = pb[..., 15:24].reshape(nbins, K, 3, 3)
-    mb = pb[..., 24]
-    volb = pb[..., 25]
+    mban = jnp.where(lane_ok, pb[..., 24], 0.0)
+    volb = jnp.where(lane_ok, pb[..., 25], 0.0)
 
+    # stencils
     xib = (xb - origin_w) * inv_dx
-    baseb, wb, _ = bspline_weights(xib, sim.order)     # wb [B,K,3,S=3]
-    borigin = table.active_coords[bin_block] * bs      # [B,3] cell coords
-    off = baseb - borigin[:, None, :]                  # in [0, 3]
-    off = jnp.clip(off, 0, bs - 1)                     # safety on dead lanes
-
-    # separable stencils on the 6-wide halo cube: w*[B,K,6]
-    sidx = jnp.arange(side, dtype=jnp.int32)           # [6]
+    baseb, wb, _ = bspline_weights(xib, sim.order)
+    borigin = table.active_coords[bin_block] * bs
+    off = jnp.clip(baseb - borigin[:, None, :], 0, bs - 1)
+    sidx = jnp.arange(side, dtype=jnp.int32)
 
     def stencil_axis(d):
         w_axis = jnp.zeros((nbins, K, side), wb.dtype)
-        for j in range(3):  # quadratic stencil width
+        for j in range(3):
             hit = (sidx[None, None, :] == (off[..., d] + j)[..., None])
             w_axis = w_axis + jnp.where(hit, wb[..., d, j:j + 1], 0.0)
         return w_axis
 
     wx, wy, wz = stencil_axis(0), stencil_axis(1), stencil_axis(2)
     fidx = sidx.astype(wx.dtype)
-    wx_i, wy_i, wz_i = wx * fidx, wy * fidx, wz * fidx  # index-weighted
-
-    # ---- 3. P2G: per-bin cube via batched matmuls --------------------------
-    # per-particle model parameters (e.g. heterogeneous Lame fields from the
-    # Scene builder) follow the particles into the bin layout
-    def _bin_params(obj):
-        if obj is None:
-            return None
-        return jax.tree.map(
-            lambda a: gat(a) if (hasattr(a, "ndim") and a.ndim >= 1 and
-                                 a.shape[0] == N) else a, obj)
-
-    model = _bin_params(sim.model)
-    plasticity = _bin_params(sim.plasticity)
-    Dinv = 4.0 / (dx * dx)
-    tau = model.kirchhoff(Fb)
-    mban = jnp.where(lane_ok, mb, 0.0)
-    A = mban[..., None, None] * Cb - (dt * Dinv * volb)[..., None, None] * tau
-    rel0 = (borigin[:, None, :].astype(xb.dtype)) * dx - xb  # origin - xp
-    u0 = mban[..., None] * vb + jnp.einsum("bkij,bkj->bki", A, rel0)
-    C4 = 4
-    Q0 = jnp.concatenate([mban[..., None], u0], -1)            # [B,K,4]
-    zero = jnp.zeros_like(mban)[..., None]
-    QA = [jnp.concatenate([zero, dx * A[..., :, d]], -1) for d in range(3)]
-
+    wx_i, wy_i, wz_i = wx * fidx, wy * fidx, wz * fidx
     S0 = (wy[:, :, :, None] * wz[:, :, None, :]).reshape(nbins, K, 36)
     S1 = (wy_i[:, :, :, None] * wz[:, :, None, :]).reshape(nbins, K, 36)
     S2 = (wy[:, :, :, None] * wz_i[:, :, None, :]).reshape(nbins, K, 36)
+    rel0 = (borigin[:, None, :].astype(xb.dtype)) * dx - xb
 
-    out = jnp.zeros((nbins, side, 36, C4), jnp.float32)
-    for a in range(side):
-        qa = wx[:, :, a:a + 1] * Q0 + wx_i[:, :, a:a + 1] * QA[0]
-        cube_a = _einsum_nk(S0, qa)
-        cube_a = cube_a + _einsum_nk(S1, wx[:, :, a:a + 1] * QA[1])
-        cube_a = cube_a + _einsum_nk(S2, wx[:, :, a:a + 1] * QA[2])
-        out = out.at[:, a].set(cube_a)
-    out = out.reshape(nbins, cube, C4)
-
-    # ---- 4. bins -> blocks + halo merge in ONE one-hot matmul --------------
-    # Each bin contributes to (up to) 8 blocks: its own (interior region of
-    # the 6^3 cube) and the 7 positive neighbors (spill slabs).  Static 0/1
-    # "spill" matrices [64, 216] turn each cube into its per-direction
-    # [64, C4] block contribution; a single concatenated one-hot selection
-    # matmul then accumulates all (direction, bin) contributions into block
-    # node values.  This replaces both the bins->blocks segment reduction
-    # and the 7 neighbor row-gathers (row gathers run ~6 GB/s on v5e;
-    # HIGHEST-precision one-hot matmuls are exact in fp32 and ride the MXU).
-    from ..ops.p2g_pallas import _SPILL_ALL, _PULL_ALL
-
+    # concatenated one-hot selection (bins + 7 spill dirs -> blocks)
     dirs = [d for d in neighbor_offsets(3, 0, 1).tolist() if any(d)]
-    coords = table.active_coords                        # [nb,3]
-    dirs_j = jnp.asarray(dirs, jnp.int32)               # [7, 3]
+    coords = table.active_coords
+    dirs_j = jnp.asarray(dirs, jnp.int32)
     nbr_pos = jax.vmap(
         lambda d: table.query(coords + d[None, :]), out_axes=1)(dirs_j)
     own_ids = jnp.arange(nb, dtype=jnp.int32)[:, None]
-    nbr8_blocks = jnp.concatenate([own_ids, nbr_pos], axis=1)  # [nb, 8]
+    nbr8_blocks = jnp.concatenate([own_ids, nbr_pos], axis=1)
     nbr8_blocks = jnp.where(table.mask[:, None], nbr8_blocks, -1)
-
-    spill = jnp.asarray(_SPILL_ALL[:, :, :cube])        # [8, 64, 216]
-    spilled = jnp.einsum("dts,nsc->dntc", spill, out,
-                         preferred_element_type=jnp.float32)  # [8,B,64,C4]
     tgt = nbr8_blocks[bin_block].T                      # [8, nbins]
     tgt = jnp.where(bin_live[None, :], tgt, -1)
     sel_cat = (tgt.reshape(-1)[None, :] ==
-               jnp.arange(nb, dtype=jnp.int32)[:, None]
-               ).astype(jnp.float32)                    # [nb, 8*nbins]
-    acc = jax.lax.dot_general(
-        sel_cat, spilled.reshape(8 * nbins, ncell * C4),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ).reshape(nb, ncell, C4)
+               jnp.arange(nb, dtype=jnp.int32)[:, None]).astype(jnp.float32)
 
+    return BinWorkspace(grid, overflow, lane_ok, gsafe, flat_of_p, pmask0,
+                        rel0, wx, wx_i, S0, S1, S2, sel_cat,
+                        xb, vb, Fb, Cb, mban, volb)
+
+
+def explicit_step_binned(sim: MPMSim, state: MPMState, dt,
+                         cfg: BinnedConfig) -> Tuple[MPMState, jax.Array]:
+    """One explicit APIC step via the binned transfer path.
+
+    Returns (new_state, overflow_flag).  Physics identical to
+    :func:`zpc_tpu.sim.mpm.explicit_step` up to summation order.
+    """
+    p = state.particles
+    ws = prepare_bins(sim, state, cfg)
+    grid = ws.grid
+    dx = grid.dx
+    nb = grid.block_capacity
+    Dinv = 4.0 / (dx * dx)
+    model = ws.bin_leaves(sim.model)
+    plasticity = ws.bin_leaves(sim.plasticity)
+
+    # ---- P2G ----------------------------------------------------------------
+    tau = model.kirchhoff(ws.Fb)
+    A = ws.mban[..., None, None] * ws.Cb - \
+        (dt * Dinv * ws.volb)[..., None, None] * tau
+    u0 = ws.mban[..., None] * ws.vb + \
+        jnp.einsum("bkij,bkj->bki", A, ws.rel0)
+    Q0 = jnp.concatenate([ws.mban[..., None], u0], -1)          # [B,K,4]
+    zero = jnp.zeros_like(ws.mban)[..., None]
+    QA = [jnp.concatenate([zero, dx * A[..., :, d]], -1) for d in range(3)]
+    acc = ws.p2g(Q0, QA)                                        # [nb,64,4]
     gm = acc[..., 0]
     gmv = acc[..., 1:]
 
-    # ---- 5. grid update -----------------------------------------------------
+    # ---- grid update ----------------------------------------------------------
     has_mass = gm > 0.0
     gv = jnp.where(has_mass[..., None],
                    gmv / jnp.maximum(gm, 1e-30)[..., None], 0.0)
     gv = gv + dt * sim.gravity[None, None, :]
-    corners = jnp.asarray(neighbor_offsets(3, 0, bs - 1))
-    node_cells = coords[:, None, :] * bs + corners[None, :, :]
-    node_x = node_cells.astype(gv.dtype) * dx + origin_w
+    node_x = ws.node_positions()
     gv = resolve_boundaries(sim.colliders, node_x, gv)
     gv = jnp.where(has_mass[..., None], gv, 0.0)
     max_vel = jnp.sqrt(jnp.max(jnp.sum(gv * gv, -1)))
 
-    # ---- 6. halo'd velocity cubes via the transposed selection matmul ------
-    # Vbin[j] needs the 6^3 node cube around bin j's block: nodes come from
-    # the block itself + its 7 positive neighbors.  The same concatenated
-    # one-hot (transposed) picks the 8 source blocks per bin; static "pull"
-    # matrices place their 64 nodes into the halo cube.  Zero gathers.
-    Vd = jax.lax.dot_general(
-        sel_cat, gv.reshape(nb, ncell * 3),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ).reshape(8, nbins, ncell, 3)
-    pull = jnp.asarray(_PULL_ALL[:, :, :ncell])         # [8, 216, 64]
-    Vbin = jnp.einsum("dst,dnte->nse", pull, Vd,
-                      preferred_element_type=jnp.float32
-                      ).reshape(nbins, side, 36, 3)
-
-    vsum = jnp.zeros((nbins, K, 3), jnp.float32)
-    bx = jnp.zeros((nbins, K, 3), jnp.float32)   # sum (a*w) v
-    by = jnp.zeros((nbins, K, 3), jnp.float32)
-    bz = jnp.zeros((nbins, K, 3), jnp.float32)
-    for a in range(side):
-        Va = Vbin[:, a]                                  # [B,36,3]
-        m0 = jnp.einsum("bkm,bmc->bkc", S0, Va,
-                        preferred_element_type=jnp.float32)
-        m1 = jnp.einsum("bkm,bmc->bkc", S1, Va,
-                        preferred_element_type=jnp.float32)
-        m2 = jnp.einsum("bkm,bmc->bkc", S2, Va,
-                        preferred_element_type=jnp.float32)
-        wa = wx[:, :, a:a + 1]
-        wai = wx_i[:, :, a:a + 1]
-        vsum = vsum + wa * m0
-        bx = bx + wai * m0
-        by = by + wa * m1
-        bz = bz + wa * m2
-
-    v_new = vsum
-    # B = vsum (x) (origin - xp) + dx * [bx|by|bz] stacked as columns
-    Bmat = v_new[..., :, None] * rel0[..., None, :] + \
-        dx * jnp.stack([bx, by, bz], axis=-1)
+    # ---- G2P ----------------------------------------------------------------
+    s0, (sx, sy, sz) = ws.g2p(gv)
+    v_new = s0
+    Bmat = v_new[..., :, None] * ws.rel0[..., None, :] + \
+        dx * jnp.stack([sx, sy, sz], axis=-1)
     C_new = Dinv * Bmat
-
-    eye = jnp.eye(3, dtype=Fb.dtype)
-    F_new = mm(eye + dt * C_new, Fb)
+    eye = jnp.eye(3, dtype=ws.Fb.dtype)
+    F_new = mm(eye + dt * C_new, ws.Fb)
     upd = {}
     if plasticity is not None and p.has_prop("Jp"):
-        Jpb = gat(p["Jp"])
+        Jpb = ws.bin_leaves(p["Jp"])
         F_new, Jp_new = plasticity.project(F_new, Jpb)
-    x_new = xb + dt * v_new
+    x_new = ws.xb + dt * v_new
 
-    # ---- 7. un-permute back to original particle order ----------------------
-    # one int scatter builds the inverse sort; channels then un-permute with
-    # pure gathers (original id -> (bin, lane) -> flat binned index)
-    inv_sorted = jnp.zeros((N,), jnp.int32).at[sid].set(
-        jnp.arange(N, dtype=jnp.int32))
-    blk_of_p = jnp.clip(sort_key, 0, nb - 1)
-    off_in_blk = inv_sorted - starts[blk_of_p]
-    bin_of_p = bin_start[blk_of_p] + off_in_blk // K
-    lane_of_p = off_in_blk % K
-    flat_of_p = jnp.clip(bin_of_p * K + lane_of_p, 0, nbins * K - 1)
-
-    # pack outputs, one gather, unpack (mirrors the packed bin gather)
-    out_packed = jnp.concatenate(
-        [x_new, v_new, F_new.reshape(nbins, K, 9),
-         C_new.reshape(nbins, K, 9)] +
-        ([Jp_new[..., None]] if (plasticity is not None and
-                                 p.has_prop("Jp")) else []),
-        axis=-1)
-    W = out_packed.shape[-1]
-    res = out_packed.reshape(nbins * K, W)[flat_of_p]
-    mk1 = pmask0[:, None]
     channels = dict(
-        x=jnp.where(mk1, res[:, 0:3], x0),
-        v=jnp.where(mk1, res[:, 3:6], p["v"]),
-        F=jnp.where(mk1[..., None], res[:, 6:15].reshape(N, 3, 3), p["F"]),
-        C=jnp.where(mk1[..., None], res[:, 15:24].reshape(N, 3, 3), p["C"]))
+        x=ws.unbin(x_new, p["x"]), v=ws.unbin(v_new, p["v"]),
+        F=ws.unbin(F_new, p["F"]), C=ws.unbin(C_new, p["C"]))
     if plasticity is not None and p.has_prop("Jp"):
-        channels["Jp"] = jnp.where(pmask0, res[:, 24], p["Jp"])
+        channels["Jp"] = ws.unbin(Jp_new, p["Jp"])
     particles = p.update(**channels)
-    grid = grid.with_data(m=gm, v=gv.reshape(nb, ncell, 3))
-    return MPMState(particles, grid, max_vel), overflow
+    grid = grid.with_data(m=gm, v=gv)
+    return MPMState(particles, grid, max_vel), ws.overflow
