@@ -178,3 +178,17 @@ def tpu_exec() -> Executor:
 
 # alias: on machines without TPU this is still the compiled path
 jit_exec = tpu_exec
+
+
+def par_exec(*launches):
+    """Launch several (policy, fn, args...) tuples; returns their results.
+
+    API parity with the reference's nested multi-policy ``par_exec``
+    (ExecutionPolicy.hpp:218-236, :628-654).  Under XLA the launches are
+    dispatched asynchronously and the scheduler overlaps them — explicit
+    streams are unnecessary.
+    """
+    outs = []
+    for pol, fn, *args in launches:
+        outs.append(pol.run(fn, *args))
+    return tuple(outs)

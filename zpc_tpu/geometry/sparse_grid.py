@@ -36,7 +36,8 @@ from ..core.config import PropertyTag
 from ..containers.structured import _as_tags, PropsSpec
 from ..math.transform import Transform, translation, scaling
 
-__all__ = ["SparseGrid", "sparse_grid", "neighbor_offsets"]
+__all__ = ["SparseGrid", "sparse_grid", "neighbor_offsets",
+           "sparse_grid_from_dense", "sparse_grid_to_dense"]
 
 
 def neighbor_offsets(dim: int, lo: int = -1, hi: int = 1) -> np.ndarray:
@@ -218,3 +219,52 @@ def sparse_grid(props: PropsSpec, *, dx: float, block_capacity: int,
     if origin is not None:
         tr = translation(origin).compose(tr)
     return SparseGrid(table, data, tr, block_size, dim)
+
+
+def sparse_grid_from_dense(arr: jax.Array, *, dx: float, prop_name: str,
+                           block_size: int = 4, origin=None,
+                           threshold: Optional[float] = None,
+                           block_capacity: Optional[int] = None
+                           ) -> SparseGrid:
+    """Dense array -> SparseGrid (the reference's dense/VDB conversion
+    surface, SparseGrid_Conversion.cpp): activates blocks where any cell
+    passes ``|value| > threshold`` (or all blocks when None)."""
+    dim = arr.ndim
+    bs = block_size
+    shape = arr.shape
+    nb_axes = [int(np.ceil(s / bs)) for s in shape]
+    padded = jnp.pad(arr, [(0, a * bs - s) for a, s in zip(nb_axes, shape)])
+    # blockify: [nbx, bs, nby, bs, (nbz, bs)] -> [nblocks, bs^d]
+    resh = padded.reshape(sum(([a, bs] for a in nb_axes), []))
+    perm = list(range(0, 2 * dim, 2)) + list(range(1, 2 * dim, 2))
+    blocks = resh.transpose(perm).reshape(-1, bs ** dim)
+    coords = jnp.asarray(np.stack(np.meshgrid(
+        *[np.arange(a) for a in nb_axes], indexing="ij"),
+        -1).reshape(-1, dim), jnp.int32)
+    if threshold is not None:
+        keep = jnp.any(jnp.abs(blocks) > threshold, axis=1)
+    else:
+        keep = jnp.ones((blocks.shape[0],), bool)
+    cap = block_capacity or blocks.shape[0]
+    g = sparse_grid([PropertyTag(prop_name)], dx=dx, block_capacity=cap,
+                    block_size=bs, dim=dim, origin=origin)
+    table, inv = build_block_table(coords, cap, valid=keep, dim=dim)
+    data = jnp.zeros((cap + 1, bs ** dim), arr.dtype)
+    dst = jnp.where(inv >= 0, inv, cap)
+    data = data.at[dst].set(blocks)[:cap]
+    return dataclasses.replace(g, table=table,
+                               data={prop_name: data})
+
+
+def sparse_grid_to_dense(grid: SparseGrid, prop_name: str, lo, hi,
+                         default=0.0) -> jax.Array:
+    """SparseGrid -> dense array over cell range [lo, hi) (conversion
+    surface; host-side sized)."""
+    lo = np.asarray(lo, np.int64)
+    hi = np.asarray(hi, np.int64)
+    shape = tuple((hi - lo).tolist())
+    grids = np.meshgrid(*[np.arange(l, h) for l, h in zip(lo, hi)],
+                        indexing="ij")
+    cells = jnp.asarray(np.stack([g.ravel() for g in grids], -1), jnp.int32)
+    vals = grid.value_or(prop_name, cells, default)
+    return vals.reshape(shape)
