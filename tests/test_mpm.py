@@ -120,3 +120,29 @@ class TestExplicitStep:
         st = step(sim, st, jnp.float32(1e-4))
         st = step(sim, st, jnp.float32(2e-4))  # dt traced: no retrace needed
         assert step._cache_size() == 1
+
+
+class TestConservation:
+    def test_angular_momentum_free_space(self, rng):
+        # spinning elastic ball, no gravity, no boundaries: APIC preserves
+        # linear AND angular momentum across transfers
+        from zpc_tpu.utils.diagnostics import momentum_report
+        n = 1024
+        x = rng.uniform(0.4, 0.6, (n, 3)).astype(np.float32)
+        omega = np.array([0.0, 0.0, 4.0])
+        v = np.cross(omega, x - 0.5)
+        st = make_mpm_state(jnp.asarray(x), dx=0.02, block_capacity=2048,
+                            velocity=jnp.asarray(v, jnp.float32))
+        sim = MPMSim(model=FixedCorotated.from_young_poisson(1e4, 0.3),
+                     gravity=jnp.zeros(3))
+        m0, l0, a0 = momentum_report(st)
+        step = jax.jit(lambda s: explicit_step(sim, s, jnp.float32(1e-4)))
+        for _ in range(20):
+            st = step(st)
+        m1, l1, a1 = momentum_report(st)
+        np.testing.assert_allclose(float(m1), float(m0), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
+                                   atol=1e-7)
+        # angular momentum drift stays small relative to |L|
+        drift = np.linalg.norm(np.asarray(a1) - np.asarray(a0))
+        assert drift < 0.05 * np.linalg.norm(np.asarray(a0))

@@ -109,3 +109,27 @@ class Watchdog:
                 self.dt *= 0.5
                 self._healthy_streak = 0
         return state
+
+
+def momentum_report(state: MPMState):
+    """Total mass, linear momentum, and angular momentum of the particle
+    state (reference ``GridMomentumToVelocity``/``GridAngularMomentum``
+    diagnostics, simulation/grid/GridOp.hpp).  APIC conserves both; these
+    are the invariants physics regression tests check."""
+    p = state.particles
+    mask = p.mask
+    m = jnp.where(mask, p["m"], 0.0)
+    x = p["x"]
+    v = p["v"]
+    mass = jnp.sum(m)
+    lin = jnp.sum(m[:, None] * v, axis=0)
+    ang = jnp.sum(m[:, None] * jnp.cross(x, v), axis=0)
+    # APIC affine field carries angular momentum too: L += sum m * skew(C)
+    C = p["C"]
+    cvec = jnp.stack([C[..., 2, 1] - C[..., 1, 2],
+                      C[..., 0, 2] - C[..., 2, 0],
+                      C[..., 1, 0] - C[..., 0, 1]], -1)
+    # inertia-like term for quadratic APIC: m * dx^2/4 * vec(C - C^T)
+    dx = state.grid.dx
+    ang = ang + jnp.sum(m[:, None] * cvec, axis=0) * (dx * dx / 4.0)
+    return mass, lin, ang
