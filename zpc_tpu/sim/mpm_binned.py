@@ -54,13 +54,17 @@ class BinnedConfig:
     halo: int = 2               # 4^3 block + 2 halo = 6^3 footprint
 
 
+# Precision policy (TPU matmuls default to 1-pass bf16 which truncates fp32
+# inputs): HIGH = 3-pass bf16 ~ fp32 quality for stencil contractions, and
+# *exact* for one-hot selections (one operand is exactly bf16-representable
+# 0/1, so all cross terms vanish).  CPU ignores these (always fp32).
+_PREC = jax.lax.Precision.HIGH
+
+
 def _einsum_nk(S, Q):
     """[B,K,M] x [B,K,C] -> [B,M,C] (MXU; fp32 accumulation)."""
-    return jnp.einsum("bkm,bkc->bmc", S, Q,
+    return jnp.einsum("bkm,bkc->bmc", S, Q, precision=_PREC,
                       preferred_element_type=jnp.float32)
-
-
-_HI = jax.lax.Precision.HIGHEST
 
 
 @jax.tree_util.register_dataclass
@@ -139,12 +143,12 @@ class BinWorkspace:
         from ..ops.p2g_pallas import _SPILL_ALL
 
         spill = jnp.asarray(_SPILL_ALL[:, :, :216])     # [8, 64, 216]
-        spilled = jnp.einsum("dts,nsc->dntc", spill, out,
+        spilled = jnp.einsum("dts,nsc->dntc", spill, out, precision=_PREC,
                              preferred_element_type=jnp.float32)
         acc = jax.lax.dot_general(
             self.sel_cat, spilled.reshape(8 * nbins, 64 * C),
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HI,
+            preferred_element_type=jnp.float32, precision=_PREC,
         ).reshape(self.nb, 64, C)
         return acc
 
@@ -160,12 +164,12 @@ class BinWorkspace:
         Vd = jax.lax.dot_general(
             self.sel_cat, node_vals.reshape(nb, 64 * C),
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HI,
+            preferred_element_type=jnp.float32, precision=_PREC,
         ).reshape(8, nbins, 64, C)
         from ..ops.p2g_pallas import _PULL_ALL
 
         pull = jnp.asarray(_PULL_ALL[:, :, :64])        # [8, 216, 64]
-        Vbin = jnp.einsum("dst,dnte->nse", pull, Vd,
+        Vbin = jnp.einsum("dst,dnte->nse", pull, Vd, precision=_PREC,
                           preferred_element_type=jnp.float32
                           ).reshape(nbins, 6, 36, C)
         K = BIN_SIZE
@@ -175,11 +179,11 @@ class BinWorkspace:
         sz = jnp.zeros((nbins, K, C), jnp.float32)
         for a in range(6):
             Va = Vbin[:, a]
-            m0 = jnp.einsum("bkm,bmc->bkc", self.S0, Va,
+            m0 = jnp.einsum("bkm,bmc->bkc", self.S0, Va, precision=_PREC,
                             preferred_element_type=jnp.float32)
-            m1 = jnp.einsum("bkm,bmc->bkc", self.S1, Va,
+            m1 = jnp.einsum("bkm,bmc->bkc", self.S1, Va, precision=_PREC,
                             preferred_element_type=jnp.float32)
-            m2 = jnp.einsum("bkm,bmc->bkc", self.S2, Va,
+            m2 = jnp.einsum("bkm,bmc->bkc", self.S2, Va, precision=_PREC,
                             preferred_element_type=jnp.float32)
             wa = self.wx[:, :, a:a + 1]
             wai = self.wx_i[:, :, a:a + 1]
@@ -208,7 +212,18 @@ class BinWorkspace:
 
 def prepare_bins(sim: MPMSim, state: MPMState, cfg: BinnedConfig
                  ) -> BinWorkspace:
-    """Partition + bin construction + stencils (once per step)."""
+    """Partition + bin construction + stencils (once per step).
+
+    One N-element sort total: the sorted (packed block key, particle id)
+    pairs drive BOTH the block-table compaction and the bin grouping (the
+    pre-dilation group order equals the dilated-table slot order because
+    both are key-ascending; dilation-added blocks carry no particles).
+    """
+    import dataclasses as _dc
+
+    from ..containers.block_table import (KEY_SENTINEL, BlockTable,
+                                          build_block_table, pack_coords)
+
     p = state.particles
     grid = state.grid
     dim, bs = grid.dim, grid.block_size
@@ -227,43 +242,70 @@ def prepare_bins(sim: MPMSim, state: MPMState, cfg: BinnedConfig
     xi0 = (x0 - origin_w) * inv_dx
     base0, _, _ = bspline_weights(xi0, sim.order)
     pblock0 = jnp.floor_divide(base0, bs)
-    grid, bslot0 = grid.activate_with_slots(pblock0, valid=pmask0,
-                                            dilation=1)
-    table = grid.table
-    sort_key = jnp.where(pmask0 & (bslot0 >= 0), bslot0, nb)
-    pid = jnp.arange(N, dtype=jnp.int32)
-    skey, sid = jax.lax.sort((sort_key, pid), num_keys=1, is_stable=True)
 
-    blk_ids = jnp.arange(nb, dtype=jnp.int32)
-    starts = jnp.searchsorted(skey, blk_ids).astype(jnp.int32)
-    ends = jnp.searchsorted(skey, blk_ids + 1).astype(jnp.int32)
-    counts = ends - starts
-    bins_per_block = (counts + K - 1) // K
+    # ---- single sort: (packed block key, particle id) -----------------------
+    keys = jnp.where(pmask0, pack_coords(pblock0), KEY_SENTINEL)
+    pid = jnp.arange(N, dtype=jnp.int32)
+    skey, sid = jax.lax.sort((keys, pid), num_keys=1, is_stable=True)
+    neq = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
+    neq = neq & (skey != KEY_SENTINEL)
+    rank = jnp.cumsum(neq.astype(jnp.int32)) - 1       # group id per lane
+    n_groups = rank[-1] + 1
+    lane_i = jnp.arange(N, dtype=jnp.int32)
+    # pre-dilation table keys (sorted-unique compaction)
+    dst = jnp.clip(jnp.where(neq, rank, nb), 0, nb)
+    t1_keys = jnp.full((nb + 1,), KEY_SENTINEL, jnp.int32).at[dst].set(
+        skey)[:nb]
+    # per-group sorted ranges
+    g_start = jnp.zeros((nb + 1,), jnp.int32).at[dst].set(lane_i)[:nb]
+    valid_count = jnp.sum(pmask0.astype(jnp.int32))
+    g_end = jnp.concatenate(
+        [jnp.where(jnp.arange(1, nb) < n_groups, g_start[1:], valid_count),
+         valid_count[None]])
+    g_end = jnp.where(jnp.arange(nb) < n_groups, g_end, g_start)
+
+    # ---- dilation: rebuild table over group keys + apron --------------------
+    from ..containers.block_table import unpack_key
+
+    offs = jnp.asarray(neighbor_offsets(dim, 0, 1))
+    t1_coords = unpack_key(t1_keys, dim)
+    cand = (t1_coords[:, None, :] + offs[None, :, :]).reshape(-1, dim)
+    vmask = jnp.repeat(jnp.arange(nb) < n_groups, offs.shape[0])
+    table, inv_cand = build_block_table(cand, nb, valid=vmask, dim=dim)
+    remap = inv_cand[jnp.arange(nb) * offs.shape[0]]   # group -> final slot
+    grid = _dc.replace(grid, table=table).zeroed()
+
+    # ---- bins over groups ----------------------------------------------------
+    counts = g_end - g_start
+    bins_per_group = (counts + K - 1) // K
     bin_start = jnp.concatenate(
         [jnp.zeros(1, jnp.int32),
-         jnp.cumsum(bins_per_block)]).astype(jnp.int32)
+         jnp.cumsum(bins_per_group)]).astype(jnp.int32)
     total_bins = bin_start[-1]
-    overflow = total_bins > nbins
+    overflow = (total_bins > nbins) | (n_groups > nb)
 
     bin_idx = jnp.arange(nbins, dtype=jnp.int32)
-    bin_block = jnp.clip(
+    bin_group = jnp.clip(
         (jnp.searchsorted(bin_start, bin_idx, side="right") - 1
          ).astype(jnp.int32), 0, nb - 1)
+    bin_block = jnp.clip(remap[bin_group], 0, nb - 1)
     bin_live = bin_idx < total_bins
-    local_bin = bin_idx - bin_start[bin_block]
+    local_bin = bin_idx - bin_start[bin_group]
     lane = jnp.arange(K, dtype=jnp.int32)
-    spos = (starts[bin_block] + local_bin * K)[:, None] + lane[None, :]
-    lane_ok = bin_live[:, None] & (spos < ends[bin_block][:, None])
+    spos = (g_start[bin_group] + local_bin * K)[:, None] + lane[None, :]
+    lane_ok = bin_live[:, None] & (spos < g_end[bin_group][:, None])
     spos_safe = jnp.clip(spos, 0, N - 1)
     pids = jnp.where(lane_ok, sid[spos_safe], -1)
     gsafe = jnp.maximum(pids, 0)
 
     # inverse mapping (original particle -> flat bin lane)
-    inv_sorted = jnp.zeros((N,), jnp.int32).at[sid].set(pid)
-    blk_of_p = jnp.clip(sort_key, 0, nb - 1)
-    off_in_blk = inv_sorted - starts[blk_of_p]
-    bin_of_p = bin_start[blk_of_p] + off_in_blk // K
-    lane_of_p = off_in_blk % K
+    inv_sorted = jnp.zeros((N,), jnp.int32).at[sid].set(lane_i)
+    grp_of_sorted = rank
+    grp_of_p = jnp.clip(grp_of_sorted[jnp.clip(inv_sorted, 0, N - 1)],
+                        0, nb - 1)
+    off_in_grp = inv_sorted - g_start[grp_of_p]
+    bin_of_p = bin_start[grp_of_p] + off_in_grp // K
+    lane_of_p = off_in_grp % K
     flat_of_p = jnp.clip(bin_of_p * K + lane_of_p, 0, nbins * K - 1)
 
     # packed particle gather (one indexed op)
