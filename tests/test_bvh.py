@@ -160,3 +160,32 @@ class TestBvttFront:
         live2 = front.refresh(jnp.asarray(lo), jnp.asarray(hi),
                               jnp.asarray(qlo + 10), jnp.asarray(qhi + 10))
         assert int(jnp.sum(live2)) == 0
+
+
+class TestBvs:
+    def test_query_vs_bruteforce(self, rng):
+        from zpc_tpu.containers.bvs import build_bvs, bvs_query
+        n, nq = 300, 50
+        lo, hi = _random_boxes(rng, n)
+        qlo, qhi = _random_boxes(rng, nq, size=0.1)
+        bvs = build_bvs(jnp.asarray(lo), jnp.asarray(hi))
+        ids, mask = jax.jit(
+            lambda a, b: bvs_query(bvs, a, b, max_candidates=n))(
+            jnp.asarray(qlo), jnp.asarray(qhi))
+        ids, mask = np.asarray(ids), np.asarray(mask)
+        for qi in range(nq):
+            ref = set(np.nonzero((lo <= qhi[qi]).all(1) &
+                                 (qlo[qi] <= hi).all(1))[0].tolist())
+            got = set(ids[qi][mask[qi]].tolist())
+            assert got == ref, qi
+
+    def test_invalid_excluded(self, rng):
+        from zpc_tpu.containers.bvs import build_bvs, bvs_query
+        lo, hi = _random_boxes(rng, 100)
+        valid = np.arange(100) < 70
+        bvs = build_bvs(jnp.asarray(lo), jnp.asarray(hi),
+                        valid=jnp.asarray(valid))
+        ids, mask = bvs_query(bvs, jnp.asarray([[-1.0] * 3], jnp.float32),
+                              jnp.asarray([[2.0] * 3], jnp.float32), 128)
+        got = set(np.asarray(ids)[np.asarray(mask)].tolist())
+        assert got == set(range(70))

@@ -10,3 +10,4 @@ from .index_buckets import (IndexBuckets, build_index_buckets,
 from .bvh import (LBvh, build_lbvh, query_overlaps, query_nearest,
                   query_ray, aabb_overlap, BvttFront)
 from .ordered_map import OrderedMap, ordered_map, RingBuffer, ring_buffer
+from .bvs import Bvs, build_bvs, bvs_query

@@ -78,3 +78,19 @@ def trace(logdir: str = "/tmp/zpc_tpu_trace"):
         yield logdir
     finally:
         jax.profiler.stop_trace()
+
+
+def memory_stats(device=None) -> dict:
+    """Device memory snapshot (reference ``Resource`` allocation records,
+    resource/Resource.h:306-315 — XLA owns allocation, so the records come
+    from the runtime)."""
+    import jax
+
+    dev = device or jax.local_devices()[0]
+    stats = dev.memory_stats() or {}
+    return {
+        "bytes_in_use": stats.get("bytes_in_use", -1),
+        "peak_bytes_in_use": stats.get("peak_bytes_in_use", -1),
+        "bytes_limit": stats.get("bytes_limit", -1),
+        "raw": stats,
+    }
