@@ -11,7 +11,7 @@ capability (ordered associative map), hardware-native costs.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,7 @@ the child mask is set; otherwise its payload value covers the whole span
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

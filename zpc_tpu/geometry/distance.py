@@ -14,7 +14,6 @@ query pairs — instead of the reference's per-thread iterative root-finders.
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

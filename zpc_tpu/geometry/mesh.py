@@ -10,7 +10,6 @@ idiom (faces appearing once are boundary) instead of hash sets.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

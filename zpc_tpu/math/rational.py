@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import dataclasses
 from fractions import Fraction
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

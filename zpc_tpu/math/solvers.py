@@ -19,7 +19,6 @@ All dot products are pytree-wide fp32 reductions.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Callable, NamedTuple, Optional
 
 import jax

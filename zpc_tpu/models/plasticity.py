@@ -16,7 +16,6 @@ rides as an extra particle channel.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

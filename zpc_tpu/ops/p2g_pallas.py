@@ -29,8 +29,6 @@ DMA + MXU instead of shared-memory atomics.
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -30,7 +30,7 @@ Identity elements are deduced from the op via the monoid registry, mirroring
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -22,8 +22,6 @@ planned next tier for grids too large to replicate.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -23,14 +23,11 @@ nodes.  Diagonal (Jacobi) preconditioning by M.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 from ..geometry.collider import resolve_boundaries
-from ..math.interpolation import stencil_size
 from ..math.solvers import cg
 from ..math.vecmat import mm
 from .mpm import MPMSim, MPMState, _stencil

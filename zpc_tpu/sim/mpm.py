@@ -32,7 +32,7 @@ P2G fusion (P2G.hpp:87-126).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -30,7 +30,7 @@ grow ``bins_capacity`` and re-trace.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ summation order (shared oracle tests).
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Tuple
 
 import jax

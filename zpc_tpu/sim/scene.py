@@ -14,7 +14,7 @@ with one model type) and derives the CFL dt from the stiffest object.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 import jax.numpy as jnp

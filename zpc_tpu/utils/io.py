@@ -19,8 +19,7 @@ import os
 import queue
 import struct
 import threading
-import zlib
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
