@@ -109,3 +109,31 @@ class TestBinnedMatchesBaseline:
         np.testing.assert_allclose(np.asarray(st_b.particles["x"]),
                                    np.asarray(st_a.particles["x"]),
                                    atol=1e-5)
+
+
+def test_segment_path_matches_selection(rng):
+    """Large-scale formulation (segment/gather) == one-hot matmul path."""
+    import dataclasses
+    from zpc_tpu.sim.mpm_binned import prepare_bins
+    x = jnp.asarray(rng.uniform(0.3, 0.7, (768, 3)), jnp.float32)
+    st = make_mpm_state(x, dx=0.05, block_capacity=256)
+    sim = _sim()
+    ws = prepare_bins(sim, st, BinnedConfig(bins_capacity=64))
+    assert not ws.use_segments
+    ws_seg = dataclasses.replace(ws, use_segments=True)
+    Q0 = jnp.asarray(rng.standard_normal(
+        (ws.nbins, 128, 4)), jnp.float32) * ws.lane_ok[..., None]
+    QA = [jnp.asarray(rng.standard_normal(
+        (ws.nbins, 128, 4)), jnp.float32) * ws.lane_ok[..., None]
+        for _ in range(3)]
+    a = np.asarray(ws.p2g(Q0, QA))
+    b = np.asarray(ws_seg.p2g(Q0, QA))
+    np.testing.assert_allclose(a, b, atol=2e-4, rtol=1e-4)
+    nv = jnp.asarray(rng.standard_normal((ws.nb, 64, 3)), jnp.float32)
+    s0a, sa = ws.g2p(nv)
+    s0b, sb = ws_seg.g2p(nv)
+    np.testing.assert_allclose(np.asarray(s0a), np.asarray(s0b),
+                               atol=2e-4, rtol=1e-4)
+    for u, v in zip(sa, sb):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                   atol=2e-4, rtol=1e-4)

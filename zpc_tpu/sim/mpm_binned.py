@@ -87,13 +87,16 @@ class BinWorkspace:
     S0: jax.Array               # [B, K, 36]
     S1: jax.Array
     S2: jax.Array
-    sel_cat: jax.Array          # [nb, 8B] one-hot (bins+halo -> blocks)
+    sel_cat: jax.Array          # [nb, 8B] one-hot (small problems) or [1,1]
+    tgt8: jax.Array             # [8, B] target block per (dir, bin), -1 dead
     xb: jax.Array               # gathered particle channels
     vb: jax.Array
     Fb: jax.Array
     Cb: jax.Array
     mban: jax.Array
     volb: jax.Array
+    use_segments: bool = dataclasses.field(metadata=dict(static=True),
+                                           default=False)
 
     # -- derived sizes ---------------------------------------------------------
     @property
@@ -145,6 +148,14 @@ class BinWorkspace:
         spill = jnp.asarray(_SPILL_ALL[:, :, :216])     # [8, 64, 216]
         spilled = jnp.einsum("dts,nsc->dntc", spill, out, precision=_PREC,
                              preferred_element_type=jnp.float32)
+        if self.use_segments:
+            # large problems: the one-hot matrix would be O(nb * 8B) —
+            # segment-sum scales linearly instead
+            seg = jnp.where(self.tgt8 >= 0, self.tgt8, self.nb).reshape(-1)
+            acc = jax.ops.segment_sum(
+                spilled.reshape(8 * nbins, 64 * C), seg,
+                num_segments=self.nb + 1)[:self.nb]
+            return acc.reshape(self.nb, 64, C)
         acc = jax.lax.dot_general(
             self.sel_cat, spilled.reshape(8 * nbins, 64 * C),
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -161,11 +172,16 @@ class BinWorkspace:
         """
         nb, _, C = node_vals.shape
         nbins = self.nbins
-        Vd = jax.lax.dot_general(
-            self.sel_cat, node_vals.reshape(nb, 64 * C),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_PREC,
-        ).reshape(8, nbins, 64, C)
+        if self.use_segments:
+            safe = jnp.clip(self.tgt8, 0, nb - 1)
+            Vd = node_vals[safe]                        # [8, B, 64, C]
+            Vd = jnp.where((self.tgt8 >= 0)[..., None, None], Vd, 0.0)
+        else:
+            Vd = jax.lax.dot_general(
+                self.sel_cat, node_vals.reshape(nb, 64 * C),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_PREC,
+            ).reshape(8, nbins, 64, C)
         from ..ops.p2g_pallas import _PULL_ALL
 
         pull = jnp.asarray(_PULL_ALL[:, :, :64])        # [8, 216, 64]
@@ -354,12 +370,19 @@ def prepare_bins(sim: MPMSim, state: MPMState, cfg: BinnedConfig
     nbr8_blocks = jnp.where(table.mask[:, None], nbr8_blocks, -1)
     tgt = nbr8_blocks[bin_block].T                      # [8, nbins]
     tgt = jnp.where(bin_live[None, :], tgt, -1)
-    sel_cat = (tgt.reshape(-1)[None, :] ==
-               jnp.arange(nb, dtype=jnp.int32)[:, None]).astype(jnp.float32)
+    # one-hot matmul wins at small scale (exact, MXU); segment/gather wins
+    # at large scale (the one-hot would be O(nb * 8B) HBM)
+    use_segments = nb * 8 * nbins > (1 << 27)
+    if use_segments:
+        sel_cat = jnp.zeros((1, 1), jnp.float32)
+    else:
+        sel_cat = (tgt.reshape(-1)[None, :] ==
+                   jnp.arange(nb, dtype=jnp.int32)[:, None]
+                   ).astype(jnp.float32)
 
     return BinWorkspace(grid, overflow, lane_ok, gsafe, flat_of_p, pmask0,
-                        rel0, wx, wx_i, S0, S1, S2, sel_cat,
-                        xb, vb, Fb, Cb, mban, volb)
+                        rel0, wx, wx_i, S0, S1, S2, sel_cat, tgt,
+                        xb, vb, Fb, Cb, mban, volb, use_segments)
 
 
 def explicit_step_binned(sim: MPMSim, state: MPMState, dt,
