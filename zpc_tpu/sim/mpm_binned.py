@@ -82,8 +82,8 @@ class BinWorkspace:
     flat_of_p: jax.Array        # [N] original -> flat bin lane
     pmask0: jax.Array           # [N]
     rel0: jax.Array             # [B, K, 3] block-origin-world - x_p
-    wx: jax.Array               # [B, K, 6]
-    wx_i: jax.Array
+    wx: jax.Array               # [6, B, K] per-plane x-axis stencils
+    wx_i: jax.Array             # [6, B, K] index-weighted
     S0: jax.Array               # [B, K, 36]
     S1: jax.Array
     S2: jax.Array
@@ -134,13 +134,14 @@ class BinWorkspace:
         nbins = self.nbins
         out = jnp.zeros((nbins, side, 36, C), jnp.float32)
         for a in range(side):
-            qa = self.wx[:, :, a:a + 1] * Q0 + \
-                self.wx_i[:, :, a:a + 1] * QA[0]
+            # [B,K] planes (never materialize [B,K,1] — XLA hoists those
+            # out of solver loops with a 128x-padded layout)
+            wa = self.wx[a][..., None]
+            wai = self.wx_i[a][..., None]
+            qa = wa * Q0 + wai * QA[0]
             cube_a = _einsum_nk(self.S0, qa)
-            cube_a = cube_a + _einsum_nk(
-                self.S1, self.wx[:, :, a:a + 1] * QA[1])
-            cube_a = cube_a + _einsum_nk(
-                self.S2, self.wx[:, :, a:a + 1] * QA[2])
+            cube_a = cube_a + _einsum_nk(self.S1, wa * QA[1])
+            cube_a = cube_a + _einsum_nk(self.S2, wa * QA[2])
             out = out.at[:, a].set(cube_a)
         out = out.reshape(nbins, 216, C)
         from ..ops.p2g_pallas import _SPILL_ALL
@@ -201,8 +202,8 @@ class BinWorkspace:
                             preferred_element_type=jnp.float32)
             m2 = jnp.einsum("bkm,bmc->bkc", self.S2, Va, precision=_PREC,
                             preferred_element_type=jnp.float32)
-            wa = self.wx[:, :, a:a + 1]
-            wai = self.wx_i[:, :, a:a + 1]
+            wa = self.wx[a][..., None]
+            wai = self.wx_i[a][..., None]
             s0 = s0 + wa * m0
             sx = sx + wai * m0
             sy = sy + wa * m1
@@ -357,6 +358,9 @@ def prepare_bins(sim: MPMSim, state: MPMState, cfg: BinnedConfig
     S0 = (wy[:, :, :, None] * wz[:, :, None, :]).reshape(nbins, K, 36)
     S1 = (wy_i[:, :, :, None] * wz[:, :, None, :]).reshape(nbins, K, 36)
     S2 = (wy[:, :, :, None] * wz_i[:, :, None, :]).reshape(nbins, K, 36)
+    # plane-major stencil layout (see p2g comment)
+    wx = jnp.moveaxis(wx, 2, 0)
+    wx_i = jnp.moveaxis(wx_i, 2, 0)
     rel0 = (borigin[:, None, :].astype(xb.dtype)) * dx - xb
 
     # concatenated one-hot selection (bins + 7 spill dirs -> blocks)
