@@ -134,10 +134,11 @@ class BinWorkspace:
         nbins = self.nbins
         out = jnp.zeros((nbins, side, 36, C), jnp.float32)
         for a in range(side):
-            # [B,K] planes (never materialize [B,K,1] — XLA hoists those
-            # out of solver loops with a 128x-padded layout)
-            wa = self.wx[a][..., None]
-            wai = self.wx_i[a][..., None]
+            # optimization_barrier keeps the [B,K,1] broadcast slices from
+            # being hoisted out of solver loops (XLA stores hoisted
+            # trailing-1 values 128x lane-padded: 512MB each at 1M scale)
+            wa = jax.lax.optimization_barrier(self.wx[a])[..., None]
+            wai = jax.lax.optimization_barrier(self.wx_i[a])[..., None]
             qa = wa * Q0 + wai * QA[0]
             cube_a = _einsum_nk(self.S0, qa)
             cube_a = cube_a + _einsum_nk(self.S1, wa * QA[1])
@@ -202,8 +203,8 @@ class BinWorkspace:
                             preferred_element_type=jnp.float32)
             m2 = jnp.einsum("bkm,bmc->bkc", self.S2, Va, precision=_PREC,
                             preferred_element_type=jnp.float32)
-            wa = self.wx[a][..., None]
-            wai = self.wx_i[a][..., None]
+            wa = jax.lax.optimization_barrier(self.wx[a])[..., None]
+            wai = jax.lax.optimization_barrier(self.wx_i[a])[..., None]
             s0 = s0 + wa * m0
             sx = sx + wai * m0
             sy = sy + wa * m1
