@@ -42,6 +42,46 @@ class TestSVD:
         np.testing.assert_allclose(rec, mats, atol=1e-5)
         np.testing.assert_allclose(np.linalg.det(U), 1.0, atol=1e-4)
 
+    def test_svd3x3_custom_jvp(self, rng):
+        """Analytic svd3x3 tangent vs central finite differences.
+
+        The closed-form custom_jvp (svd.py) is what the implicit MPM CG
+        operator differentiates through; checked on the well-conditioned
+        outputs s and R = U V^T, in the near-identity regime elasticity
+        lives in (repeated singular values — U, V individually are
+        non-differentiable there, R stays smooth).
+        """
+        F = jnp.asarray(np.eye(3, dtype=np.float32) +
+                        0.05 * rng.standard_normal((32, 3, 3)).astype(
+                            np.float32))
+        dA = jnp.asarray(rng.standard_normal((32, 3, 3)).astype(np.float32))
+        (U, s, V), (dU, ds, dV) = jax.jvp(
+            lambda X: zm.svd3x3(X), (F,), (dA,))
+        # exact identity: d(U diag(s) V^T) = dA (robust to the sorted-order
+        # branch crossings that break a finite-difference check on ds)
+        U_, s_, V_, dU_, ds_, dV_ = map(
+            np.asarray, (U, s, V, dU, ds, dV))
+        dRec = (np.einsum("nij,nj,nkj->nik", dU_, s_, V_) +
+                np.einsum("nij,nj,nkj->nik", U_, ds_, V_) +
+                np.einsum("nij,nj,nkj->nik", U_, s_, dV_))
+        assert np.isfinite(dRec).all()
+        # the clamped inverses intentionally bias dU/dV where singular
+        # values (nearly) coincide; check the identity away from that set
+        gap = np.min(np.abs(s_[:, :, None] - s_[:, None, :]) +
+                     10.0 * np.eye(3), axis=(1, 2))
+        ok = gap > 0.02
+        assert ok.sum() >= 8    # the 0.05-spread batch has plenty
+        np.testing.assert_allclose(dRec[ok], np.asarray(dA)[ok], atol=1e-3)
+        h = 1e-3
+        Up, sp, Vp = zm.svd3x3(F + h * dA)
+        Um, sm, Vm = zm.svd3x3(F - h * dA)
+        dR = np.einsum("nij,nkj->nik", np.asarray(dU), np.asarray(V)) + \
+            np.einsum("nij,nkj->nik", np.asarray(U), np.asarray(dV))
+        dR_fd = (np.einsum("nij,nkj->nik", np.asarray(Up), np.asarray(Vp)) -
+                 np.einsum("nij,nkj->nik", np.asarray(Um), np.asarray(Vm))
+                 ) / (2 * h)
+        np.testing.assert_allclose(dR, dR_fd, atol=5e-3)
+
     def test_svd2x2(self, rng):
         A = rng.standard_normal((32, 2, 2)).astype(np.float32)
         U, s, V = zm.svd2x2(jnp.asarray(A))

@@ -20,6 +20,8 @@ All fp32; a ``compensated`` fp64-free path is unnecessary at MPM tolerances.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -52,60 +54,74 @@ def eigh3x3(A, sweeps: int = 6):
     columns).  Fixed sweep count -> no data-dependent control flow.
 
     Scalar form: the symmetric matrix is carried as its 6 unique entries and
-    V as 3 column vectors; each rotation is ~15 elementwise FMAs.  (A
+    V as 9 scalar components; each rotation is ~20 elementwise FMAs.  (A
     matrix-product formulation measured 1.8 s for 256k batches on v5e — tiny
-    batched matmuls and per-element updates are TPU anti-patterns.)
+    batched matmuls and per-element updates are TPU anti-patterns.)  No
+    intermediate ever has a trailing length-1 axis: such values, when XLA
+    hoists them out of a solver loop (e.g. the jvp-through-svd primal inside
+    implicit CG), are stored 128x lane-padded (512 MB each at 1M particles).
     """
     Ah = 0.5 * (A + jnp.swapaxes(A, -1, -2))
     a00, a11, a22 = Ah[..., 0, 0], Ah[..., 1, 1], Ah[..., 2, 2]
     a01, a02, a12 = Ah[..., 0, 1], Ah[..., 0, 2], Ah[..., 1, 2]
     one = jnp.ones_like(a00)
     zero = jnp.zeros_like(a00)
-    # V columns
-    v0 = jnp.stack([one, zero, zero], -1)
-    v1 = jnp.stack([zero, one, zero], -1)
-    v2 = jnp.stack([zero, zero, one], -1)
+    # V columns as 9 scalar components: v<col><component>
+    v0x, v0y, v0z = one, zero, zero
+    v1x, v1y, v1z = zero, one, zero
+    v2x, v2y, v2z = zero, zero, one
 
     def rot01(s):
-        a00, a11, a22, a01, a02, a12, v0, v1, v2 = s
+        (a00, a11, a22, a01, a02, a12,
+         v0x, v0y, v0z, v1x, v1y, v1z, v2x, v2y, v2z) = s
         c, sn = _jacobi_rotation(a00, a11, a01)
         n00 = c * c * a00 - 2 * sn * c * a01 + sn * sn * a11
         n11 = sn * sn * a00 + 2 * sn * c * a01 + c * c * a11
         n02 = c * a02 - sn * a12
         n12 = sn * a02 + c * a12
-        cc, ss = c[..., None], sn[..., None]
-        nv0 = cc * v0 - ss * v1
-        nv1 = ss * v0 + cc * v1
-        return n00, n11, a22, zero, n02, n12, nv0, nv1, v2
+        nv0x, nv0y, nv0z = (c * v0x - sn * v1x, c * v0y - sn * v1y,
+                            c * v0z - sn * v1z)
+        nv1x, nv1y, nv1z = (sn * v0x + c * v1x, sn * v0y + c * v1y,
+                            sn * v0z + c * v1z)
+        return (n00, n11, a22, zero, n02, n12,
+                nv0x, nv0y, nv0z, nv1x, nv1y, nv1z, v2x, v2y, v2z)
 
     def rot02(s):
-        a00, a11, a22, a01, a02, a12, v0, v1, v2 = s
+        (a00, a11, a22, a01, a02, a12,
+         v0x, v0y, v0z, v1x, v1y, v1z, v2x, v2y, v2z) = s
         c, sn = _jacobi_rotation(a00, a22, a02)
         n00 = c * c * a00 - 2 * sn * c * a02 + sn * sn * a22
         n22 = sn * sn * a00 + 2 * sn * c * a02 + c * c * a22
         n01 = c * a01 - sn * a12
         n12 = sn * a01 + c * a12
-        cc, ss = c[..., None], sn[..., None]
-        nv0 = cc * v0 - ss * v2
-        nv2 = ss * v0 + cc * v2
-        return n00, a11, n22, n01, zero, n12, nv0, v1, nv2
+        nv0x, nv0y, nv0z = (c * v0x - sn * v2x, c * v0y - sn * v2y,
+                            c * v0z - sn * v2z)
+        nv2x, nv2y, nv2z = (sn * v0x + c * v2x, sn * v0y + c * v2y,
+                            sn * v0z + c * v2z)
+        return (n00, a11, n22, n01, zero, n12,
+                nv0x, nv0y, nv0z, v1x, v1y, v1z, nv2x, nv2y, nv2z)
 
     def rot12(s):
-        a00, a11, a22, a01, a02, a12, v0, v1, v2 = s
+        (a00, a11, a22, a01, a02, a12,
+         v0x, v0y, v0z, v1x, v1y, v1z, v2x, v2y, v2z) = s
         c, sn = _jacobi_rotation(a11, a22, a12)
         n11 = c * c * a11 - 2 * sn * c * a12 + sn * sn * a22
         n22 = sn * sn * a11 + 2 * sn * c * a12 + c * c * a22
         n01 = c * a01 - sn * a02
         n02 = sn * a01 + c * a02
-        cc, ss = c[..., None], sn[..., None]
-        nv1 = cc * v1 - ss * v2
-        nv2 = ss * v1 + cc * v2
-        return a00, n11, n22, n01, n02, zero, v0, nv1, nv2
+        nv1x, nv1y, nv1z = (c * v1x - sn * v2x, c * v1y - sn * v2y,
+                            c * v1z - sn * v2z)
+        nv2x, nv2y, nv2z = (sn * v1x + c * v2x, sn * v1y + c * v2y,
+                            sn * v1z + c * v2z)
+        return (a00, n11, n22, n01, n02, zero,
+                v0x, v0y, v0z, nv1x, nv1y, nv1z, nv2x, nv2y, nv2z)
 
-    s = (a00, a11, a22, a01, a02, a12, v0, v1, v2)
+    s = (a00, a11, a22, a01, a02, a12,
+         v0x, v0y, v0z, v1x, v1y, v1z, v2x, v2y, v2z)
     for _ in range(sweeps):
         s = rot12(rot02(rot01(s)))
-    a00, a11, a22, a01, a02, a12, v0, v1, v2 = s
+    (a00, a11, a22, a01, a02, a12,
+     v0x, v0y, v0z, v1x, v1y, v1z, v2x, v2y, v2z) = s
 
     # descending sort by a 3-element compare-swap network (argsort +
     # take_along_axis costs minor-axis gathers on TPU; where-swaps are free)
@@ -113,17 +129,20 @@ def eigh3x3(A, sweeps: int = 6):
         swap = wb > wa
         wa2 = jnp.where(swap, wb, wa)
         wb2 = jnp.where(swap, wa, wb)
-        sw = swap[..., None]
-        va2 = jnp.where(sw, vb, va)
-        vb2 = jnp.where(sw, va, vb)
+        va2 = tuple(jnp.where(swap, b, a) for a, b in zip(va, vb))
+        vb2 = tuple(jnp.where(swap, a, b) for a, b in zip(va, vb))
         return wa2, va2, wb2, vb2
 
     w0, w1, w2 = a00, a11, a22
+    v0, v1, v2 = (v0x, v0y, v0z), (v1x, v1y, v1z), (v2x, v2y, v2z)
     w0, v0, w1, v1 = cswap(w0, v0, w1, v1)
     w1, v1, w2, v2 = cswap(w1, v1, w2, v2)
     w0, v0, w1, v1 = cswap(w0, v0, w1, v1)
     w = jnp.stack([w0, w1, w2], -1)
-    V = jnp.stack([v0, v1, v2], -1)       # columns
+    V = jnp.stack([
+        jnp.stack([v0[0], v1[0], v2[0]], -1),
+        jnp.stack([v0[1], v1[1], v2[1]], -1),
+        jnp.stack([v0[2], v1[2], v2[2]], -1)], -2)   # columns
     return w, V
 
 
@@ -154,50 +173,143 @@ def svd2x2(A):
     return U, sigma, V
 
 
+def _svd3x3_impl(A, sweeps: int = 6):
+    ATA = mm(jnp.swapaxes(A, -1, -2), A)
+    _, V = eigh3x3(ATA, sweeps)
+    # det(V) = +1: negate the third column if needed — scalar-form sign
+    # multiply (a [..,1,1]-shaped where mask would be hoisted lane-padded
+    # out of solver loops, see eigh3x3 docstring)
+    sgn = jnp.where(det3(V) < 0, -1.0, 1.0)
+    V = jnp.stack([
+        jnp.stack([V[..., i, 0], V[..., i, 1], sgn * V[..., i, 2]], -1)
+        for i in range(3)], -2)
+    B = mm(A, V)                    # = U diag(s)
+    # Build U by normalizing B's columns, Gram-Schmidt completing any
+    # degenerate ones.  Everything below is written in *scalar form* —
+    # per-component [..] arrays, never a trailing length-1 axis — because
+    # values of shape [.., 1] that survive to a loop boundary get laid out
+    # lane-padded 128x by XLA (each bf16[16384,128,1] hoisted residual of
+    # this function cost 512 MB inside the implicit CG loop at 1M
+    # particles; scalar form keeps every crossing value [..]-shaped).
+    eps = jnp.asarray(1e-12, A.dtype)
+    b0x, b0y, b0z = B[..., 0, 0], B[..., 1, 0], B[..., 2, 0]
+    b1x, b1y, b1z = B[..., 0, 1], B[..., 1, 1], B[..., 2, 1]
+    b2x, b2y, b2z = B[..., 0, 2], B[..., 1, 2], B[..., 2, 2]
+    s0 = jnp.sqrt(jnp.maximum(b0x * b0x + b0y * b0y + b0z * b0z, 0.0))
+    s1 = jnp.sqrt(jnp.maximum(b1x * b1x + b1y * b1y + b1z * b1z, 0.0))
+    inv0 = 1.0 / jnp.maximum(s0, eps)
+    u0x, u0y, u0z = b0x * inv0, b0y * inv0, b0z * inv0
+    d = b1x * u0x + b1y * u0y + b1z * u0z
+    w1x, w1y, w1z = b1x - d * u0x, b1y - d * u0y, b1z - d * u0z
+    n1 = jnp.sqrt(jnp.maximum(w1x * w1x + w1y * w1y + w1z * w1z, 0.0))
+    # fallback direction when column degenerate: any vector orthogonal to
+    # u0 — cross(u0, e_x) = (0, u0z, -u0y), cross(u0, e_y) = (-u0z, 0, u0x)
+    na = jnp.sqrt(u0y * u0y + u0z * u0z)
+    use_ex = na > 1e-6
+    ax = jnp.where(use_ex, 0.0, -u0z)
+    ay = jnp.where(use_ex, u0z, 0.0)
+    az = jnp.where(use_ex, -u0y, u0x)
+    inva = 1.0 / jnp.maximum(jnp.sqrt(ax * ax + ay * ay + az * az), eps)
+    ok1 = n1 > 1e-8
+    inv1 = 1.0 / jnp.maximum(n1, eps)
+    u1x = jnp.where(ok1, w1x * inv1, ax * inva)
+    u1y = jnp.where(ok1, w1y * inv1, ay * inva)
+    u1z = jnp.where(ok1, w1z * inv1, az * inva)
+    # right-handed completion => det(U) = +1
+    u2x = u0y * u1z - u0z * u1y
+    u2y = u0z * u1x - u0x * u1z
+    u2z = u0x * u1y - u0y * u1x
+    # degenerate first column (A ~ 0): fall back to identity frame
+    tiny = s0 < 1e-12
+    one = jnp.ones_like(s0)
+    zero = jnp.zeros_like(s0)
+    u0x = jnp.where(tiny, one, u0x)
+    u0y = jnp.where(tiny, zero, u0y)
+    u0z = jnp.where(tiny, zero, u0z)
+    u1x = jnp.where(tiny, zero, u1x)
+    u1y = jnp.where(tiny, one, u1y)
+    u1z = jnp.where(tiny, zero, u1z)
+    u2x = jnp.where(tiny, zero, u2x)
+    u2y = jnp.where(tiny, zero, u2y)
+    u2z = jnp.where(tiny, one, u2z)
+    U = jnp.stack([
+        jnp.stack([u0x, u1x, u2x], -1),
+        jnp.stack([u0y, u1y, u2y], -1),
+        jnp.stack([u0z, u1z, u2z], -1)], -2)
+    # Signed sigma_2: U is a rotation by construction, so for reflective A
+    # (det < 0) the third column of B = U diag(s) points along -u2; the
+    # projection gives the correctly signed singular value directly.
+    s2 = u2x * b2x + u2y * b2y + u2z * b2z
+    s = jnp.stack([s0, s1, s2], -1)
+    return U, s, V
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(1,))
 def svd3x3(A, sweeps: int = 6):
     """Batched 3x3 SVD, rotation convention: ``A = U diag(s) V^T`` with
     ``det(U) = det(V) = +1`` and ``s0 >= s1 >= |s2|`` (s2 may be negative for
     reflective A) — the convention corotated elasticity expects
     (reference QRSVD.hpp).
+
+    Carries a closed-form ``custom_jvp``: differentiating *through* the
+    unrolled Jacobi sweeps makes jvp graphs explode (XLA:CPU compiles took
+    tens of minutes inside the implicit solver tests) and litters solver
+    loops with hoisted intermediates.  The analytic rule below is ~60
+    elementwise ops.
     """
-    ATA = mm(jnp.swapaxes(A, -1, -2), A)
-    _, V = eigh3x3(ATA, sweeps)
-    V = jnp.where(det3(V)[..., None, None] < 0,
-                  jnp.concatenate([V[..., :2], -V[..., 2:]], -1), V)
-    B = mm(A, V)                    # = U diag(s)
-    # column norms
-    s = jnp.sqrt(jnp.maximum(jnp.sum(B * B, axis=-2), 0.0))
-    # Build U by normalizing columns; handle near-zero columns via
-    # Gram-Schmidt completion against the larger columns.
-    eps = jnp.asarray(1e-12, A.dtype)
-    u0 = B[..., :, 0] / jnp.maximum(s[..., 0:1], eps)
-    u1 = B[..., :, 1] - jnp.sum(B[..., :, 1] * u0, -1, keepdims=True) * u0
-    n1 = jnp.linalg.norm(u1, axis=-1, keepdims=True)
-    # fallback direction when column degenerate: pick any vector orthogonal
-    # to u0
-    alt = jnp.cross(u0, jnp.broadcast_to(
-        jnp.asarray([1.0, 0.0, 0.0], A.dtype), u0.shape))
-    alt2 = jnp.cross(u0, jnp.broadcast_to(
-        jnp.asarray([0.0, 1.0, 0.0], A.dtype), u0.shape))
-    alt = jnp.where(jnp.linalg.norm(alt, axis=-1, keepdims=True) > 1e-6,
-                    alt, alt2)
-    alt = alt / jnp.maximum(jnp.linalg.norm(alt, axis=-1, keepdims=True), eps)
-    u1 = jnp.where(n1 > 1e-8, u1 / jnp.maximum(n1, eps), alt)
-    u2 = jnp.cross(u0, u1)   # right-handed completion => det(U) = +1
-    # degenerate first column (A ~ 0): fall back to identity frame
-    tiny = (s[..., 0:1] < 1e-12)
-    e0 = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], A.dtype), u0.shape)
-    e1 = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0], A.dtype), u0.shape)
-    e2 = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], A.dtype), u0.shape)
-    u0 = jnp.where(tiny, e0, u0)
-    u1 = jnp.where(tiny, e1, u1)
-    u2 = jnp.where(tiny, e2, u2)
-    U = jnp.stack([u0, u1, u2], axis=-1)
-    # Signed sigma_2: U is a rotation by construction, so for reflective A
-    # (det < 0) the third column of B = U diag(s) points along -u2; the
-    # projection gives the correctly signed singular value directly.
-    s = s.at[..., 2].set(jnp.sum(u2 * B[..., :, 2], -1))
-    return U, s, V
+    return _svd3x3_impl(A, sweeps)
+
+
+@svd3x3.defjvp
+def _svd3x3_jvp(sweeps, primals, tangents):
+    """Analytic SVD differential.
+
+    With ``U^T dU = Om_U`` and ``V^T dV = Om_V`` (both skew) and
+    ``P = U^T dA V``:  ``P = Om_U S + diag(ds) - S Om_V``, giving
+    ``ds_i = P_ii`` and, per off-diagonal pair (i < j), the 2x2 system
+    ``s_j x - s_i y = P_ij``, ``s_j y - s_i x = P_ji`` for
+    ``x = Om_U[i,j]``, ``y = Om_V[i,j]``.  Solved via the conditioning
+    split ``x + y = (P_ij + P_ji) / (s_j - s_i)`` (singular at repeated
+    singular values — U, V individually are non-differentiable there) and
+    ``x - y = (P_ij - P_ji) / (s_j + s_i)`` (the part rotations R = U V^T
+    actually consume), with scale-invariant clamped inverses so repeated /
+    opposite singular values degrade gracefully instead of producing inf.
+    """
+    (A,) = primals
+    (dA,) = tangents
+    U, s, V = _svd3x3_impl(A, sweeps)
+    P = mm(mm(jnp.swapaxes(U, -1, -2), dA), V)
+    ds = jnp.stack([P[..., 0, 0], P[..., 1, 1], P[..., 2, 2]], -1)
+
+    def _pair(i, j):
+        si, sj = s[..., i], s[..., j]
+        pij, pji = P[..., i, j], P[..., j, i]
+        d, t = sj - si, sj + si
+        # absolute floor 1e-12 (not epsilon-tiny): TPUs flush subnormals
+        # to zero, and 1e-8 * 1e-30 == 1e-38 flushes -> 0/0 = NaN for
+        # zero/near-zero matrices (caught by a degenerate-input probe on
+        # real hardware)
+        m2 = si * si + sj * sj + 1e-12
+        inv_d = d / (d * d + 1e-8 * m2)
+        inv_t = t / (t * t + 1e-8 * m2)
+        xpy = (pij + pji) * inv_d
+        xmy = (pij - pji) * inv_t
+        return 0.5 * (xpy + xmy), 0.5 * (xpy - xmy)
+
+    u01, v01 = _pair(0, 1)
+    u02, v02 = _pair(0, 2)
+    u12, v12 = _pair(1, 2)
+    zero = jnp.zeros_like(ds[..., 0])
+
+    def _skew(w01, w02, w12):
+        return jnp.stack([
+            jnp.stack([zero, w01, w02], -1),
+            jnp.stack([-w01, zero, w12], -1),
+            jnp.stack([-w02, -w12, zero], -1)], -2)
+
+    dU = mm(U, _skew(u01, u02, u12))
+    dV = mm(V, _skew(v01, v02, v12))
+    return (U, s, V), (dU, ds, dV)
 
 
 def polar_decomposition(A, sweeps: int = 6):
@@ -205,7 +317,11 @@ def polar_decomposition(A, sweeps: int = 6):
     QRSVD.hpp) — used by corotated models."""
     U, s, V = svd3x3(A, sweeps)
     R = mm(U, jnp.swapaxes(V, -1, -2))
-    S = mm(V, s[..., :, None] * jnp.swapaxes(V, -1, -2))
+    Vt = jnp.swapaxes(V, -1, -2)
+    sVt = jnp.stack([jnp.stack(
+        [s[..., i] * Vt[..., i, j] for j in range(3)], -1)
+        for i in range(3)], -2)
+    S = mm(V, sVt)
     return R, S
 
 

@@ -20,7 +20,25 @@ import jax.numpy as jnp
 from jax import lax
 
 __all__ = ["mm", "mm33", "det3", "mv", "outer", "trace", "frobenius",
-           "identity_like", "cross_matrix"]
+           "identity_like", "cross_matrix", "scale_trailing"]
+
+
+def scale_trailing(w, X):
+    """``w[..., None, ...] * X`` without ever materializing a trailing-1
+    broadcast of ``w``.
+
+    Multiplies a scalar field ``w`` (shape = X.shape[:w.ndim]) into the
+    trailing dims of ``X`` channel-by-channel.  On TPU, a value shaped
+    ``[..., 1]`` that XLA hoists out of a solver loop (``lax.while_loop``)
+    is stored lane-padded 128x — at 1M particles each hoisted
+    ``bf16[16384,128,1]`` stencil broadcast cost 512 MB of HBM inside the
+    implicit CG loop.  Unrolling over the (static, tiny) trailing dims keeps
+    every loop-crossing value at ``w``'s own cleanly-tiled shape.
+    """
+    tail = X.shape[w.ndim:]
+    flat = X.reshape(X.shape[:w.ndim] + (-1,))
+    cols = [w * flat[..., i] for i in range(flat.shape[-1])]
+    return jnp.stack(cols, -1).reshape(X.shape[:w.ndim] + tail)
 
 
 def mm(a, b):

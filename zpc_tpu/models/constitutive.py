@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..math.svd import svd3x3, svd2x2
-from ..math.vecmat import mm, det3
+from ..math.vecmat import mm, det3, scale_trailing
 
 __all__ = [
     "lame_parameters",
@@ -155,10 +155,13 @@ class FixedCorotated(ElasticModel):
         U, s, V = _svd(F)
         R = mm(U, jnp.swapaxes(V, -1, -2))
         J = jnp.prod(s, -1)
-        mu = bcast_scalar(self.mu, F)
-        lam = bcast_scalar(self.lam, F)
-        return 2.0 * mu * (F - R) + \
-            lam * (J - 1.0)[..., None, None] * _cof(F)
+        # scale_trailing, not `[..., None, None] *`: this runs inside the
+        # implicit CG loop (via jvp); hoisted trailing-1 broadcasts of the
+        # loop-invariant primal are stored 128x lane-padded by XLA
+        mu = bcast_scalar(self.mu, J)
+        lam = bcast_scalar(self.lam, J)
+        return scale_trailing(2.0 * mu * jnp.ones_like(J), F - R) + \
+            scale_trailing(lam * (J - 1.0), _cof(F))
 
 
 @jax.tree_util.register_dataclass

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..geometry.collider import resolve_boundaries
 from ..math.solvers import cg
-from ..math.vecmat import mm
+from ..math.vecmat import mm, scale_trailing
 from .mpm import MPMSim, MPMState
 from .mpm_binned import BinnedConfig, prepare_bins
 
@@ -65,30 +65,43 @@ def implicit_step_binned(sim: MPMSim, state: MPMState, dt,
     constrained = jnp.any(jnp.abs(v_bc - v_pred) > 0.0, axis=-1)
     free = has_mass & ~constrained
 
+    # NOTE: every scalar-field-times-tensor product consumed inside the CG
+    # while_loop goes through :func:`scale_trailing` — a plain
+    # ``field[..., None] *`` broadcast of a loop-invariant is hoisted by XLA
+    # and stored 128x lane-padded (512 MB per bf16[16384,128,1] at 1M
+    # particles, which OOMed this step).  Same for the invariant
+    # ``rel0[..., None, :]`` outer-product operand: unrolled per component.
+    free_f = free.astype(jnp.float32)
+    rel = [ws.rel0[..., d] for d in range(3)]
+
     def project(u):
-        return jnp.where(free[..., None], u, 0.0)
+        return scale_trailing(free_f, u)
 
     # ---- matrix-free (M + dt^2 K) u over [nb, 64, 3] ------------------------
     def K_action(u):
         s0, (sx, sy, sz) = ws.g2p(u)
-        dB = s0[..., :, None] * ws.rel0[..., None, :] + \
-            dx * jnp.stack([sx, sy, sz], axis=-1)
+        sidx = dx * jnp.stack([sx, sy, sz], axis=-1)
+        dB = jnp.stack([
+            jnp.stack([s0[..., i] * rel[j] for j in range(3)], -1)
+            for i in range(3)], -2) + sidx
         dC = Dinv * dB
         dF = dt * mm(dC, Fb)
         _, dP = jax.jvp(model.first_piola, (Fb,), (dF,))
         dtau = mm(dP, jnp.swapaxes(Fb, -1, -2))
-        A2 = (dt * Dinv * ws.volb)[..., None, None] * dtau
-        Qk = jnp.einsum("bkij,bkj->bki", A2, ws.rel0)
+        A2 = scale_trailing(dt * Dinv * ws.volb, dtau)
+        Qk = jnp.stack([
+            A2[..., i, 0] * rel[0] + A2[..., i, 1] * rel[1] +
+            A2[..., i, 2] * rel[2] for i in range(3)], -1)
         QAk = [dx * A2[..., :, d] for d in range(3)]
         return ws.p2g(Qk, QAk)
 
     def A(u):
-        return gm[..., None] * u + K_action(u)
+        return scale_trailing(gm, u) + K_action(u)
 
     def precondition(r):
-        return r * minv[..., None]
+        return scale_trailing(minv, r)
 
-    rhs = project(gm[..., None] * v_pred)
+    rhs = project(scale_trailing(gm, v_pred))
     res = cg(A, rhs, x0=project(v_pred), project=project,
              precondition=precondition, max_iters=cg_iters, rel_tol=cg_tol)
     gv = jnp.where(free[..., None], res.x, v_bc)

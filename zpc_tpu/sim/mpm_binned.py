@@ -39,7 +39,7 @@ import numpy as np
 from ..geometry.collider import resolve_boundaries
 from ..geometry.sparse_grid import SparseGrid, neighbor_offsets
 from ..math.interpolation import bspline_weights
-from ..math.vecmat import mm
+from ..math.vecmat import mm, scale_trailing
 from .mpm import MPMSim, MPMState
 
 __all__ = ["explicit_step_binned", "BinnedConfig", "BinWorkspace",
@@ -134,15 +134,13 @@ class BinWorkspace:
         nbins = self.nbins
         out = jnp.zeros((nbins, side, 36, C), jnp.float32)
         for a in range(side):
-            # optimization_barrier keeps the [B,K,1] broadcast slices from
-            # being hoisted out of solver loops (XLA stores hoisted
-            # trailing-1 values 128x lane-padded: 512MB each at 1M scale)
-            wa = jax.lax.optimization_barrier(self.wx[a])[..., None]
-            wai = jax.lax.optimization_barrier(self.wx_i[a])[..., None]
-            qa = wa * Q0 + wai * QA[0]
+            # scale_trailing (not `wx[a][..., None] *`): a hoisted trailing-1
+            # broadcast is stored 128x lane-padded by XLA inside solver loops
+            wa, wai = self.wx[a], self.wx_i[a]
+            qa = scale_trailing(wa, Q0) + scale_trailing(wai, QA[0])
             cube_a = _einsum_nk(self.S0, qa)
-            cube_a = cube_a + _einsum_nk(self.S1, wa * QA[1])
-            cube_a = cube_a + _einsum_nk(self.S2, wa * QA[2])
+            cube_a = cube_a + _einsum_nk(self.S1, scale_trailing(wa, QA[1]))
+            cube_a = cube_a + _einsum_nk(self.S2, scale_trailing(wa, QA[2]))
             out = out.at[:, a].set(cube_a)
         out = out.reshape(nbins, 216, C)
         from ..ops.p2g_pallas import _SPILL_ALL
@@ -203,12 +201,11 @@ class BinWorkspace:
                             preferred_element_type=jnp.float32)
             m2 = jnp.einsum("bkm,bmc->bkc", self.S2, Va, precision=_PREC,
                             preferred_element_type=jnp.float32)
-            wa = jax.lax.optimization_barrier(self.wx[a])[..., None]
-            wai = jax.lax.optimization_barrier(self.wx_i[a])[..., None]
-            s0 = s0 + wa * m0
-            sx = sx + wai * m0
-            sy = sy + wa * m1
-            sz = sz + wa * m2
+            wa, wai = self.wx[a], self.wx_i[a]
+            s0 = s0 + scale_trailing(wa, m0)
+            sx = sx + scale_trailing(wai, m0)
+            sy = sy + scale_trailing(wa, m1)
+            sz = sz + scale_trailing(wa, m2)
         return s0, [sx, sy, sz]
 
     def node_positions(self) -> jax.Array:
