@@ -147,7 +147,10 @@ def _p2g_kernel(origins_ref, params_ref,                # scalar prefetch
     Acol = [[data[:, 6 + 3 * i + j] for j in range(3)] for i in range(3)]
     m = data[:, 15]
     live = (m > 0.0).astype(x.dtype)
-    orig = [origins_ref[b, d].astype(x.dtype) for d in range(3)]
+    # origins rides scalar prefetch as [3, nbins]: SMEM pads the minor dim
+    # to 128 lanes, so a [nbins, 3] layout would occupy nbins*512B (2 MB at
+    # 4096 bins — over the 1 MB SMEM budget; observed on hardware)
+    orig = [origins_ref[d, b].astype(x.dtype) for d in range(3)]
 
     wx, wx_i, S0, S1, S2, rel0 = _full_stencils(x, orig, dx, live)
 
@@ -181,6 +184,7 @@ def p2g_bins(binned: jax.Array, origins: jax.Array, dt, dx, *,
     -zero); ``origins``: [nbins, 3] block cell coords.
     """
     nbins = binned.shape[0]
+    origins = origins.T    # [3, nbins]: long minor dim for SMEM (see kernel)
     params = jnp.stack([jnp.asarray(dt, jnp.float32),
                         jnp.asarray(dx, jnp.float32)])
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -203,7 +207,7 @@ def p2g_bins(binned: jax.Array, origins: jax.Array, dt, dx, *,
 # halo merge
 # ---------------------------------------------------------------------------
 
-def _halo_kernel(nbr_ref,                 # scalar prefetch [nb, 7]
+def _halo_kernel(nbr_ref,                 # scalar prefetch [7, nb]
                  sel_ref,                 # VMEM [8, 64, LCUBE]
                  cubes_ref,               # HBM [nb, ROWS, LCUBE]
                  out_ref,                 # VMEM [1, ROWS, 128]
@@ -217,7 +221,7 @@ def _halo_kernel(nbr_ref,                 # scalar prefetch [nb, 7]
     acc = jax.lax.dot_general(own[0:C4], sel_ref[0], cl,
                               preferred_element_type=jnp.float32)
     for d_i in range(len(_DIRS)):
-        nb_idx = nbr_ref[b, d_i]
+        nb_idx = nbr_ref[d_i, b]
         valid = (nb_idx >= 0).astype(jnp.float32)
         safe = jnp.maximum(nb_idx, 0)
         cp = pltpu.make_async_copy(cubes_ref.at[safe], nbrs, sem)
@@ -237,6 +241,7 @@ def halo_merge(block_cubes: jax.Array, nbr_idx: jax.Array,
     ``nbr_idx[b, i]`` = slot of the block at ``coord(b) - DIRS[i]``.
     """
     nb = block_cubes.shape[0]
+    nbr_idx = nbr_idx.T    # [7, nb]: long minor dim for SMEM (see p2g note)
     sel = jnp.asarray(_SPILL_ALL)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -275,7 +280,7 @@ def _g2p_kernel(origins_ref, nbr8_ref, params_ref,      # scalar prefetch
     cl = (((1,), (1,)), ((), ()))         # contract over the 128 node lanes
     Vc = jnp.zeros((3, CUBE), jnp.float32)
     for i in range(8):
-        nb_idx = nbr8_ref[b, i]
+        nb_idx = nbr8_ref[i, b]
         valid = (nb_idx >= 0).astype(jnp.float32)
         safe = jnp.maximum(nb_idx, 0)
         cp = pltpu.make_async_copy(gv_ref.at[safe], vscratch, sem)
@@ -290,7 +295,7 @@ def _g2p_kernel(origins_ref, nbr8_ref, params_ref,      # scalar prefetch
     Fcol = [[data[:, 16 + 3 * i + j] for j in range(3)] for i in range(3)]
     m = data[:, 15]
     live = (m > 0.0).astype(x.dtype)
-    orig = [origins_ref[b, d].astype(x.dtype) for d in range(3)]
+    orig = [origins_ref[d, b].astype(x.dtype) for d in range(3)]
 
     wx, wx_i, S0, S1, S2, rel0 = _full_stencils(x, orig, dx, None)
 
@@ -344,6 +349,8 @@ def g2p_bins(binned: jax.Array, gv: jax.Array, origins: jax.Array,
     neighbors, -1 when absent.
     """
     nbins = binned.shape[0]
+    origins = origins.T    # [3, nbins] — SMEM minor-dim padding, see p2g
+    nbr8 = nbr8.T          # [8, nbins]
     params = jnp.stack([jnp.asarray(dt, jnp.float32),
                         jnp.asarray(dx, jnp.float32)])
     pull = jnp.asarray(_PULL_ALL)
