@@ -46,6 +46,9 @@ C4 = 4           # mass + momentum channels
 ROWS = 8         # sublane-padded channel rows
 PACK_W = 28      # x(3) v(3) A(9) m(1) F(9) pad(3)
 OUT_W = 24       # x(3) v(3) F(9) C(9)
+GBATCH = 8       # bins per grid step (amortizes per-invocation overhead:
+                 # measured 5.2 us/bin at G=1 on v5e, mostly prologue + DMA
+                 # setup, vs <1 us of MXU work)
 
 _DIRS = [d for d in
          [(i, j, k) for i in (0, 1) for j in (0, 1) for k in (0, 1)]
@@ -137,43 +140,47 @@ def _full_stencils(x, orig, dx, live):
 # ---------------------------------------------------------------------------
 
 def _p2g_kernel(origins_ref, params_ref,                # scalar prefetch
-                bin_ref,                                # VMEM [1, K, PACK_W]
-                out_ref):                               # VMEM [1, ROWS, LCUBE]
+                bin_ref,                                # VMEM [G, K, PACK_W]
+                out_ref):                               # VMEM [G, ROWS, LCUBE]
     b = pl.program_id(0)
     dx = params_ref[1]
-    data = bin_ref[0]                                   # [K, PACK_W]
-    x = data[:, 0:3]
-    v = data[:, 3:6]
-    Acol = [[data[:, 6 + 3 * i + j] for j in range(3)] for i in range(3)]
-    m = data[:, 15]
-    live = (m > 0.0).astype(x.dtype)
-    # origins rides scalar prefetch as [3, nbins]: SMEM pads the minor dim
-    # to 128 lanes, so a [nbins, 3] layout would occupy nbins*512B (2 MB at
-    # 4096 bins — over the 1 MB SMEM budget; observed on hardware)
-    orig = [origins_ref[d, b].astype(x.dtype) for d in range(3)]
+    for g in range(GBATCH):
+        data = bin_ref[g]                               # [K, PACK_W]
+        x = data[:, 0:3]
+        v = data[:, 3:6]
+        Acol = [[data[:, 6 + 3 * i + j] for j in range(3)]
+                for i in range(3)]
+        m = data[:, 15]
+        live = (m > 0.0).astype(x.dtype)
+        # origins rides scalar prefetch as [3, nbins]: SMEM pads the minor
+        # dim to 128 lanes, so a [nbins, 3] layout would occupy nbins*512B
+        # (2 MB at 4096 bins — over the 1 MB SMEM budget; observed on
+        # hardware)
+        orig = [origins_ref[d, b * GBATCH + g].astype(x.dtype)
+                for d in range(3)]
 
-    wx, wx_i, S0, S1, S2, rel0 = _full_stencils(x, orig, dx, live)
+        wx, wx_i, S0, S1, S2, rel0 = _full_stencils(x, orig, dx, live)
 
-    u0 = [m * v[:, i] +
-          Acol[i][0] * rel0[0] + Acol[i][1] * rel0[1] + Acol[i][2] * rel0[2]
-          for i in range(3)]
-    Q0 = jnp.stack([m, u0[0], u0[1], u0[2]], axis=1)    # [K, 4]
-    zeros = jnp.zeros((K,), x.dtype)
-    QA = [jnp.stack([zeros, dx * Acol[0][d], dx * Acol[1][d],
-                     dx * Acol[2][d]], axis=1) for d in range(3)]
+        u0 = [m * v[:, i] + Acol[i][0] * rel0[0] +
+              Acol[i][1] * rel0[1] + Acol[i][2] * rel0[2]
+              for i in range(3)]
+        Q0 = jnp.stack([m, u0[0], u0[1], u0[2]], axis=1)    # [K, 4]
+        zeros = jnp.zeros((K,), x.dtype)
+        QA = [jnp.stack([zeros, dx * Acol[0][d], dx * Acol[1][d],
+                         dx * Acol[2][d]], axis=1) for d in range(3)]
 
-    out_ref[0] = jnp.zeros((ROWS, LCUBE), jnp.float32)  # pad rows/lanes
-    cm = (((0,), (0,)), ((), ()))                       # contract over K
-    for a in range(SIDE):
-        qa = wx[:, a:a + 1] * Q0 + wx_i[:, a:a + 1] * QA[0]
-        # [C4, 36] = qa^T * S: channel-major directly, no transposes
-        plane = jax.lax.dot_general(qa, S0, cm,
-                                    preferred_element_type=jnp.float32)
-        plane += jax.lax.dot_general(wx[:, a:a + 1] * QA[1], S1, cm,
-                                     preferred_element_type=jnp.float32)
-        plane += jax.lax.dot_general(wx[:, a:a + 1] * QA[2], S2, cm,
-                                     preferred_element_type=jnp.float32)
-        out_ref[0, 0:C4, a * 36:(a + 1) * 36] = plane
+        out_ref[g] = jnp.zeros((ROWS, LCUBE), jnp.float32)  # pad rows/lanes
+        cm = (((0,), (0,)), ((), ()))                       # contract over K
+        for a in range(SIDE):
+            qa = wx[:, a:a + 1] * Q0 + wx_i[:, a:a + 1] * QA[0]
+            # [C4, 36] = qa^T * S: channel-major directly, no transposes
+            plane = jax.lax.dot_general(qa, S0, cm,
+                                        preferred_element_type=jnp.float32)
+            plane += jax.lax.dot_general(wx[:, a:a + 1] * QA[1], S1, cm,
+                                         preferred_element_type=jnp.float32)
+            plane += jax.lax.dot_general(wx[:, a:a + 1] * QA[2], S2, cm,
+                                         preferred_element_type=jnp.float32)
+            out_ref[g, 0:C4, a * 36:(a + 1) * 36] = plane
 
 
 def p2g_bins(binned: jax.Array, origins: jax.Array, dt, dx, *,
@@ -184,15 +191,17 @@ def p2g_bins(binned: jax.Array, origins: jax.Array, dt, dx, *,
     -zero); ``origins``: [nbins, 3] block cell coords.
     """
     nbins = binned.shape[0]
+    assert nbins % GBATCH == 0, "bins_capacity must be a multiple of GBATCH"
     origins = origins.T    # [3, nbins]: long minor dim for SMEM (see kernel)
     params = jnp.stack([jnp.asarray(dt, jnp.float32),
                         jnp.asarray(dx, jnp.float32)])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(nbins,),
-        in_specs=[pl.BlockSpec((1, K, PACK_W), lambda b, *_: (b, 0, 0),
+        grid=(nbins // GBATCH,),
+        in_specs=[pl.BlockSpec((GBATCH, K, PACK_W), lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, ROWS, LCUBE), lambda b, *_: (b, 0, 0),
+        out_specs=pl.BlockSpec((GBATCH, ROWS, LCUBE),
+                               lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
@@ -269,18 +278,25 @@ def halo_merge(block_cubes: jax.Array, nbr_idx: jax.Array,
 
 def _g2p_kernel(origins_ref, nbr8_ref, params_ref,      # scalar prefetch
                 pull_ref,                 # VMEM [8, CUBE, 128]
-                bin_ref,                  # VMEM [1, K, PACK_W]
+                bin_ref,                  # VMEM [G, K, PACK_W]
                 gv_ref,                   # HBM [nb, ROWS, 128] rows0..2 = v
-                out_ref,                  # VMEM [1, K, OUT_W]
+                out_ref,                  # VMEM [G, K, OUT_W]
                 vscratch, sem):
     b = pl.program_id(0)
     dt = params_ref[0]
     dx = params_ref[1]
+    for g in range(GBATCH):
+        _g2p_one(origins_ref, nbr8_ref, pull_ref, bin_ref, gv_ref,
+                 out_ref, vscratch, sem, b * GBATCH + g, g, dt, dx)
+
+
+def _g2p_one(origins_ref, nbr8_ref, pull_ref, bin_ref, gv_ref, out_ref,
+             vscratch, sem, bi, g, dt, dx):
     # assemble halo'd node velocities Vc [3, CUBE] via pull matmuls
     cl = (((1,), (1,)), ((), ()))         # contract over the 128 node lanes
     Vc = jnp.zeros((3, CUBE), jnp.float32)
     for i in range(8):
-        nb_idx = nbr8_ref[i, b]
+        nb_idx = nbr8_ref[i, bi]
         valid = (nb_idx >= 0).astype(jnp.float32)
         safe = jnp.maximum(nb_idx, 0)
         cp = pltpu.make_async_copy(gv_ref.at[safe], vscratch, sem)
@@ -290,12 +306,12 @@ def _g2p_kernel(origins_ref, nbr8_ref, params_ref,      # scalar prefetch
             vscratch[0:3], pull_ref[i], cl,
             preferred_element_type=jnp.float32)
 
-    data = bin_ref[0]
+    data = bin_ref[g]
     x = data[:, 0:3]
     Fcol = [[data[:, 16 + 3 * i + j] for j in range(3)] for i in range(3)]
     m = data[:, 15]
     live = (m > 0.0).astype(x.dtype)
-    orig = [origins_ref[d, b].astype(x.dtype) for d in range(3)]
+    orig = [origins_ref[d, bi].astype(x.dtype) for d in range(3)]
 
     wx, wx_i, S0, S1, S2, rel0 = _full_stencils(x, orig, dx, None)
 
@@ -336,7 +352,7 @@ def _g2p_kernel(origins_ref, nbr8_ref, params_ref,      # scalar prefetch
     for i in range(3):
         for j in range(3):
             cols.append(Ccol[i][j] * live)
-    out_ref[0] = jnp.stack(cols, axis=1)
+    out_ref[g] = jnp.stack(cols, axis=1)
 
 
 def g2p_bins(binned: jax.Array, gv: jax.Array, origins: jax.Array,
@@ -349,6 +365,7 @@ def g2p_bins(binned: jax.Array, gv: jax.Array, origins: jax.Array,
     neighbors, -1 when absent.
     """
     nbins = binned.shape[0]
+    assert nbins % GBATCH == 0, "bins_capacity must be a multiple of GBATCH"
     origins = origins.T    # [3, nbins] — SMEM minor-dim padding, see p2g
     nbr8 = nbr8.T          # [8, nbins]
     params = jnp.stack([jnp.asarray(dt, jnp.float32),
@@ -356,13 +373,14 @@ def g2p_bins(binned: jax.Array, gv: jax.Array, origins: jax.Array,
     pull = jnp.asarray(_PULL_ALL)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(nbins,),
+        grid=(nbins // GBATCH,),
         in_specs=[pl.BlockSpec((8, CUBE, 128), lambda b, *_: (0, 0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, K, PACK_W), lambda b, *_: (b, 0, 0),
+                  pl.BlockSpec((GBATCH, K, PACK_W),
+                               lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((1, K, OUT_W), lambda b, *_: (b, 0, 0),
+        out_specs=pl.BlockSpec((GBATCH, K, OUT_W), lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((ROWS, 128), jnp.float32),
                         pltpu.SemaphoreType.DMA],
