@@ -32,18 +32,24 @@ def main():
     chain = 10
 
     def chained(s):
-        def body(_, t):
-            t2, _ = explicit_step_binned(sim, t, jnp.float32(dt), cfg)
-            return t2
-        return jax.lax.fori_loop(0, chain, body, s)
+        # OR-reduce overflow through the carry: a mid-rollout bin overflow
+        # must surface, not silently corrupt the measured physics
+        def body(_, carry):
+            t, ov = carry
+            t2, ov2 = explicit_step_binned(sim, t, jnp.float32(dt), cfg)
+            return t2, ov | ov2
+        return jax.lax.fori_loop(0, chain, body, (s, jnp.bool_(False)))
 
     step = jax.jit(chained)
-    st = jax.block_until_ready(step(st))  # compile + warm
+    st, overflow = jax.block_until_ready(step(st))  # compile + warm
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        st = jax.block_until_ready(step(st))
+        (st, ov) = jax.block_until_ready(step(st))
+        overflow = overflow | ov
         best = min(best, time.perf_counter() - t0)
+    if bool(overflow):
+        raise RuntimeError("bin overflow mid-rollout: grow bins_capacity")
     pps = n * chain / best
     print(json.dumps({
         "metric": "explicit MPM particle-steps/sec (256k, fp32, APIC)",

@@ -124,27 +124,37 @@ def bench_mpm(n=262144, quick=False):
     chain = 5 if quick else 10
 
     def run(name, step1):
-        def chained(s):
-            return jax.lax.fori_loop(0, chain, lambda _, t: step1(t), s)
+        # step1 returns (state, overflow); OR-reduce overflow through the
+        # carry so a mid-rollout bin overflow fails loudly (the flag exists
+        # precisely so the host can react)
+        def chained(carry):
+            def body(_, c):
+                t, ov = c
+                t2, ov2 = step1(t)
+                return t2, ov | ov2
+            return jax.lax.fori_loop(0, chain, body, carry)
         f = jax.jit(chained)
-        s = jax.block_until_ready(f(st0))
+        s, overflow = jax.block_until_ready(f((st0, jnp.bool_(False))))
         t0 = time.perf_counter()
         reps = 2 if quick else 3
         for _ in range(reps):
-            s = jax.block_until_ready(f(s))
+            s, ov = jax.block_until_ready(f((s, overflow)))
+            overflow = overflow | ov
         wall = time.perf_counter() - t0
+        assert not bool(overflow), f"{name}: bin overflow mid-rollout"
         pps = n * reps * chain / wall
         rows.append((f"MPM 256k {name}",
                      f"{wall / reps / chain * 1e3:.1f} ms/step",
                      f"{pps / 1e6:.2f} M particle-steps/s"))
 
-    run("binned", lambda s: explicit_step_binned(sim, s, dtj, cfg)[0])
+    run("binned", lambda s: explicit_step_binned(sim, s, dtj, cfg))
     try:
-        run("pallas", lambda s: explicit_step_pallas(sim, s, dtj, cfg)[0])
+        run("pallas", lambda s: explicit_step_pallas(sim, s, dtj, cfg))
     except Exception as e:  # pallas path requires Mosaic compile support
         rows.append(("MPM 256k pallas", "n/a", str(e)[:60]))
     if not quick:
-        run("baseline", lambda s: explicit_step(sim, s, dtj))
+        run("baseline",
+            lambda s: (explicit_step(sim, s, dtj), jnp.bool_(False)))
     return rows
 
 

@@ -50,6 +50,22 @@ class TestExplicitStep:
         expected = p0 + m.sum() * np.array([0.0, -9.8, 0.0]) * dt
         np.testing.assert_allclose(p1, expected, rtol=1e-4, atol=1e-8)
 
+    def test_flip_blend_gets_full_gravity(self, rng):
+        # regression: the FLIP delta must use the PRE-update grid velocity;
+        # a zero delta silently discards flip-fraction of all grid forces
+        # (flip=0.95 used to yield 5% of the gravity impulse)
+        model = FixedCorotated.from_young_poisson(1e4, 0.3)
+        sim = MPMSim(model=model, gravity=jnp.asarray([0.0, -9.8, 0.0]),
+                     flip=0.95)
+        x = _block_of_particles(rng, 256)
+        st = make_mpm_state(x, dx=0.05, block_capacity=512)
+        dt = 2e-4
+        st2 = explicit_step(sim, st, jnp.float32(dt))
+        m = np.asarray(st.particles["m"])
+        p1 = (m[:, None] * np.asarray(st2.particles["v"])).sum(0)
+        expected = m.sum() * np.array([0.0, -9.8, 0.0]) * dt
+        np.testing.assert_allclose(p1, expected, rtol=1e-4, atol=1e-8)
+
     def test_free_fall_trajectory(self, sim, rng):
         # uniform free fall: F stays I, velocity tracks analytic solution
         x = _block_of_particles(rng, 128)

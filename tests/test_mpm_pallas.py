@@ -63,6 +63,21 @@ class TestPallasMatchesBaseline:
         self._compare(_sim((ground,)), st, jnp.float32(2e-4),
                       BinnedConfig(bins_capacity=128))
 
+    def test_translated_grid_origin(self, rng):
+        # regression: kernel stencils + APIC lever arm must honor the grid
+        # transform translation (origin_w rides the scalar param vector)
+        x = jnp.asarray(rng.uniform(10.3, 10.7, (512, 3)), jnp.float32)
+        x = x.at[:, 1:].add(-10.0)
+        st = make_mpm_state(x, dx=0.05, block_capacity=512,
+                            origin=jnp.asarray([10.0, 0.0, 0.0]))
+        F0 = jnp.broadcast_to(jnp.diag(jnp.asarray([1.05, 0.97, 1.0])),
+                              (512, 3, 3))
+        st = type(st)(st.particles.update(
+            F=F0, C=jnp.asarray(rng.standard_normal((512, 3, 3)) * 0.1,
+                                jnp.float32)), st.grid, st.max_vel)
+        self._compare(_sim(), st, jnp.float32(1e-4),
+                      BinnedConfig(bins_capacity=64))
+
     def test_plasticity(self, rng):
         x = jnp.asarray(rng.uniform(0.3, 0.6, (256, 3)), jnp.float32)
         st = make_mpm_state(x, dx=0.05, block_capacity=256, with_Jp=True,

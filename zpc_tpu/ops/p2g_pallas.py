@@ -86,6 +86,14 @@ _SPILL_ALL = np.stack([_spill_matrix(d) for d in [(0, 0, 0)] + _DIRS])
 _PULL_ALL = np.stack([_pull_matrix(d) for d in [(0, 0, 0)] + _DIRS])
 
 
+def _pack_params(dt, dx, origin_w):
+    """Scalar-prefetch param vector [dt, dx, ox, oy, oz]."""
+    ow = (jnp.zeros((3,), jnp.float32) if origin_w is None
+          else jnp.asarray(origin_w, jnp.float32))
+    return jnp.concatenate([jnp.stack([jnp.asarray(dt, jnp.float32),
+                                       jnp.asarray(dx, jnp.float32)]), ow])
+
+
 def _axis_weights(xloc_d):
     """Quadratic B-spline: base offset [K] int32 + 3 tap weights [K]."""
     base = jnp.floor(xloc_d - 0.5).astype(jnp.int32)
@@ -112,12 +120,20 @@ def _outer36(wy, wz):
                            axis=1)
 
 
-def _full_stencils(x, orig, dx, live):
-    """Shared stencil construction: wx, wx_i, S0, S1, S2, rel0 (lists)."""
+def _full_stencils(x, orig, dx, origin_w, live):
+    """Shared stencil construction: wx, wx_i, S0, S1, S2, rel0 (lists).
+
+    ``origin_w``: world-space grid translation (3 scalars).  Positions are
+    mapped to block-local index space ``xloc = (x - origin_w)/dx - 4*orig``;
+    the APIC lever arm of the block-origin node is then exactly
+    ``rel0 = -xloc * dx`` (world offset x_node0 - x_p, translation included).
+    """
     dtype = x.dtype
-    offs, tapss = [], []
+    xloc, tapss = [], []
+    offs = []
     for d in range(3):
-        xloc_d = x[:, d] / dx - orig[d] * 4.0
+        xloc_d = (x[:, d] - origin_w[d]) / dx - orig[d] * 4.0
+        xloc.append(xloc_d)
         base, taps = _axis_weights(xloc_d)
         offs.append(jnp.clip(base, 0, 3))
         tapss.append(taps)
@@ -131,7 +147,7 @@ def _full_stencils(x, orig, dx, live):
     S0 = _outer36(wy, wz)
     S1 = _outer36(wy * idxf, wz)
     S2 = _outer36(wy, wz * idxf)
-    rel0 = [orig[d] * (4.0 * dx) - x[:, d] for d in range(3)]
+    rel0 = [-xloc[d] * dx for d in range(3)]
     return wx, wx_i, S0, S1, S2, rel0
 
 
@@ -158,8 +174,10 @@ def _p2g_kernel(origins_ref, params_ref,                # scalar prefetch
         # hardware)
         orig = [origins_ref[d, b * GBATCH + g].astype(x.dtype)
                 for d in range(3)]
+        origin_w = [params_ref[2 + d] for d in range(3)]
 
-        wx, wx_i, S0, S1, S2, rel0 = _full_stencils(x, orig, dx, live)
+        wx, wx_i, S0, S1, S2, rel0 = _full_stencils(x, orig, dx, origin_w,
+                                                    live)
 
         u0 = [m * v[:, i] + Acol[i][0] * rel0[0] +
               Acol[i][1] * rel0[1] + Acol[i][2] * rel0[2]
@@ -183,18 +201,18 @@ def _p2g_kernel(origins_ref, params_ref,                # scalar prefetch
             out_ref[g, 0:C4, a * 36:(a + 1) * 36] = plane
 
 
-def p2g_bins(binned: jax.Array, origins: jax.Array, dt, dx, *,
-             interpret: bool = False) -> jax.Array:
+def p2g_bins(binned: jax.Array, origins: jax.Array, dt, dx, origin_w=None,
+             *, interpret: bool = False) -> jax.Array:
     """Per-bin channel-major P2G cubes ``[nbins, ROWS, LCUBE]``.
 
     ``binned``: [nbins, K, PACK_W] bin-padded particle pack (dead lanes all
-    -zero); ``origins``: [nbins, 3] block cell coords.
+    -zero); ``origins``: [nbins, 3] block cell coords; ``origin_w``: world
+    grid translation [3] (default zero).
     """
     nbins = binned.shape[0]
     assert nbins % GBATCH == 0, "bins_capacity must be a multiple of GBATCH"
     origins = origins.T    # [3, nbins]: long minor dim for SMEM (see kernel)
-    params = jnp.stack([jnp.asarray(dt, jnp.float32),
-                        jnp.asarray(dx, jnp.float32)])
+    params = _pack_params(dt, dx, origin_w)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nbins // GBATCH,),
@@ -285,13 +303,15 @@ def _g2p_kernel(origins_ref, nbr8_ref, params_ref,      # scalar prefetch
     b = pl.program_id(0)
     dt = params_ref[0]
     dx = params_ref[1]
+    origin_w = [params_ref[2 + d] for d in range(3)]
     for g in range(GBATCH):
         _g2p_one(origins_ref, nbr8_ref, pull_ref, bin_ref, gv_ref,
-                 out_ref, vscratch, sem, b * GBATCH + g, g, dt, dx)
+                 out_ref, vscratch, sem, b * GBATCH + g, g, dt, dx,
+                 origin_w)
 
 
 def _g2p_one(origins_ref, nbr8_ref, pull_ref, bin_ref, gv_ref, out_ref,
-             vscratch, sem, bi, g, dt, dx):
+             vscratch, sem, bi, g, dt, dx, origin_w):
     # assemble halo'd node velocities Vc [3, CUBE] via pull matmuls
     cl = (((1,), (1,)), ((), ()))         # contract over the 128 node lanes
     Vc = jnp.zeros((3, CUBE), jnp.float32)
@@ -313,7 +333,7 @@ def _g2p_one(origins_ref, nbr8_ref, pull_ref, bin_ref, gv_ref, out_ref,
     live = (m > 0.0).astype(x.dtype)
     orig = [origins_ref[d, bi].astype(x.dtype) for d in range(3)]
 
-    wx, wx_i, S0, S1, S2, rel0 = _full_stencils(x, orig, dx, None)
+    wx, wx_i, S0, S1, S2, rel0 = _full_stencils(x, orig, dx, origin_w, None)
 
     cv = (((1,), (1,)), ((), ()))         # [K,36] x [3,36] -> [K,3]
     vsum = jnp.zeros((K, 3), jnp.float32)
@@ -356,8 +376,8 @@ def _g2p_one(origins_ref, nbr8_ref, pull_ref, bin_ref, gv_ref, out_ref,
 
 
 def g2p_bins(binned: jax.Array, gv: jax.Array, origins: jax.Array,
-             nbr8: jax.Array, dt, dx, *, interpret: bool = False
-             ) -> jax.Array:
+             nbr8: jax.Array, dt, dx, origin_w=None, *,
+             interpret: bool = False) -> jax.Array:
     """Per-bin G2P: ``[nbins, K, OUT_W]`` = x|v|F|C (dead lanes zero).
 
     ``binned``: the P2G pack; ``gv``: [nb, ROWS, 128] node velocities
@@ -368,8 +388,7 @@ def g2p_bins(binned: jax.Array, gv: jax.Array, origins: jax.Array,
     assert nbins % GBATCH == 0, "bins_capacity must be a multiple of GBATCH"
     origins = origins.T    # [3, nbins] — SMEM minor-dim padding, see p2g
     nbr8 = nbr8.T          # [8, nbins]
-    params = jnp.stack([jnp.asarray(dt, jnp.float32),
-                        jnp.asarray(dx, jnp.float32)])
+    params = _pack_params(dt, dx, origin_w)
     pull = jnp.asarray(_PULL_ALL)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

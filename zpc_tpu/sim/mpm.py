@@ -75,7 +75,8 @@ def make_mpm_state(x: jax.Array, *, dx: float, rho: float = 1e3,
                    ppc: float = 8.0, block_capacity: int = 4096,
                    velocity: Optional[jax.Array] = None,
                    capacity: Optional[int] = None,
-                   with_Jp: bool = False, Jp0: float = 0.0) -> MPMState:
+                   with_Jp: bool = False, Jp0: float = 0.0,
+                   origin=None) -> MPMState:
     """Build particle + grid state from positions (Scene-builder analog,
     simulation/init/Scene.cpp:36-91).  Dimension (2 or 3) follows x."""
     n, dim = x.shape
@@ -97,7 +98,8 @@ def make_mpm_state(x: jax.Array, *, dx: float, rho: float = 1e3,
         data["Jp"] = jnp.full((n,), Jp0)
     particles = structured_field(props, cap, data=data, size=n)
     grid = sparse_grid([prop("m"), prop("v", dim)], dx=dx,
-                       block_capacity=block_capacity, dim=dim)
+                       block_capacity=block_capacity, dim=dim,
+                       origin=origin)
     return MPMState(particles, grid, jnp.float32(0.0))
 
 
@@ -119,6 +121,20 @@ def _stencil(sim: MPMSim, grid: SparseGrid, x: jax.Array):
     return cells, w3, base, xi
 
 
+def _apic_dinv(order: int, dx):
+    """APIC inertia-tensor inverse D^-1 for the B-spline of given order.
+
+    D = dx^2/4 I (quadratic), dx^2/3 I (cubic); linear has a non-constant
+    D so affine transfers are unsupported there (Jiang et al. 2015 §5.3).
+    """
+    if order == 2:
+        return 4.0 / (dx * dx)
+    if order == 3:
+        return 3.0 / (dx * dx)
+    raise NotImplementedError(
+        f"APIC affine transfer needs order 2 or 3 B-splines, got {order}")
+
+
 def explicit_step(sim: MPMSim, state: MPMState, dt) -> MPMState:
     """One explicit symplectic-Euler APIC step — a single XLA program."""
     p = state.particles
@@ -136,13 +152,9 @@ def explicit_step(sim: MPMSim, state: MPMState, dt) -> MPMState:
     grid = grid.activate(pblock, valid=pmask, dilation=1)
 
     # -- 2. fused P2G (P2G.hpp:26-135, atomic-free) ---------------------------
-    Dinv = 4.0 / (dx * dx)                      # quadratic APIC D^-1
-    F = p["F"]
-    if sim.plasticity is not None and p.has_prop("Jp"):
-        stress_F = F  # stress uses the (already projected) elastic F
-    else:
-        stress_F = F
-    tau = sim.model.kirchhoff(stress_F)          # [N,3,3]
+    Dinv = _apic_dinv(sim.order, dx)
+    F = p["F"]  # already plasticity-projected (end of previous step)
+    tau = sim.model.kirchhoff(F)                 # [N,3,3]
     A = m[:, None, None] * p["C"] - (dt * Dinv * jnp.where(
         pmask, p["vol"], 0.0))[:, None, None] * tau
     # node world offsets (x_i - x_p) = (cell - xi) * dx
@@ -163,9 +175,9 @@ def explicit_step(sim: MPMSim, state: MPMState, dt) -> MPMState:
 
     # -- 3. grid update (GridOp.hpp:54-86 + boundary :14-38) ------------------
     has_mass = gm > 0.0
-    gv = jnp.where(has_mass[:, None],
-                   gmv / jnp.maximum(gm, 1e-30)[:, None], 0.0)
-    gv = gv + dt * sim.gravity[None, :]
+    gv0 = jnp.where(has_mass[:, None],
+                    gmv / jnp.maximum(gm, 1e-30)[:, None], 0.0)
+    gv = gv0 + dt * sim.gravity[None, :]
     node_x = grid.node_world_positions().reshape(cap_cells, dim)
     gv = resolve_boundaries(sim.colliders, node_x, gv)
     gv = jnp.where(has_mass[:, None], gv, 0.0)
@@ -182,9 +194,13 @@ def explicit_step(sim: MPMSim, state: MPMState, dt) -> MPMState:
     B = jnp.einsum("nk,nki,nkj->nij", w3, vnode, xdiff)
     C_new = Dinv * B
     if sim.flip > 0.0:
-        v_old_grid = jnp.einsum("nk,nki->ni", w3, vnode)  # PIC part
-        v_new = sim.flip * (p["v"] + (v_new - v_old_grid)) + \
-            (1.0 - sim.flip) * v_new
+        # FLIP delta: the grid velocity *change* from forces+boundaries this
+        # step, interpolated at particles (pre-update grid velocity = gv0).
+        gdv = gv - gv0
+        dvnode = jnp.where((slot < cap_cells)[..., None],
+                           gdv[safe_slot], 0.0)
+        dv = jnp.einsum("nk,nki->ni", w3, dvnode)
+        v_new = sim.flip * (p["v"] + dv) + (1.0 - sim.flip) * v_new
     eye = jnp.eye(dim, dtype=F.dtype)
     F_new = mm(eye + dt * C_new, F)
     updates = {}

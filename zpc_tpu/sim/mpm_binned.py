@@ -243,6 +243,7 @@ def prepare_bins(sim: MPMSim, state: MPMState, cfg: BinnedConfig
     grid = state.grid
     dim, bs = grid.dim, grid.block_size
     assert dim == 3 and bs == 4, "binned path is specialized to 3-D, bs=4"
+    assert sim.order == 2, "binned stencils are quadratic (3-tap) only"
     nb = grid.block_capacity
     dx = grid.dx
     N = p.capacity
@@ -359,7 +360,10 @@ def prepare_bins(sim: MPMSim, state: MPMState, cfg: BinnedConfig
     # plane-major stencil layout (see p2g comment)
     wx = jnp.moveaxis(wx, 2, 0)
     wx_i = jnp.moveaxis(wx_i, 2, 0)
-    rel0 = (borigin[:, None, :].astype(xb.dtype)) * dx - xb
+    # lever arm of the block-origin node: x_node - x_p in WORLD space.
+    # Work in index space (borigin - xib) so the grid transform translation
+    # is included (world = index*dx + origin_w).
+    rel0 = (borigin[:, None, :].astype(xb.dtype) - xib) * dx
 
     # concatenated one-hot selection (bins + 7 spill dirs -> blocks)
     dirs = [d for d in neighbor_offsets(3, 0, 1).tolist() if any(d)]

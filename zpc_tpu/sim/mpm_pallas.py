@@ -35,6 +35,7 @@ def explicit_step_pallas(sim: MPMSim, state: MPMState, dt,
     grid = state.grid
     dim, bs = grid.dim, grid.block_size
     assert dim == 3 and bs == 4 and BIN_SIZE == PK.K
+    assert sim.order == 2, "pallas kernels hardcode quadratic B-splines"
     nb = grid.block_capacity
     dx = grid.dx
     N = p.capacity
@@ -83,6 +84,11 @@ def explicit_step_pallas(sim: MPMSim, state: MPMState, dt,
     flat_of_p = bin_of_p * K + lane_of_p
     valid_p = pmask0 & (sort_key < nb) & (flat_of_p < nbins * K)
     flat_safe = jnp.clip(flat_of_p, 0, nbins * K - 1)
+    # overflow also covers table overflow (live particle whose block was
+    # dropped, bslot0 < 0): such particles are excluded from the bins, so
+    # their result gather below is gated on valid_p and the host must grow
+    # capacity + re-trace (bht _buildSuccess idiom, Bht.hpp:163-175)
+    overflow = overflow | jnp.any(pmask0 & (bslot0 < 0))
 
     # ---- pack + scatter into bin-padded layout (indexed op #1) -------------
     Dinv = 4.0 / (dx * dx)
@@ -103,7 +109,8 @@ def explicit_step_pallas(sim: MPMSim, state: MPMState, dt,
                                                           PK.PACK_W)
 
     # ---- P2G kernel + bins->blocks segsum + halo merge ---------------------
-    cubes = PK.p2g_bins(binned, origins, dt, dx, interpret=interpret)
+    cubes = PK.p2g_bins(binned, origins, dt, dx, origin_w,
+                        interpret=interpret)
     seg = jnp.where(bin_live, bin_block, nb)
     block_cubes = jax.ops.segment_sum(cubes, seg, num_segments=nb + 1)[:nb]
 
@@ -139,7 +146,7 @@ def explicit_step_pallas(sim: MPMSim, state: MPMState, dt,
     nbr8_blocks = jnp.concatenate([own, nbr_pull], axis=1)  # [nb, 8]
     nbr8_blocks = jnp.where(table.mask[:, None], nbr8_blocks, -1)
     nbr8 = nbr8_blocks[bin_block]                           # [nbins, 8]
-    res = PK.g2p_bins(binned, gvp, origins, nbr8, dt, dx,
+    res = PK.g2p_bins(binned, gvp, origins, nbr8, dt, dx, origin_w,
                       interpret=interpret)                  # [nbins, K, 24]
 
     # ---- plasticity (XLA elementwise on the binned layout) -----------------
@@ -152,7 +159,9 @@ def explicit_step_pallas(sim: MPMSim, state: MPMState, dt,
 
     # ---- gather results back (indexed op #2) -------------------------------
     flat_res = res.reshape(nbins * K, res.shape[-1])[flat_safe]
-    mk1 = pmask0[:, None]
+    # gate on valid_p (not pmask0): live particles excluded from the bins by
+    # an overflow keep their old values instead of gathering garbage
+    mk1 = valid_p[:, None]
     channels = dict(
         x=jnp.where(mk1, flat_res[:, 0:3], x0),
         v=jnp.where(mk1, flat_res[:, 3:6], p["v"]),
@@ -162,7 +171,7 @@ def explicit_step_pallas(sim: MPMSim, state: MPMState, dt,
                     flat_res[:, 15:24].reshape(N, 3, 3), p["C"]))
     if has_Jp:
         Jp_flat = Jp_new.reshape(nbins * K)[flat_safe]
-        channels["Jp"] = jnp.where(pmask0, Jp_flat, p["Jp"])
+        channels["Jp"] = jnp.where(valid_p, Jp_flat, p["Jp"])
     particles = p.update(**channels)
     grid = grid.with_data(m=gm, v=gv)
     return MPMState(particles, grid, max_vel), overflow

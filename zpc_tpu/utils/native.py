@@ -14,6 +14,7 @@ build has no device code to compile here — XLA owns that).
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -30,18 +31,31 @@ _LOCK = threading.Lock()
 
 _SRC = os.path.join(os.path.dirname(os.path.dirname(__file__)),
                     "native", "host_ops.cpp")
-_OUT = os.path.join(os.path.dirname(_SRC), "libzpc_host.so")
 
 
 def _build() -> Optional[str]:
+    """Compile from source into a cache dir keyed by a source hash.
+
+    Never loads a pre-built blob: the artifact name embeds the sha256 of
+    host_ops.cpp, so only a library compiled from the checked-in source on
+    this machine is ever dlopen'd (binaries are gitignored).
+    """
     try:
-        if (os.path.exists(_OUT) and
-                os.path.getmtime(_OUT) >= os.path.getmtime(_SRC)):
-            return _OUT
+        with open(_SRC, "rb") as f:
+            tag = hashlib.sha256(f.read()).hexdigest()[:16]
+        cache = os.environ.get(
+            "ZPC_TPU_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "zpc_tpu"))
+        os.makedirs(cache, exist_ok=True)
+        out = os.path.join(cache, f"libzpc_host-{tag}.so")
+        if os.path.exists(out):
+            return out
+        tmp = out + f".tmp{os.getpid()}"
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
-             "-o", _OUT], check=True, capture_output=True)
-        return _OUT
+             "-o", tmp], check=True, capture_output=True)
+        os.replace(tmp, out)
+        return out
     except Exception:
         return None
 
