@@ -1,0 +1,125 @@
+"""SparseGrid / SparseLevelSet <-> ``.vdb`` conversion.
+
+The reference's OpenVDB bridge surface (``geometry/VdbLevelSet.h:26-99``:
+``load_floatgrid_from_vdb_file`` / ``convert_floatgrid_to_sparse_levelset``
+/ ``convert_sparse_levelset_to_floatgrid``, impls in
+``VdbLevelSet_Conversion.cpp`` and ``SparseGrid_Conversion.cpp``), rebuilt
+over the dependency-free codec in :mod:`zpc_tpu.utils.vdb`.
+
+Block math: a VDB leaf (8^3 voxels) covers exactly 2^dim SparseGrid blocks
+(4^3 cells); conversion is pure reshapes on the host — no per-voxel loops.
+3-D scalar properties only (vector props export one grid per component).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..containers.block_table import build_block_table
+from ..core.config import prop as _prop
+from ..utils.vdb import LEAF_DIM, VdbGrid, read_vdb, write_vdb
+from .sparse_grid import SparseGrid, sparse_grid
+
+__all__ = ["sparse_grid_to_vdb_grid", "vdb_grid_to_sparse_grid",
+           "save_vdb", "load_vdb_grids"]
+
+_BS = 4                      # SparseGrid block side; leaf = 2x2x2 blocks
+
+
+def _require_3d_bs4(grid: SparseGrid):
+    if grid.dim != 3 or grid.block_size != _BS:
+        raise ValueError("vdb bridge supports dim=3, block_size=4 grids")
+
+
+def sparse_grid_to_vdb_grid(grid: SparseGrid, prop_name: str, *,
+                            name: Optional[str] = None,
+                            background: float = 0.0,
+                            grid_class: str = "unknown",
+                            component: Optional[int] = None) -> VdbGrid:
+    """Extract one scalar property into a :class:`VdbGrid` (host-side)."""
+    _require_3d_bs4(grid)
+    count = int(grid.table.count)
+    coords = np.asarray(grid.table.active_coords[:count])       # [nb, 3]
+    data = np.asarray(grid.data[prop_name][:count])
+    if component is not None:
+        data = data[..., component]
+    if data.ndim != 2:
+        raise ValueError(f"{prop_name!r} is not scalar; pass component=")
+    blocks = data.reshape(count, _BS, _BS, _BS)                 # x-major
+    leaf_of = coords // 2                                       # leaf coord/2
+    sub = coords - leaf_of * 2                                  # [nb,3] 0/1
+    leaves = {}
+    uniq, inv = np.unique(leaf_of, axis=0, return_inverse=True)
+    for li, lc in enumerate(uniq):
+        leaf = np.full((LEAF_DIM, LEAF_DIM, LEAF_DIM), background,
+                       blocks.dtype)
+        for b in np.flatnonzero(inv == li):
+            s = sub[b] * _BS
+            leaf[s[0]:s[0] + _BS, s[1]:s[1] + _BS,
+                 s[2]:s[2] + _BS] = blocks[b]
+        leaves[tuple(int(c) * LEAF_DIM for c in lc)] = leaf
+    tr = np.asarray(grid.transform.matrix)
+    return VdbGrid(name or prop_name, leaves,
+                   voxel_size=float(np.linalg.norm(tr[:3, 0])),
+                   translation=tuple(float(t) for t in tr[:3, 3]),
+                   background=background, grid_class=grid_class)
+
+
+def vdb_grid_to_sparse_grid(vg: VdbGrid, prop_name: str = "v", *,
+                            block_capacity: Optional[int] = None,
+                            extra_props: Sequence = ()) -> SparseGrid:
+    """Build a SparseGrid holding ``prop_name`` from a VdbGrid."""
+    origins = np.asarray(sorted(vg.leaves), np.int64)           # [nl, 3]
+    nl = len(origins)
+    sub = np.stack(np.meshgrid(*([np.arange(2)] * 3), indexing="ij"),
+                   -1).reshape(8, 3)                            # [8, 3]
+    bcoords = (origins[:, None, :] // _BS + sub[None, :, :]).reshape(-1, 3)
+    vals = np.stack([vg.leaves[tuple(o)] for o in origins])     # [nl,8,8,8]
+    # leaf -> 8 blocks of 4^3: split each axis into (2, 4)
+    blocks = vals.reshape(nl, 2, _BS, 2, _BS, 2, _BS) \
+        .transpose(0, 1, 3, 5, 2, 4, 6).reshape(nl * 8, _BS ** 3)
+    cap = block_capacity or max(64, 1 << int(np.ceil(np.log2(nl * 8))))
+    table, inverse = build_block_table(jnp.asarray(bcoords, jnp.int32), cap)
+    if bool(table.count > table.capacity):
+        raise ValueError(f"block_capacity {cap} < {int(table.count)} blocks")
+    g = sparse_grid([_prop(prop_name)] + list(extra_props),
+                    dx=vg.voxel_size, block_capacity=cap, dim=3,
+                    origin=jnp.asarray(vg.translation, jnp.float32),
+                    dtype=jnp.asarray(blocks).dtype)
+    data = dict(g.data)
+    arr = jnp.zeros_like(data[prop_name])
+    arr = arr.at[inverse].set(jnp.asarray(blocks))
+    data[prop_name] = arr
+    import dataclasses
+    return dataclasses.replace(g, table=table, data=data)
+
+
+def save_vdb(path: str, grid: SparseGrid, props: Sequence[str], *,
+             background: float = 0.0, grid_class: str = "unknown",
+             compress: bool = False):
+    """Export named scalar/vector properties of a SparseGrid to ``path``.
+
+    Vector properties become one grid per component (``"v.0"``, ...).
+    """
+    out: List[VdbGrid] = []
+    for p in props:
+        a = grid.data[p]
+        if a.ndim == 2:
+            out.append(sparse_grid_to_vdb_grid(
+                grid, p, background=background, grid_class=grid_class))
+        else:
+            for c in range(a.shape[-1]):
+                out.append(sparse_grid_to_vdb_grid(
+                    grid, p, name=f"{p}.{c}", background=background,
+                    grid_class=grid_class, component=c))
+    write_vdb(path, out, compress=compress)
+
+
+def load_vdb_grids(path: str, *, block_capacity: Optional[int] = None):
+    """Read every grid in ``path`` as ``{name: SparseGrid}``."""
+    return {vg.name: vdb_grid_to_sparse_grid(
+        vg, vg.name.split(".")[0] or "v", block_capacity=block_capacity)
+        for vg in read_vdb(path)}
