@@ -19,8 +19,8 @@ from typing import Tuple
 
 import jax.numpy as jnp
 
-__all__ = ["orient2d", "orient3d", "incircle", "two_sum", "two_prod",
-           "df_add", "df_mul"]
+__all__ = ["orient2d", "orient3d", "incircle", "insphere", "two_sum",
+           "two_prod", "df_add", "df_mul"]
 
 
 # -- error-free transforms ----------------------------------------------------
@@ -116,4 +116,30 @@ def incircle(a, b, c, d):
 
     m = [row(a), row(b), row(c)]
     det = _df_det3(m)
+    return det[0] + det[1]
+
+
+def insphere(a, b, c, d, e):
+    """> 0 iff e lies strictly inside the circumsphere of tetra abcd
+    (positively oriented per :func:`orient3d`); < 0 outside, 0 on the
+    sphere.  Compensated 4x4 determinant with rows ``(p - e, |p - e|^2)``
+    (Predicates.hpp:20-57 insphere), cofactor-expanded along the norm
+    column into four compensated 3x3 determinants."""
+    rows = []
+    for p in (a, b, c, d):
+        xyz = [_df_sub(_df(p[..., j]), _df(e[..., j])) for j in range(3)]
+        w = df_add(df_add(df_mul(xyz[0], xyz[0]), df_mul(xyz[1], xyz[1])),
+                   df_mul(xyz[2], xyz[2]))
+        rows.append(xyz + [w])
+
+    def minor(skip):
+        m = [[rows[i][j] for j in range(3)] for i in range(4) if i != skip]
+        return _df_det3(m)
+
+    det = _df(jnp.zeros_like(rows[0][0][0]))
+    for i in range(4):
+        term = df_mul(rows[i][3], minor(i))
+        # expansion along the w column: sign (-1)^(i+3)
+        det = df_add(det, term if (i + 3) % 2 == 0 else
+                     (-term[0], -term[1]))
     return det[0] + det[1]
