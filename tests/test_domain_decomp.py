@@ -1,0 +1,122 @@
+"""Domain-decomposed MPM vs single-chip oracle on the 8-device CPU mesh.
+
+Each device holds ONLY its morton-range block rows (verified); halo sums
+cross devices via the ppermute rings; particles migrate between shards.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from zpc_tpu.models.constitutive import FixedCorotated
+from zpc_tpu.parallel.mesh import make_mesh
+from zpc_tpu.sim.domain_decomp import (explicit_step_dd, gather_dd_particles,
+                                       make_dd_state)
+from zpc_tpu.sim.mpm import MPMSim, explicit_step, make_mpm_state
+
+
+def _setup(rng, n=768, spread=(0.1, 0.9), dx=0.05, vel_scale=0.0):
+    x = jnp.asarray(rng.uniform(*spread, (n, 3)), jnp.float32)
+    st = make_mpm_state(x, dx=dx, block_capacity=1024)
+    if vel_scale:
+        v0 = jnp.asarray(rng.standard_normal((n, 3)) * vel_scale,
+                         jnp.float32)
+        st = dataclasses.replace(
+            st, particles=st.particles.update(v=v0))
+    sim = MPMSim(model=FixedCorotated.from_young_poisson(1e4, 0.3),
+                 gravity=jnp.asarray([0.0, -9.8, 0.0]))
+    return sim, st
+
+
+def _run_both(sim, st, steps, dt, mesh, nb_local=256, mig_cap=512):
+    n = int(st.particles.size)
+    ref = st
+    for _ in range(steps):
+        ref = explicit_step(sim, ref, dt)
+
+    dds = make_dd_state(st, mesh)
+    step = jax.jit(lambda s: explicit_step_dd(
+        sim, s, dt, mesh, grid_template=st.grid, nb_local=nb_local,
+        mig_cap=mig_cap))
+    overflow = False
+    for _ in range(steps):
+        dds, ov = step(dds)
+        overflow = overflow or bool(ov)
+    assert not overflow
+    got = gather_dd_particles(dds, n)
+    return ref, got
+
+
+class TestDomainDecomposition:
+    def test_one_step_matches_oracle(self, rng):
+        sim, st = _setup(rng)
+        mesh = make_mesh(8)
+        ref, got = _run_both(sim, st, 1, jnp.float32(1e-4), mesh)
+        n = got["x"].shape[0]
+        np.testing.assert_allclose(got["x"], np.asarray(ref.particles["x"])[:n],
+                                   atol=1e-6)
+        np.testing.assert_allclose(got["v"], np.asarray(ref.particles["v"])[:n],
+                                   atol=2e-4)
+        np.testing.assert_allclose(got["F"], np.asarray(ref.particles["F"])[:n],
+                                   atol=1e-5)
+
+    def test_multi_step_with_migration(self, rng):
+        # strong random velocities force particles across block ranges
+        sim, st = _setup(rng, n=512, vel_scale=3.0)
+        mesh = make_mesh(8)
+        ref, got = _run_both(sim, st, 4, jnp.float32(2e-3), mesh)
+        n = got["x"].shape[0]
+        np.testing.assert_allclose(got["x"], np.asarray(ref.particles["x"])[:n],
+                                   atol=1e-5)
+        np.testing.assert_allclose(got["v"], np.asarray(ref.particles["v"])[:n],
+                                   atol=5e-4)
+
+    def test_migration_actually_happens(self, rng):
+        sim, st = _setup(rng, n=512, vel_scale=3.0)
+        mesh = make_mesh(8)
+        dds0 = make_dd_state(st, mesh)
+        step = jax.jit(lambda s: explicit_step_dd(
+            sim, s, jnp.float32(2e-3), mesh, grid_template=st.grid,
+            nb_local=256, mig_cap=512))
+        dds = dds0
+        for _ in range(4):
+            dds, _ = step(dds)
+        # some particle must have changed shard slot range
+        pid0 = np.asarray(dds0.pid)
+        pid1 = np.asarray(dds.pid)
+        a0 = np.asarray(dds0.alive)
+        a1 = np.asarray(dds.alive)
+        slots0 = {int(p): i // (len(pid0) // 8)
+                  for i, p in enumerate(pid0) if a0[i]}
+        slots1 = {int(p): i // (len(pid1) // 8)
+                  for i, p in enumerate(pid1) if a1[i]}
+        assert slots0.keys() == slots1.keys()     # no particle lost
+        moved = sum(slots0[p] != slots1[p] for p in slots0)
+        assert moved > 0
+
+    def test_mig_overflow_detected(self, rng):
+        sim, st = _setup(rng, n=512, vel_scale=5.0)
+        mesh = make_mesh(8)
+        dds = make_dd_state(st, mesh)
+        step = jax.jit(lambda s: explicit_step_dd(
+            sim, s, jnp.float32(5e-3), mesh, grid_template=st.grid,
+            nb_local=256, mig_cap=1))       # absurdly small bundle
+        ovf = False
+        for _ in range(3):
+            dds, ov = step(dds)
+            ovf = ovf or bool(ov)
+        assert ovf
+
+    def test_dense_cluster_two_devices(self, rng):
+        # all particles in one tight cluster: one device owns nearly all
+        # blocks; the others idle but the step must stay correct
+        sim, st = _setup(rng, n=256, spread=(0.4, 0.5))
+        mesh = make_mesh(4)
+        ref, got = _run_both(sim, st, 2, jnp.float32(1e-4), mesh,
+                             nb_local=128)
+        n = got["x"].shape[0]
+        np.testing.assert_allclose(got["v"], np.asarray(ref.particles["v"])[:n],
+                                   atol=2e-4)
