@@ -1,0 +1,71 @@
+"""Hardened TPU timing through the axon tunnel.
+
+Two failure modes discovered on hardware (see /tmp probes, round 2):
+
+1. ``block_until_ready`` can return **before execution** on the first
+   re-dispatch of a compiled program through the tunnel (measured: block
+   0.1 ms, actual completion 150 s later).  Only a *host transfer* of an
+   output element is a reliable synchronization point.
+2. XLA folds/narrows naive timing loops: scalar ``out[0,0,0]``
+   dependences are sliced back through matmuls, rolls are fused across
+   iterations, bilinear forms are factorized through plain sums.  Chained
+   dependences must pass through ``abs`` (or the full state must be the
+   carry).
+
+``chained_ms`` applies both rules: data-dependent fori_loop chains,
+host-transfer sync per rep, median over the post-warmup reps.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ["chained_ms", "dep_scalar"]
+
+
+def dep_scalar(x) -> jax.Array:
+    """Fold an array into a chain-dependence scalar XLA cannot narrow or
+    factorize (abs blocks bilinear factorization; sum needs all lanes)."""
+    return 1e-30 * jnp.sum(jnp.abs(x))
+
+
+def _sync(tree):
+    """Reliable device synchronization: host-transfer one element of the
+    first array leaf (block_until_ready alone lies through the tunnel)."""
+    leaves = [l for l in jax.tree.leaves(tree)
+              if hasattr(l, "dtype") and getattr(l, "size", 0) > 0]
+    assert leaves, "nothing to synchronize on"
+    np.asarray(jax.device_get(leaves[0].reshape(-1)[0]))
+    return tree
+
+
+def chained_ms(body, x0, iters=20, reps=4, const=None, label=None):
+    """Median wall-ms of one ``body`` application, amortized over a
+    data-dependent fori_loop chain; compile + warmup excluded.
+
+    ``body(i, carry[, const])`` -> carry.  ``const`` rides as a jit
+    argument so large workspaces aren't baked into the HLO (the remote
+    compiler 413s above ~100 MB).
+    """
+    if const is None:
+        f = jax.jit(lambda x: jax.lax.fori_loop(0, iters, body, x))
+        call = lambda x: f(x)
+    else:
+        f = jax.jit(lambda c, x: jax.lax.fori_loop(
+            0, iters, lambda i, xx: body(i, xx, c), x))
+        call = lambda x: f(const, x)
+    x = _sync(call(x0))                      # compile + warm
+    x = _sync(call(x))                       # flush pipeline effects
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        x = _sync(call(x))
+        times.append((time.perf_counter() - t0) / iters)
+    ms = float(np.median(times)) * 1e3
+    if label:
+        print(f"{label:46s} {ms:8.2f} ms", flush=True)
+    return ms

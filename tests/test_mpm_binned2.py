@@ -1,0 +1,108 @@
+"""Binned-v2 (gather-free rebinning) vs baseline oracle."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from zpc_tpu.geometry.collider import Collider, ColliderType
+from zpc_tpu.geometry.levelset import HalfSpace
+from zpc_tpu.models.constitutive import FixedCorotated
+from zpc_tpu.models.plasticity import SnowPlasticity
+from zpc_tpu.sim.mpm import MPMSim, make_mpm_state, explicit_step
+from zpc_tpu.sim.mpm_binned2 import BinnedConfig2, rollout_binned2
+
+
+def _sim(colliders=(), plasticity=None):
+    return MPMSim(model=FixedCorotated.from_young_poisson(1e4, 0.3),
+                  gravity=jnp.asarray([0.0, -9.8, 0.0]),
+                  colliders=colliders, plasticity=plasticity)
+
+
+def _compare(sim, st, dt, cfg, steps=1, atol_v=2e-4):
+    ref = st
+    for _ in range(steps):
+        ref = explicit_step(sim, ref, dt)
+    out, overflow = jax.jit(
+        lambda s: rollout_binned2(sim, s, dt, cfg, steps))(st)
+    assert not bool(overflow)
+    np.testing.assert_allclose(np.asarray(out.particles["x"]),
+                               np.asarray(ref.particles["x"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.particles["v"]),
+                               np.asarray(ref.particles["v"]), atol=atol_v)
+    np.testing.assert_allclose(np.asarray(out.particles["F"]),
+                               np.asarray(ref.particles["F"]), atol=1e-5)
+    return out, ref
+
+
+class TestBinned2MatchesBaseline:
+    def test_uniform_block(self, rng):
+        x = jnp.asarray(rng.uniform(0.3, 0.7, (768, 3)), jnp.float32)
+        st = make_mpm_state(x, dx=0.05, block_capacity=256)
+        F0 = jnp.broadcast_to(jnp.diag(jnp.asarray([1.05, 0.97, 1.0])),
+                              (768, 3, 3))
+        st = type(st)(st.particles.update(
+            F=F0, C=jnp.asarray(rng.standard_normal((768, 3, 3)) * 0.1,
+                                jnp.float32)), st.grid, st.max_vel)
+        _compare(_sim(), st, jnp.float32(1e-4),
+                 BinnedConfig2(bins_capacity=64))
+
+    def test_multi_step_collider_padding(self, rng):
+        x = jnp.asarray(rng.uniform(0.1, 0.4, (500, 3)), jnp.float32)
+        st = make_mpm_state(x, dx=0.02, block_capacity=1024, capacity=640)
+        ground = Collider(HalfSpace(jnp.asarray([0.0, 0.12, 0.0]),
+                                    jnp.asarray([0.0, 1.0, 0.0])),
+                          ColliderType.slip)
+        _compare(_sim((ground,)), st, jnp.float32(2e-4),
+                 BinnedConfig2(bins_capacity=128), steps=5)
+
+    def test_skewed_density(self, rng):
+        a = rng.uniform(0.30, 0.34, (900, 3))
+        b = rng.uniform(0.1, 0.9, (100, 3))
+        x = jnp.asarray(np.concatenate([a, b]), jnp.float32)
+        st = make_mpm_state(x, dx=0.02, block_capacity=2048)
+        _compare(_sim(), st, jnp.float32(1e-4),
+                 BinnedConfig2(bins_capacity=256))
+
+    def test_translated_origin(self, rng):
+        x = jnp.asarray(rng.uniform(10.3, 10.7, (512, 3)), jnp.float32)
+        x = x.at[:, 1:].add(-10.0)
+        st = make_mpm_state(x, dx=0.05, block_capacity=512,
+                            origin=jnp.asarray([10.0, 0.0, 0.0]))
+        F0 = jnp.broadcast_to(jnp.diag(jnp.asarray([1.05, 0.97, 1.0])),
+                              (512, 3, 3))
+        st = type(st)(st.particles.update(F=F0), st.grid, st.max_vel)
+        _compare(_sim(), st, jnp.float32(1e-4),
+                 BinnedConfig2(bins_capacity=64), steps=3)
+
+    def test_plasticity(self, rng):
+        x = jnp.asarray(rng.uniform(0.3, 0.6, (256, 3)), jnp.float32)
+        st = make_mpm_state(x, dx=0.05, block_capacity=256, with_Jp=True,
+                            Jp0=1.0)
+        F0 = jnp.broadcast_to(jnp.diag(jnp.asarray([1.2, 0.8, 1.0])),
+                              (256, 3, 3))
+        st = type(st)(st.particles.update(F=F0), st.grid, st.max_vel)
+        sim = _sim(plasticity=SnowPlasticity())
+        ref = explicit_step(sim, st, jnp.float32(1e-4))
+        out, _ = rollout_binned2(sim, st, jnp.float32(1e-4),
+                                 BinnedConfig2(bins_capacity=64), 1)
+        np.testing.assert_allclose(np.asarray(out.particles["F"]),
+                                   np.asarray(ref.particles["F"]),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out.particles["Jp"]),
+                                   np.asarray(ref.particles["Jp"]),
+                                   atol=1e-5)
+
+    def test_overflow_detected(self, rng):
+        # 600 particles over ~64 blocks: K-padding needs ~64 bins >> 5
+        x = jnp.asarray(rng.uniform(0.1, 0.9, (600, 3)), jnp.float32)
+        st = make_mpm_state(x, dx=0.05, block_capacity=512)
+        _, overflow = rollout_binned2(
+            _sim(), st, jnp.float32(1e-4), BinnedConfig2(bins_capacity=5), 1)
+        assert bool(overflow)
+
+    def test_segment_path(self, rng):
+        x = jnp.asarray(rng.uniform(0.3, 0.7, (768, 3)), jnp.float32)
+        st = make_mpm_state(x, dx=0.05, block_capacity=256)
+        _compare(_sim(), st, jnp.float32(1e-4),
+                 BinnedConfig2(bins_capacity=64, use_segments=True))

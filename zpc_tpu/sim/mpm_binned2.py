@@ -1,0 +1,528 @@
+"""Binned MPM v2 — gather-free rebinning + fused transfer einsums.
+
+Evolution of :mod:`zpc_tpu.sim.mpm_binned` driven by the round-2 hardware
+profile (benchmarks/profile_binned.py on v5e, 256k particles):
+
+====================  =========  =========================================
+stage                 v1 cost    v2 replacement
+====================  =========  =========================================
+pack gather [N,26]     4.1 ms    **pad-in-the-sort**: one wide stable
+unbin gather [N,24]    8.8 ms    ``lax.sort`` carries the whole particle
+sort (key,pid)         1.7 ms    pack; dummy lanes keyed per block make
+                                 every block segment a multiple of K, so
+                                 the sorted array *reshapes* into bins —
+                                 zero gathers/scatters (wide sorts are
+                                 cheap: +5 payload cols ≈ +0.4 ms)
+p2g einsums (18 tiny)  ~3.5 ms   one K-stacked einsum [B,3K,36]x[B,3K,24]
+g2p einsums            ~4.6 ms   three [B,K,36]x[B,36,18] einsums
+====================  =========  =========================================
+
+State persists in **bin (sorted) order** across steps of a rollout —
+original order is restored once at the end via the carried pid column.
+
+Shared physics with v1/explicit_step (same oracle tests).  Reference
+lineage: claymore-style particle bins over block-sparse grids
+(simulation/transfer/P2G.hpp / G2P2G.hpp), re-expressed as sort + MXU
+contractions instead of shared-memory atomics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..containers.block_table import (KEY_SENTINEL, build_block_table,
+                                      pack_coords, unpack_key)
+from ..geometry.collider import resolve_boundaries
+from ..geometry.sparse_grid import SparseGrid, neighbor_offsets
+from ..math.interpolation import bspline_weights
+from ..math.vecmat import mm
+from .mpm import MPMSim, MPMState
+
+__all__ = ["explicit_step_binned2", "rollout_binned2", "BinnedConfig2",
+           "BinState", "bin_state", "unbin_state"]
+
+K = 128                      # particles per bin
+SIDE = 6                     # 4-cell block + 2-cell halo window
+_PREC = jax.lax.Precision.HIGH
+
+
+@dataclasses.dataclass(frozen=True)
+class BinnedConfig2:
+    bins_capacity: int           # static bin count (lanes = bins * K)
+    block_capacity: Optional[int] = None  # dilated table cap (None = grid's)
+    use_segments: Optional[bool] = None   # None = auto by one-hot size
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BinState:
+    """Particle state living in bin (block-sorted, K-padded) order.
+
+    ``cols``: [L, W] packed channels (x3 v3 F9 C9 m1 vol1 [Jp1]); dead /
+    dummy lanes carry m=0.  ``pid``: [L] original particle index, -1 on
+    dummy lanes.  The grid is rebuilt every step.
+    """
+
+    cols: jax.Array
+    pid: jax.Array
+    grid: SparseGrid
+    max_vel: jax.Array
+    overflow: jax.Array
+
+    @property
+    def has_jp(self) -> bool:
+        return self.cols.shape[1] == 27   # x3 v3 F9 C9 m1 vol1 Jp1
+
+
+def _pack_cols(p, pmask):
+    n = p.capacity
+    cols = [p["x"], p["v"], p["F"].reshape(n, 9), p["C"].reshape(n, 9),
+            jnp.where(pmask, p["m"], 0.0)[:, None],
+            jnp.where(pmask, p["vol"], 0.0)[:, None]]
+    if p.has_prop("Jp"):
+        cols.append(p["Jp"][:, None])
+    return jnp.concatenate(cols, axis=1)
+
+
+def bin_state(sim: MPMSim, state: MPMState, cfg: BinnedConfig2) -> BinState:
+    """Enter bin order: one wide sort with per-block K-padding dummies."""
+    p = state.particles
+    grid = state.grid
+    dim, bs = grid.dim, grid.block_size
+    assert dim == 3 and bs == 4, "binned2 is specialized to 3-D, bs=4"
+    assert sim.order == 2
+    N = p.capacity
+    L = cfg.bins_capacity * K
+    assert L >= N, "bins_capacity * K must cover particle capacity"
+
+    pmask = p.mask
+    cols = _pack_cols(p, pmask)
+    pid = jnp.where(pmask, jnp.arange(N, dtype=jnp.int32), -1)
+
+    origin_w = grid.transform.matrix[:dim, 3]
+    xi = (p["x"] - origin_w) / grid.dx
+    base, _, _ = bspline_weights(xi, sim.order)
+    keys = jnp.where(pmask, pack_coords(jnp.floor_divide(base, bs)),
+                     KEY_SENTINEL)
+    nb = cfg.block_capacity or grid.block_capacity
+    st = _sort_into_bins(keys, cols, pid, cfg, nb)
+    return dataclasses.replace(
+        st, grid=dataclasses.replace(st.grid, transform=grid.transform),
+        max_vel=state.max_vel)
+
+
+def _sort_into_bins(keys: jax.Array, cols: jax.Array, pid: jax.Array,
+                    cfg: BinnedConfig2, nb: int) -> BinState:
+    """Core rebinning: composite (block_key, is_dummy) sort with padding.
+
+    Returns a BinState whose grid holds ONLY the table (data unset).
+    """
+    N = keys.shape[0]
+    L = cfg.bins_capacity * K
+    npad = L - N
+
+    # per-block counts from a key-only sort (cheap: 1 col)
+    skey = jax.lax.sort((keys,), num_keys=1)[0]
+    neq = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
+    live = skey != KEY_SENTINEL
+    neq = neq & live
+    rank = jnp.cumsum(neq.astype(jnp.int32)) - 1          # group id
+    n_groups = jnp.maximum(rank[-1] + 1, 0)
+    # counts per group via boundary positions
+    lane = jnp.arange(N, dtype=jnp.int32)
+    nbq = cfg.bins_capacity
+    gstart = jnp.zeros((nbq + 1,), jnp.int32).at[
+        jnp.clip(jnp.where(neq, rank, nbq), 0, nbq)].set(lane)[:nbq]
+    nlive = jnp.sum(live.astype(jnp.int32))
+    gend = jnp.concatenate(
+        [jnp.where(jnp.arange(1, nbq) < n_groups, gstart[1:], nlive),
+         nlive[None]])
+    gid = jnp.arange(nbq, dtype=jnp.int32)
+    gvalid = gid < n_groups
+    counts = jnp.where(gvalid, gend - gstart, 0)
+    gkeys = jnp.where(
+        gvalid,
+        jnp.full((nbq + 1,), KEY_SENTINEL, jnp.int32).at[
+            jnp.clip(jnp.where(neq, rank, nbq), 0, nbq)].set(skey)[:nbq],
+        KEY_SENTINEL)
+    pads = jnp.where(gvalid, (-counts) % K, 0)
+    total = jnp.sum(counts + pads)
+    overflow = (total > L) | (n_groups > nbq)
+
+    # dummy lanes: j-th dummy belongs to the group whose cum-pad covers j
+    padcum = jnp.cumsum(pads)
+    dummy_g = jnp.clip(jnp.searchsorted(
+        padcum, jnp.arange(npad, dtype=jnp.int32), side="right"),
+        0, nbq - 1).astype(jnp.int32)
+    in_budget = jnp.arange(npad, dtype=jnp.int32) < jnp.minimum(
+        padcum[-1], npad)
+    dummy_keys = jnp.where(in_budget, gkeys[dummy_g], KEY_SENTINEL)
+
+    # composite key: (block_key, is_dummy) — dummies sort after reals
+    all_keys = jnp.concatenate([keys, dummy_keys])
+    is_dummy = jnp.concatenate([jnp.zeros((N,), jnp.int32),
+                                jnp.ones((npad,), jnp.int32)])
+    ckey = all_keys * 2 + is_dummy          # keys are 30-bit, fits int32
+    ckey = jnp.where(all_keys == KEY_SENTINEL, KEY_SENTINEL, ckey)
+
+    pad_cols = jnp.zeros((npad, cols.shape[1]), cols.dtype)
+    pad_pid = jnp.full((npad,), -1, jnp.int32)
+    ops = (ckey,
+           jnp.concatenate([pid, pad_pid]),
+           *[jnp.concatenate([cols[:, i], pad_cols[:, i]])
+             for i in range(cols.shape[1])])
+    sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
+    spid = sorted_ops[1]
+    scols = jnp.stack(sorted_ops[2:], axis=1)
+
+    # block table (dilated) from the group keys
+    offs = jnp.asarray(neighbor_offsets(3, 0, 1))
+    gcoords = unpack_key(gkeys, 3)
+    cand = (gcoords[:, None, :] + offs[None, :, :]).reshape(-1, 3)
+    vmask = jnp.repeat(gvalid, offs.shape[0])
+    table, _ = build_block_table(cand, nb, valid=vmask, dim=3)
+    overflow = overflow | (table.count > table.capacity)
+    data = {"m": jnp.zeros((nb, 64), jnp.float32),
+            "v": jnp.zeros((nb, 64, 3), jnp.float32)}
+    grid = SparseGrid(table, data, None, 4, 3)  # transform set by caller
+    return BinState(scols, spid, grid, jnp.float32(0.0), overflow)
+
+
+def _rebin(sim: MPMSim, st: BinState, cfg: BinnedConfig2) -> BinState:
+    """Re-sort an existing BinState into fresh bins (bin order in, bin
+    order out) — the per-step partition, no gathers."""
+    grid = st.grid
+    L = st.cols.shape[0]
+    origin_w = grid.transform.matrix[:3, 3]
+    x = st.cols[:, 0:3]
+    alive = st.pid >= 0
+    xi = (x - origin_w) / grid.dx
+    base, _, _ = bspline_weights(xi, sim.order)
+    keys = jnp.where(alive, pack_coords(jnp.floor_divide(base, 4)),
+                     KEY_SENTINEL)
+    # sort keeps L lanes: dead lanes re-keyed as padding dummies
+    nb = cfg.block_capacity or grid.table.capacity
+    nst = _sort_into_bins_from_lanes(keys, st.cols, st.pid, cfg, nb)
+    return dataclasses.replace(
+        nst,
+        grid=dataclasses.replace(nst.grid, transform=grid.transform),
+        max_vel=st.max_vel, overflow=st.overflow | nst.overflow)
+
+
+def _sort_into_bins_from_lanes(keys, cols, pid, cfg: BinnedConfig2,
+                               nb: int) -> BinState:
+    """Like :func:`_sort_into_bins` but input lanes already number L:
+    dead lanes are re-used as the padding budget."""
+    L = keys.shape[0]
+    nbq = cfg.bins_capacity
+    assert L == nbq * K
+
+    skey = jax.lax.sort((keys,), num_keys=1)[0]
+    neq = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
+    live = skey != KEY_SENTINEL
+    neq = neq & live
+    rank = jnp.cumsum(neq.astype(jnp.int32)) - 1
+    n_groups = jnp.maximum(rank[-1] + 1, 0)
+    lane = jnp.arange(L, dtype=jnp.int32)
+    dst = jnp.clip(jnp.where(neq, rank, nbq), 0, nbq)
+    gstart = jnp.zeros((nbq + 1,), jnp.int32).at[dst].set(lane)[:nbq]
+    nlive = jnp.sum(live.astype(jnp.int32))
+    gend = jnp.concatenate(
+        [jnp.where(jnp.arange(1, nbq) < n_groups, gstart[1:], nlive),
+         nlive[None]])
+    gid = jnp.arange(nbq, dtype=jnp.int32)
+    gvalid = gid < n_groups
+    counts = jnp.where(gvalid, gend - gstart, 0)
+    gkeys = jnp.full((nbq + 1,), KEY_SENTINEL, jnp.int32).at[dst].set(
+        skey)[:nbq]
+    gkeys = jnp.where(gvalid, gkeys, KEY_SENTINEL)
+    pads = jnp.where(gvalid, (-counts) % K, 0)
+    overflow = (jnp.sum(counts + pads) > L) | (n_groups > nbq)
+
+    # re-key DEAD lanes as padding dummies.  dead lanes: keys == SENTINEL.
+    # j-th dead lane (in lane order) serves group g with padcum[g-1]<=j.
+    dead = keys == KEY_SENTINEL
+    dead_rank = jnp.cumsum(dead.astype(jnp.int32)) - 1    # per dead lane
+    padcum = jnp.cumsum(pads)
+    serve_g = jnp.clip(jnp.searchsorted(padcum, dead_rank, side="right"),
+                       0, nbq - 1).astype(jnp.int32)
+    in_budget = dead & (dead_rank < padcum[-1])
+    keys2 = jnp.where(in_budget, gkeys[serve_g], keys)
+    ckey = jnp.where(keys2 == KEY_SENTINEL, KEY_SENTINEL,
+                     keys2 * 2 + dead.astype(jnp.int32))
+
+    ops = (ckey, pid, *[cols[:, i] for i in range(cols.shape[1])])
+    sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
+    spid = sorted_ops[1]
+    scols = jnp.stack(sorted_ops[2:], axis=1)
+
+    offs = jnp.asarray(neighbor_offsets(3, 0, 1))
+    gcoords = unpack_key(gkeys, 3)
+    cand = (gcoords[:, None, :] + offs[None, :, :]).reshape(-1, 3)
+    vmask = jnp.repeat(gvalid, offs.shape[0])
+    table, _ = build_block_table(cand, nb, valid=vmask, dim=3)
+    overflow = overflow | (table.count > table.capacity)
+    data = {"m": jnp.zeros((nb, 64), jnp.float32),
+            "v": jnp.zeros((nb, 64, 3), jnp.float32)}
+    grid = SparseGrid(table, data, None, 4, 3)
+    return BinState(scols, spid, grid, jnp.float32(0.0), overflow)
+
+
+def unbin_state(st: BinState, template: MPMState) -> MPMState:
+    """Back to original particle order (one gather; rollout-end only)."""
+    p = template.particles
+    N = p.capacity
+    L = st.cols.shape[0]
+    alive = st.pid >= 0
+    dst = jnp.where(alive, st.pid, N)
+    inv = jnp.zeros((N + 1,), jnp.int32).at[dst].set(
+        jnp.arange(L, dtype=jnp.int32))[:N]
+    mat = st.cols[inv]
+    pmask = p.mask
+    mk = pmask[:, None]
+    upd = dict(
+        x=jnp.where(mk, mat[:, 0:3], p["x"]),
+        v=jnp.where(mk, mat[:, 3:6], p["v"]),
+        F=jnp.where(mk[..., None], mat[:, 6:15].reshape(N, 3, 3), p["F"]),
+        C=jnp.where(mk[..., None], mat[:, 15:24].reshape(N, 3, 3), p["C"]))
+    if st.has_jp and p.has_prop("Jp"):
+        upd["Jp"] = jnp.where(pmask, mat[:, 26], p["Jp"])
+    particles = p.update(**upd)
+    return MPMState(particles, st.grid, st.max_vel)
+
+
+# ---------------------------------------------------------------------------
+# the step
+# ---------------------------------------------------------------------------
+
+def _axis_stencils(xib, borigin):
+    """Per-axis one-hot halo-window stencils from binned index coords.
+
+    Returns (w [3][B,K,6], w_i [3][B,K,6], rel0 [B,K,3]).
+    """
+    B, Kk, _ = xib.shape
+    base, wt, _ = bspline_weights(xib.reshape(B * Kk, 3), 2)
+    base = base.reshape(B, Kk, 3)
+    wt = wt.reshape(B, Kk, 3, 3)
+    off = jnp.clip(base - borigin[:, None, :], 0, 3)
+    sidx = jnp.arange(SIDE, dtype=jnp.int32)
+    ws, wis = [], []
+    fidx = sidx.astype(xib.dtype)
+    for d in range(3):
+        w_axis = jnp.zeros((B, Kk, SIDE), xib.dtype)
+        for j in range(3):
+            hit = sidx[None, None, :] == (off[..., d] + j)[..., None]
+            w_axis = w_axis + jnp.where(hit, wt[..., d, j:j + 1], 0.0)
+        ws.append(w_axis)
+        wis.append(w_axis * fidx)
+    rel0 = (borigin[:, None, :].astype(xib.dtype) - xib)
+    return ws, wis, rel0
+
+
+def _spill_sel(table, bin_block, bin_live, nbq, cfg):
+    """Concatenated one-hot (own + 7 spill dirs) -> blocks, or segment ids."""
+    dirs = [d for d in neighbor_offsets(3, 0, 1).tolist() if any(d)]
+    coords = table.active_coords
+    dirs_j = jnp.asarray(dirs, jnp.int32)
+    nbr_pos = jax.vmap(
+        lambda d: table.query(coords + d[None, :]), out_axes=1)(dirs_j)
+    own_ids = jnp.arange(nbq, dtype=jnp.int32)[:, None]
+    nbr8 = jnp.concatenate([own_ids, nbr_pos], axis=1)
+    nbr8 = jnp.where(table.mask[:, None], nbr8, -1)
+    tgt = nbr8[bin_block].T                       # [8, B]
+    tgt = jnp.where(bin_live[None, :], tgt, -1)
+    B = bin_block.shape[0]
+    use_seg = cfg.use_segments
+    if use_seg is None:
+        use_seg = nbq * 8 * B > (1 << 27)
+    if use_seg:
+        return None, tgt, True
+    sel = (tgt.reshape(-1)[None, :] ==
+           jnp.arange(nbq, dtype=jnp.int32)[:, None]).astype(jnp.float32)
+    return sel, tgt, False
+
+
+def explicit_step_binned2(sim: MPMSim, state, dt, cfg: BinnedConfig2,
+                          *, rebin: bool = True):
+    """One explicit APIC step on a :class:`BinState` (bin order in/out)."""
+    from ..ops.p2g_pallas import _PULL_ALL, _SPILL_ALL
+
+    st = state
+    if rebin:
+        st = _rebin(sim, st, cfg)
+    grid = st.grid
+    table = grid.table
+    nbq = cfg.bins_capacity
+    nb = table.capacity
+    dx = grid.dx
+    origin_w = grid.transform.matrix[:3, 3]
+    B = nbq
+    L = B * K
+
+    cols = st.cols.reshape(B, K, -1)
+    xb = cols[..., 0:3]
+    vb = cols[..., 3:6]
+    Fb = cols[..., 6:15].reshape(B, K, 3, 3)
+    Cb = cols[..., 15:24].reshape(B, K, 3, 3)
+    mban = cols[..., 24]
+    volb = cols[..., 25]
+    lane_alive = (st.pid >= 0).reshape(B, K)
+    mban = jnp.where(lane_alive, mban, 0.0)
+    volb = jnp.where(lane_alive, volb, 0.0)
+
+    # bin -> block mapping from the first lane's position (every live bin
+    # starts with a real particle: padding follows reals within a block)
+    bin_live = jnp.any(lane_alive, axis=1)
+    bin_block = jnp.where(bin_live, table.query(
+        jnp.floor_divide(jnp.floor(
+            (xb[:, 0, :] - origin_w) / dx - 0.5).astype(jnp.int32), 4)), -1)
+    bad_bin = bin_live & (bin_block < 0)
+    overflow = st.overflow | jnp.any(bad_bin)
+    bin_block_safe = jnp.clip(bin_block, 0, nb - 1)
+    borigin = table.active_coords[bin_block_safe] * 4
+
+    xib = (xb - origin_w) / dx
+    ws, wis, rel0i = _axis_stencils(xib, borigin)
+    wx, wy, wz = ws
+    wx_i, wy_i, wz_i = wis
+    rel0 = rel0i * dx
+    # dead lanes must not contribute: fold aliveness into wx
+    wx = wx * lane_alive[..., None]
+    wx_i = wx_i * lane_alive[..., None]
+
+    # ---- P2G: one K-stacked einsum -----------------------------------------
+    Dinv = 4.0 / (dx * dx)
+    tau = sim.model.kirchhoff(Fb)
+    A = mban[..., None, None] * Cb - \
+        (dt * Dinv * volb)[..., None, None] * tau
+    u0 = mban[..., None] * vb + jnp.einsum("bkij,bkj->bki", A, rel0)
+    Q0 = jnp.concatenate([mban[..., None], u0], -1)           # [B,K,4]
+    zero = jnp.zeros_like(mban)[..., None]
+    QA = [jnp.concatenate([zero, dx * A[..., :, d]], -1) for d in range(3)]
+
+    # RHS channel layout: (a, c) with a = 6 planes, c = 4 channels
+    def plane_scale(w6, q):
+        # [B,K,6],[B,K,4] -> [B,K,24]
+        return (w6[..., :, None] * q[..., None, :]).reshape(B, K, 24)
+
+    R1 = plane_scale(wx, Q0) + plane_scale(wx_i, QA[0])
+    R2 = plane_scale(wx, QA[1])
+    R3 = plane_scale(wx, QA[2])
+    S0 = (wy[:, :, :, None] * wz[:, :, None, :]).reshape(B, K, 36)
+    S1 = (wy_i[:, :, :, None] * wz[:, :, None, :]).reshape(B, K, 36)
+    S2 = (wy[:, :, :, None] * wz_i[:, :, None, :]).reshape(B, K, 36)
+    Sstack = jnp.concatenate([S0, S1, S2], axis=1)            # [B,3K,36]
+    Rstack = jnp.concatenate([R1, R2, R3], axis=1)            # [B,3K,24]
+    out = jnp.einsum("bkm,bkA->bmA", Sstack, Rstack, precision=_PREC,
+                     preferred_element_type=jnp.float32)      # [B,36,24]
+    cube = jnp.moveaxis(out.reshape(B, 36, SIDE, 4), 2, 1
+                        ).reshape(B, SIDE ** 3, 4)            # [B,216,4]
+
+    # ---- spill + block reduction --------------------------------------------
+    sel, tgt8, use_seg = _spill_sel(table, bin_block_safe,
+                                    bin_live & ~bad_bin, nb, cfg)
+    spill = jnp.asarray(_SPILL_ALL[:, :, :216])               # [8,64,216]
+    spilled = jnp.einsum("dts,nsc->dntc", spill, cube, precision=_PREC,
+                         preferred_element_type=jnp.float32)  # [8,B,64,4]
+    if use_seg:
+        seg = jnp.where(tgt8 >= 0, tgt8, nb).reshape(-1)
+        acc = jax.ops.segment_sum(
+            spilled.reshape(8 * B, 64 * 4), seg,
+            num_segments=nb + 1)[:nb].reshape(nb, 64, 4)
+    else:
+        acc = jax.lax.dot_general(
+            sel, spilled.reshape(8 * B, 64 * 4),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PREC,
+        ).reshape(nb, 64, 4)
+    gm = acc[..., 0]
+    gmv = acc[..., 1:]
+
+    # ---- grid update ----------------------------------------------------------
+    has_mass = gm > 0.0
+    gv = jnp.where(has_mass[..., None],
+                   gmv / jnp.maximum(gm, 1e-30)[..., None], 0.0)
+    gv = gv + dt * sim.gravity[None, None, :]
+    corners = jnp.asarray(neighbor_offsets(3, 0, 3))
+    node_x = (table.active_coords[:, None, :] * 4 +
+              corners[None]).astype(gv.dtype) * dx + origin_w
+    gv = resolve_boundaries(sim.colliders, node_x, gv)
+    gv = jnp.where(has_mass[..., None], gv, 0.0)
+    max_vel = jnp.sqrt(jnp.max(jnp.sum(gv * gv, -1)))
+
+    # ---- G2P -------------------------------------------------------------------
+    if use_seg:
+        safe = jnp.clip(tgt8, 0, nb - 1)
+        Vd = jnp.where((tgt8 >= 0)[..., None, None], gv[safe], 0.0)
+    else:
+        Vd = jax.lax.dot_general(
+            sel, gv.reshape(nb, 64 * 3),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PREC,
+        ).reshape(8, B, 64, 3)
+    pull = jnp.asarray(_PULL_ALL[:, :, :64])                  # [8,216,64]
+    Vbin = jnp.einsum("dst,dnte->nse", pull, Vd, precision=_PREC,
+                      preferred_element_type=jnp.float32)     # [B,216,3]
+    # V as [B, 36, (a,c)=18]
+    Vac = jnp.moveaxis(Vbin.reshape(B, SIDE, 36, 3), 1, 2
+                       ).reshape(B, 36, 18)
+    P0 = jnp.einsum("bkm,bmA->bkA", S0, Vac, precision=_PREC,
+                    preferred_element_type=jnp.float32)       # [B,K,18]
+    P1 = jnp.einsum("bkm,bmA->bkA", S1, Vac, precision=_PREC,
+                    preferred_element_type=jnp.float32)
+    P2 = jnp.einsum("bkm,bmA->bkA", S2, Vac, precision=_PREC,
+                    preferred_element_type=jnp.float32)
+    P0r = P0.reshape(B, K, SIDE, 3)
+    P1r = P1.reshape(B, K, SIDE, 3)
+    P2r = P2.reshape(B, K, SIDE, 3)
+    s0 = jnp.einsum("bka,bkac->bkc", wx, P0r)
+    sx = jnp.einsum("bka,bkac->bkc", wx_i, P0r)
+    sy = jnp.einsum("bka,bkac->bkc", wx, P1r)
+    sz = jnp.einsum("bka,bkac->bkc", wx, P2r)
+
+    v_new = s0
+    Bmat = v_new[..., :, None] * rel0[..., None, :] + \
+        dx * jnp.stack([sx, sy, sz], axis=-1)
+    C_new = Dinv * Bmat
+    eye = jnp.eye(3, dtype=Fb.dtype)
+    F_new = mm(eye + dt * C_new, Fb)
+    if sim.plasticity is not None and st.has_jp:
+        Jpb = cols[..., 26]
+        F_new, Jp_new = sim.plasticity.project(F_new, Jpb)
+    x_new = xb + dt * v_new
+
+    ok3 = lane_alive[..., None]
+    newcols = [jnp.where(ok3, x_new, xb), jnp.where(ok3, v_new, vb),
+               jnp.where(ok3[..., None], F_new, Fb).reshape(B, K, 9),
+               jnp.where(ok3[..., None], C_new, Cb).reshape(B, K, 9),
+               mban[..., None], volb[..., None]]
+    if st.has_jp:
+        jpcol = (Jp_new if sim.plasticity is not None
+                 else cols[..., 26])
+        newcols.append(jnp.where(ok3, jpcol[..., None],
+                                 cols[..., 26:27]))
+    ncols = jnp.concatenate(newcols, axis=-1).reshape(L, -1)
+
+    grid = dataclasses.replace(grid, data={"m": gm, "v": gv})
+    return dataclasses.replace(st, cols=ncols, grid=grid, max_vel=max_vel,
+                               overflow=overflow)
+
+
+def rollout_binned2(sim: MPMSim, state: MPMState, dt, cfg: BinnedConfig2,
+                    n_steps: int) -> Tuple[MPMState, jax.Array]:
+    """n steps in bin order; original order restored once at the end.
+
+    Returns (state, overflow).  Jit the whole call.
+    """
+    st = bin_state(sim, state, cfg)
+
+    def body(_, s):
+        return explicit_step_binned2(sim, s, dt, cfg)
+
+    st = jax.lax.fori_loop(0, n_steps, body, st)
+    return unbin_state(st, state), st.overflow
