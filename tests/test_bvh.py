@@ -189,3 +189,62 @@ class TestBvs:
                               jnp.asarray([[2.0] * 3], jnp.float32), 128)
         got = set(np.asarray(ids)[np.asarray(mask)].tolist())
         assert got == set(range(70))
+
+
+class TestSortedBandedJoin:
+    def _oracle_sets(self, bvh, qlo, qhi, max_hits):
+        from zpc_tpu.containers.bvh import query_overlaps
+        hits, cnt = query_overlaps(bvh, qlo, qhi, max_hits)
+        return [set(int(h) for h in row if h >= 0) for row in
+                np.asarray(hits)], np.asarray(cnt)
+
+    def test_matches_rope_walk(self, rng):
+        from zpc_tpu.containers.bvh import (build_lbvh,
+                                            query_overlaps_sorted)
+        n = 1024
+        c = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+        h = np.full((n, 3), 0.01, np.float32)
+        lo = jnp.asarray(c - h)
+        hi = jnp.asarray(c + h)
+        bvh = build_lbvh(lo, hi)
+        nq = 512
+        qlo = lo[:nq] - 0.02
+        qhi = hi[:nq] + 0.02
+        max_hits = 32
+        qid, hits, cnt, in_band = jax.jit(
+            lambda *a: query_overlaps_sorted(*a, max_hits, tile=64)
+        )(bvh, qlo, qhi)
+        in_band = np.asarray(in_band)
+        # most queries resolve in-band; out-of-band ones use the fallback
+        assert in_band.mean() > 0.7
+        ref_sets, ref_cnt = self._oracle_sets(bvh, qlo, qhi, 64)
+        qid = np.asarray(qid)
+        hits = np.asarray(hits)
+        cnt = np.asarray(cnt)
+        checked = 0
+        for row in range(nq):
+            if not in_band[row]:
+                continue
+            q = int(qid[row])
+            got = set(int(p) for p in hits[row] if p >= 0)
+            assert cnt[row] == ref_cnt[q], (row, q)
+            assert got == ref_sets[q], (row, q)
+            checked += 1
+        assert checked > 0.7 * nq
+
+    def test_band_overflow_flagged(self, rng):
+        # one gigantic query box must fall out of the 3-tile band
+        from zpc_tpu.containers.bvh import (build_lbvh,
+                                            query_overlaps_sorted)
+        n = 4096
+        c = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+        h = np.full((n, 3), 0.002, np.float32)
+        bvh = build_lbvh(jnp.asarray(c - h), jnp.asarray(c + h))
+        qlo = jnp.asarray(c[:128] - 0.004)
+        qhi = jnp.asarray(c[:128] + 0.004)
+        qlo = qlo.at[0].set(jnp.asarray([0.0, 0.0, 0.0]))
+        qhi = qhi.at[0].set(jnp.asarray([1.0, 1.0, 1.0]))
+        qid, hits, cnt, in_band = query_overlaps_sorted(
+            bvh, qlo, qhi, 16, tile=32)
+        ib = np.asarray(in_band)[np.argsort(np.asarray(qid))]
+        assert not ib[0]                 # the huge box is flagged

@@ -35,8 +35,9 @@ import numpy as np
 
 from ..math.bits import morton3d, common_prefix_length
 
-__all__ = ["LBvh", "build_lbvh", "query_overlaps", "query_nearest",
-           "query_ray", "aabb_overlap", "BvttFront"]
+__all__ = ["LBvh", "build_lbvh", "query_overlaps",
+           "query_overlaps_sorted", "query_nearest", "query_ray",
+           "aabb_overlap", "BvttFront"]
 
 
 def aabb_overlap(lo_a, hi_a, lo_b, hi_b):
@@ -51,6 +52,10 @@ class LBvh:
     Node ids: internal nodes [0, n-1), leaves [n-1, 2n-1) (leaf i of the
     sorted order = node n-1+i).  ``escape`` is the stackless skip pointer in
     a preorder-equivalent traversal; -1 terminates.
+
+    ``codes``/``scene_lo``/``scene_extent``/``half_max`` record the morton
+    quantization so queries can reuse it (sorted banded join,
+    :func:`query_overlaps_sorted`).
     """
 
     lo: jax.Array        # [2n-1, dim] node box min
@@ -60,6 +65,10 @@ class LBvh:
     escape: jax.Array    # [2n-1] skip pointer
     leaf_prim: jax.Array  # [2n-1] original primitive id (-1 for internal)
     count: jax.Array     # active primitive count
+    codes: jax.Array     # [n] sorted leaf morton codes
+    scene_lo: jax.Array      # [dim]
+    scene_extent: jax.Array  # [dim]
+    half_max: jax.Array      # [dim] max leaf half-extent
 
     @property
     def num_leaves(self) -> int:
@@ -152,12 +161,15 @@ def build_lbvh(prim_lo: jax.Array, prim_hi: jax.Array,
     order = jnp.argsort(codes)  # stable; invalid go last
     codes_s = codes[order]
 
+    half_max = 0.5 * jnp.max(jnp.where(valid[:, None],
+                                       prim_hi - prim_lo, 0.0), axis=0)
     if n == 1:
         return LBvh(prim_lo, prim_hi,
                     jnp.full((1,), -1, jnp.int32),
                     jnp.full((1,), -1, jnp.int32),
                     jnp.full((1,), -1, jnp.int32),
-                    jnp.zeros((1,), jnp.int32), count)
+                    jnp.zeros((1,), jnp.int32), count,
+                    codes, scene_lo, extent, half_max)
 
     left, right, rlo, rhi = _karras_topology(codes_s)
     ninternal = n - 1
@@ -207,29 +219,29 @@ def build_lbvh(prim_lo: jax.Array, prim_hi: jax.Array,
     lo = jnp.concatenate([int_lo, leaf_lo])
     hi = jnp.concatenate([int_hi, leaf_hi])
 
-    # escape pointers: escape(root) = -1; left child -> its right sibling;
-    # right child -> escape of the nearest left-child ancestor.  Resolved by
-    # pointer doubling (chains can be as deep as the tree, so linear
-    # propagation in log rounds is insufficient): J[v] climbs to the nearest
-    # left-child ancestor (or the root), J = J[J] converges in log2 rounds.
-    is_left = jnp.zeros((total,), bool).at[left].set(True)
-    sibling = jnp.full((total,), -1, jnp.int32).at[left].set(right)
+    # escape pointers without pointer doubling: the skip target of a node
+    # with sorted-leaf range [a, b] is the LARGEST node whose range starts
+    # at b+1 (no node starting at b+1 can be an ancestor of [a, b]).  Two
+    # scatter-max passes find that winner per start position — O(n), no
+    # J = J[J] gather rounds (which dominated the old build).
+    node_rlo = jnp.concatenate([rlo, jnp.arange(n, dtype=jnp.int32)])
+    node_rhi = jnp.concatenate([rhi, jnp.arange(n, dtype=jnp.int32)])
+    maxr = jnp.full((n,), -1, jnp.int32).at[node_rlo].max(node_rhi)
     idx_all = jnp.arange(total, dtype=jnp.int32)
-    J = jnp.where(is_left, idx_all, jnp.maximum(parent, 0))
-    hops = int(np.ceil(np.log2(total))) + 1
-
-    def jump(_, J):
-        return J[J]
-
-    J = jax.lax.fori_loop(0, hops, jump, J)
-    escape = jnp.where(is_left[J], sibling[J], -1)
+    is_winner = node_rhi == maxr[node_rlo]
+    winner = jnp.full((n,), -1, jnp.int32).at[
+        jnp.where(is_winner, node_rlo, n - 1)].max(
+        jnp.where(is_winner, idx_all, -1))
+    nxt = node_rhi + 1
+    escape = jnp.where(nxt < n, winner[jnp.minimum(nxt, n - 1)], -1)
 
     leftc = jnp.concatenate([left, jnp.full((n,), -1, jnp.int32)])
     rightc = jnp.concatenate([right, jnp.full((n,), -1, jnp.int32)])
     leaf_prim = jnp.concatenate([
         jnp.full((ninternal,), -1, jnp.int32),
         jnp.where(valid[order], order, -1).astype(jnp.int32)])
-    return LBvh(lo, hi, leftc, rightc, escape, leaf_prim, count)
+    return LBvh(lo, hi, leftc, rightc, escape, leaf_prim, count,
+                codes_s, scene_lo, extent, half_max)
 
 
 def query_overlaps(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
@@ -274,6 +286,121 @@ def query_overlaps(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
         return hits, jnp.minimum(cnt, max_hits)
 
     return jax.vmap(one)(q_lo, q_hi, valid)
+
+
+def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
+                          max_hits: int, tile: int = 128,
+                          group: int = 128):
+    """High-throughput AABB overlap query: sorted banded tile join.
+
+    TPU-native replacement for per-query tree walks (which serialize into
+    lockstep gather chains at ~0.1 Mq/s): sort the queries by morton code
+    — then, because node/leaf order is morton too, every query's
+    overlapping leaves live in a contiguous sorted-leaf interval
+    ``[searchsorted(codes, m(qlo - h)), searchsorted(codes, m(qhi + h))]``
+    (componentwise dominance of morton codes; ``h`` = max leaf
+    half-extent).  Queries tile the diagonal; each tile tests its ``tile``
+    queries against a 3-tile leaf window with pure VPU compares over
+    static slices — zero gathers — and extracts hit ids with ``top_k``.
+
+    Returns ``(qid, hits, counts, in_band)`` in sorted-query order:
+    ``qid [nq]`` original query index, ``hits [nq, max_hits]`` primitive
+    ids (-1 padded), ``counts [nq]`` true overlap counts, ``in_band [nq]``
+    False where the band was too narrow (caller falls back to
+    :func:`query_overlaps` for those or increases ``tile``).
+
+    Reference analog: ``container/Bvh.hpp`` ``iter_neighbors`` (:662-733);
+    the banded join is the TPU-first formulation of the same broad phase.
+    """
+    n = bvh.num_leaves
+    nq = q_lo.shape[0]
+    dim = q_lo.shape[-1]
+    T = tile
+    assert nq % T == 0, "query count must be a multiple of tile"
+    ntiles = nq // T
+    G = min(group, ntiles)
+    while ntiles % G:
+        G -= 1
+    leaf_lo = bvh.lo[n - 1:]
+    leaf_hi = bvh.hi[n - 1:]
+    leaf_prim = bvh.leaf_prim[n - 1:]
+
+    # morton interval of each query (dilated by max leaf half-extent)
+    def mcode(x):
+        qz = jnp.clip((x - bvh.scene_lo) / bvh.scene_extent * 1024.0,
+                      0, 1023).astype(jnp.int32)
+        return morton3d(qz)
+
+    m_lo = mcode(q_lo - bvh.half_max)
+    m_hi = mcode(q_hi + bvh.half_max)
+
+    # sort queries by interval start (wide sort: no gathers)
+    qid0 = jnp.arange(nq, dtype=jnp.int32)
+    ops = jax.lax.sort(
+        (m_lo, m_hi, qid0,
+         *[q_lo[:, d] for d in range(dim)],
+         *[q_hi[:, d] for d in range(dim)]), num_keys=1, is_stable=True)
+    sm_lo, sm_hi, qid = ops[0], ops[1], ops[2]
+    sq_lo = jnp.stack(ops[3:3 + dim], axis=1)
+    sq_hi = jnp.stack(ops[3 + dim:3 + 2 * dim], axis=1)
+
+    s = jnp.searchsorted(bvh.codes, sm_lo, side="left").astype(jnp.int32)
+    e = jnp.searchsorted(bvh.codes, sm_hi, side="right").astype(jnp.int32)
+    # leaf tiling aligned to query tiling: TL leaves per query tile
+    TL = -(-n // ntiles)
+    # query tile t sees leaves [(t-1)*TL, (t+2)*TL)
+    tile_of_q = jnp.arange(nq, dtype=jnp.int32) // T
+    lo_ok = s >= (tile_of_q - 1) * TL
+    hi_ok = e <= (tile_of_q + 2) * TL
+    in_band = (lo_ok & hi_ok) | (s >= e)      # empty intervals always ok
+
+    # leaf windows via static shifts (no gathers)
+    def leaf_tiles(a, fill):
+        pad = ntiles * TL - n
+        a = jnp.concatenate(
+            [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)])
+        return a.reshape(ntiles, TL, *a.shape[1:])
+
+    def window(a, fill):
+        t = leaf_tiles(a, fill)
+        prev = jnp.concatenate([jnp.full_like(t[:1], fill), t[:-1]], 0)
+        nxt = jnp.concatenate([t[1:], jnp.full_like(t[:1], fill)], 0)
+        return jnp.concatenate([prev, t, nxt], axis=1)  # [ntiles, 3TL, ...]
+
+    big = jnp.asarray(3.4e38, leaf_lo.dtype)
+    wlo = window(leaf_lo, big)
+    whi = window(leaf_hi, -big)
+    wprim = window(leaf_prim, jnp.int32(-1))
+    qlo_t = sq_lo.reshape(ntiles, T, dim)
+    qhi_t = sq_hi.reshape(ntiles, T, dim)
+
+    def per_group(carry, tgroup):
+        wl, wh, wp, ql, qh = tgroup                # [G, T|3TL, ...]
+        # [G, T, 3TL] overlap mask
+        ov = jnp.all(ql[:, :, None, :] <= wh[:, None, :, :], -1) & \
+            jnp.all(wl[:, None, :, :] <= qh[:, :, None, :], -1) & \
+            (wp[:, None, :] >= 0)
+        cnt = jnp.sum(ov, axis=-1).astype(jnp.int32)
+        # first max_hits lane ids per query via top_k on -(lane or BIG)
+        lane = jnp.arange(3 * TL, dtype=jnp.int32)
+        key = jnp.where(ov, lane[None, None, :], 3 * TL)
+        neg, _ = jax.lax.top_k(-key, max_hits)    # smallest lanes first
+        lanes = -neg                               # [G, T, max_hits]
+        hit_prim = jnp.take_along_axis(
+            jnp.broadcast_to(wp[:, None, :], ov.shape),
+            jnp.minimum(lanes, 3 * TL - 1), axis=-1)
+        hits = jnp.where(lanes < 3 * TL, hit_prim, -1)
+        return carry, (hits, cnt)
+
+    scanned = (wlo.reshape(ntiles // G, G, 3 * TL, dim),
+               whi.reshape(ntiles // G, G, 3 * TL, dim),
+               wprim.reshape(ntiles // G, G, 3 * TL),
+               qlo_t.reshape(ntiles // G, G, T, dim),
+               qhi_t.reshape(ntiles // G, G, T, dim))
+    _, (hits, cnt) = jax.lax.scan(per_group, 0, scanned)
+    hits = hits.reshape(nq, max_hits)
+    cnt = cnt.reshape(nq)
+    return qid, hits, cnt, in_band
 
 
 def query_nearest(bvh: LBvh, points: jax.Array, prim_dist: Callable,
