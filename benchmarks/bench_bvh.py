@@ -1,0 +1,73 @@
+"""LBVH build + query at 1M prims (BASELINE config 4), hardened timing."""
+
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from benchmarks.measure import chained_ms, dep_scalar
+from zpc_tpu.containers.bvh import (build_lbvh, query_overlaps,
+                                    query_overlaps_sorted)
+
+
+def main(n=1_000_000):
+    rng = np.random.default_rng(0)
+    c = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    h = np.full((n, 3), 0.002, np.float32)
+    lo = jnp.asarray(c - h)
+    hi = jnp.asarray(c + h)
+
+    def build_body(i, lohi):
+        l, h2 = lohi
+        bvh = build_lbvh(l, h2)
+        eps = dep_scalar(bvh.lo[0])
+        return l + eps, h2 + eps
+
+    ms = chained_ms(build_body, (lo, hi), iters=5,
+                    label=f"LBVH build {n//1000}k")
+    print(f"    -> {n / (ms / 1e3) / 1e6:.1f} Mprims/s", flush=True)
+
+    bvh = jax.block_until_ready(jax.jit(build_lbvh)(lo, hi))
+    nq = n
+    qlo = lo - 0.004
+    qhi = hi + 0.004
+
+    def q_sorted(i, q, consts):
+        bvh, = consts
+        ql, qh = q
+        qid, hits, cnt, ok = query_overlaps_sorted(bvh, ql, qh, 16,
+                                                   tile=256, group=32)
+        eps = dep_scalar(cnt) + dep_scalar(hits[:, 0])
+        return ql + eps, qh + eps
+
+    ms = chained_ms(q_sorted, (qlo, qhi), iters=3, const=(bvh,),
+                    label=f"sorted banded join {nq//1000}k queries")
+    print(f"    -> {nq / (ms / 1e3) / 1e6:.2f} Mq/s", flush=True)
+
+    # in-band fraction + hit sanity on a jitted run
+    qid, hits, cnt, ok = jax.jit(
+        lambda b, a, z: query_overlaps_sorted(b, a, z, 16, tile=256,
+                                              group=32))(bvh, qlo, qhi)
+    print(f"    in-band {float(jnp.mean(ok.astype(jnp.float32))):.4f}, "
+          f"mean hits {float(jnp.mean(cnt.astype(jnp.float32))):.2f}",
+          flush=True)
+
+    # rope-walk for reference at a smaller query count
+    nq2 = 8192
+    def q_rope(i, q, consts):
+        bvh, = consts
+        ql, qh = q
+        hits, cnt = query_overlaps(bvh, ql, qh, 16)
+        eps = dep_scalar(cnt)
+        return ql + eps, qh + eps
+
+    ms = chained_ms(q_rope, (qlo[:nq2], qhi[:nq2]), iters=2, reps=2,
+                    const=(bvh,), label=f"rope walk {nq2//1000}k queries")
+    print(f"    -> {nq2 / (ms / 1e3) / 1e6:.3f} Mq/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -19,13 +19,21 @@ from zpc_tpu.sim.mpm_binned import (BIN_SIZE, BinnedConfig, BinWorkspace,
                                     explicit_step_binned, prepare_bins)
 
 
-def chained_ms(body, x0, iters=20, reps=3, label=""):
-    f = jax.jit(lambda x: jax.lax.fori_loop(0, iters, body, x))
-    x = jax.block_until_ready(f(x0))
+def chained_ms(body, x0, iters=20, reps=3, label="", const=None):
+    """`const` rides as a jit argument (NOT a closure constant) so big
+    workspaces don't get baked into the HLO (tunnel 413s on >100MB)."""
+    if const is None:
+        f = jax.jit(lambda x: jax.lax.fori_loop(0, iters, body, x))
+        call = lambda x: f(x)
+    else:
+        f = jax.jit(lambda c, x: jax.lax.fori_loop(
+            0, iters, lambda i, xx: body(i, xx, c), x))
+        call = lambda x: f(const, x)
+    x = jax.block_until_ready(call(x0))
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        x = jax.block_until_ready(f(x))
+        x = jax.block_until_ready(call(x))
         best = min(best, (time.perf_counter() - t0) / iters)
     print(f"{label:42s} {best * 1e3:8.2f} ms")
     return best * 1e3
@@ -58,7 +66,7 @@ def main():
     ws = jax.jit(lambda s: prepare_bins(sim, s, cfg))(st)
     ws = jax.block_until_ready(ws)
 
-    def xfer(_i, carry):
+    def xfer(_i, carry, ws):
         vb, = carry
         Dinv = 4.0 / (ws.grid.dx * ws.grid.dx)
         tau = ws.bin_leaves(sim.model).kirchhoff(ws.Fb)
@@ -76,25 +84,25 @@ def main():
                        acc[..., 1:] / jnp.maximum(gm, 1e-30)[..., None], 0.0)
         s0, _ = ws.g2p(gv)
         return (vb + 1e-30 * s0,)
-    chained_ms(xfer, (ws.vb,), label="p2g+grid+g2p (fixed ws)")
+    chained_ms(xfer, (ws.vb,), label="p2g+grid+g2p (fixed ws)", const=ws)
 
     # p2g alone
-    def p2g_only(_i, carry):
+    def p2g_only(_i, carry, ws):
         vb, = carry
         Q0 = jnp.concatenate([ws.mban[..., None],
                               ws.mban[..., None] * vb], -1)
         zero = jnp.zeros((ws.nbins, BIN_SIZE, 4), jnp.float32)
         acc = ws.p2g(Q0, [zero, zero, zero])
         return (vb + 1e-30 * acc[0, 0, 0],)
-    chained_ms(p2g_only, (ws.vb,), label="p2g only (Q0, zero QA)")
+    chained_ms(p2g_only, (ws.vb,), label="p2g only (Q0, zero QA)", const=ws)
 
     # g2p alone
-    def g2p_only(_i, carry):
+    def g2p_only(_i, carry, ws):
         gv, = carry
         s0, sidx = ws.g2p(gv)
         return (gv + 1e-30 * s0[0, 0, 0],)
     gv0 = jnp.zeros((ws.nb, 64, 3), jnp.float32)
-    chained_ms(g2p_only, (gv0,), label="g2p only")
+    chained_ms(g2p_only, (gv0,), label="g2p only", const=ws)
 
     # the particle sort
     keys = jnp.asarray(np.random.default_rng(0).integers(
@@ -135,7 +143,7 @@ def main():
                label="row gather [262k,24]")
 
     # one-hot sel_cat construction + the two selection matmuls
-    def sel_only(_i, carry):
+    def sel_only(_i, carry, ws):
         tgt, acc = carry
         sel = (tgt.reshape(-1)[None, :] ==
                jnp.arange(ws.nb, dtype=jnp.int32)[:, None]
@@ -147,7 +155,7 @@ def main():
             precision=jax.lax.Precision.HIGH)
         return (tgt + (out[0, 0] * 1e-30).astype(jnp.int32), acc + 1e-30)
     chained_ms(sel_only, (ws.tgt8, jnp.zeros((1, 256), jnp.float32)),
-               label="sel_cat build + [nb,8B]x[8B,256]")
+               label="sel_cat build + [nb,8B]x[8B,256]", const=ws)
 
 
 if __name__ == "__main__":

@@ -135,3 +135,57 @@ class TestBlockTable:
         assert int(table.count) == len(np.unique(c, axis=0))
         back = np.asarray(bt.unpack_key(bt.pack_coords(jnp.asarray(c)), 2))
         np.testing.assert_array_equal(back, c)
+
+
+class TestWideBlockTable:
+    """Dual-int32 keys: domains beyond the 1024^3-block single-key cap
+    (reference 64-bit-key bht, Bht.hpp)."""
+
+    def test_far_coords_roundtrip(self, rng):
+        from zpc_tpu.containers.block_table import (build_wide_block_table,
+                                                    pack_coords_wide,
+                                                    unpack_key_wide)
+        # well beyond +-512 blocks in every axis
+        coords = jnp.asarray(np.stack([
+            rng.integers(-200_000, 200_000, 64),
+            rng.integers(-16_000, 16_000, 64),
+            rng.integers(-32_000, 32_000, 64)], -1), jnp.int32)
+        kx, kyz = pack_coords_wide(coords)
+        back = unpack_key_wide(kx, kyz)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(coords))
+
+        table, inverse = build_wide_block_table(coords, 128)
+        inv = np.asarray(inverse)
+        slots = np.asarray(table.query(coords))
+        np.testing.assert_array_equal(slots, inv)
+        assert (slots >= 0).all()
+        # coords round-trip through the table
+        ac = np.asarray(table.active_coords)
+        for i, c in enumerate(np.asarray(coords)):
+            np.testing.assert_array_equal(ac[slots[i]], c)
+
+    def test_miss_and_duplicates(self, rng):
+        from zpc_tpu.containers.block_table import build_wide_block_table
+        base = np.asarray([[100000, 9000, -20000]] * 5 +
+                          [[-99999, -9000, 20000]] * 3, np.int64)
+        table, inverse = build_wide_block_table(
+            jnp.asarray(base, jnp.int32), 8)
+        assert int(table.count) == 2
+        inv = np.asarray(inverse)
+        assert len(set(inv[:5])) == 1 and len(set(inv[5:])) == 1
+        miss = table.query(jnp.asarray([[1, 2, 3]], jnp.int32))
+        assert int(miss[0]) == -1
+
+    def test_lexicographic_order_preserved(self, rng):
+        from zpc_tpu.containers.block_table import (WideBlockTable,
+                                                    build_wide_block_table)
+        coords = jnp.asarray(np.stack([
+            rng.integers(-500_000, 500_000, 256),
+            rng.integers(-16_000, 16_000, 256),
+            rng.integers(-32_000, 32_000, 256)], -1), jnp.int32)
+        table, _ = build_wide_block_table(coords, 256)
+        n = int(table.count)
+        kx = np.asarray(table.kx)[:n].astype(np.int64)
+        kyz = np.asarray(table.kyz)[:n].astype(np.uint32)
+        comb = (kx << 32) | kyz
+        assert (np.diff(comb) > 0).all()

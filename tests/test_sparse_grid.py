@@ -77,3 +77,28 @@ class TestSparseGrid:
         back = g.index_to_world(xi)
         np.testing.assert_allclose(np.asarray(back), np.asarray(x),
                                    atol=1e-5)
+
+
+def test_wide_key_grid_far_domain(rng):
+    """sparse_grid(wide_keys=True): activation + queries beyond the
+    +-512-block packed-int32 cap."""
+    from zpc_tpu.core.config import prop
+    from zpc_tpu.geometry.sparse_grid import sparse_grid
+    from zpc_tpu.containers.block_table import WideBlockTable
+    g = sparse_grid([prop("m")], dx=1.0, block_capacity=64, wide_keys=True)
+    assert isinstance(g.table, WideBlockTable)
+    blocks = jnp.asarray([[100000, 9000, -20000], [100001, 9000, -20000],
+                          [-5000, -9000, 30000]], jnp.int32)
+    g2, slots = g.activate_with_slots(blocks, dilation=1)
+    assert (np.asarray(slots) >= 0).all()
+    # cell queries inside the far blocks resolve
+    cells = blocks * 4 + 1
+    cs = np.asarray(g2.cell_slot(cells))
+    assert (cs >= 0).all()
+    # a write/read roundtrip through value_or
+    data = g2.data["m"].reshape(-1).at[cs].set(jnp.asarray([1., 2., 3.]))
+    import dataclasses
+    g3 = dataclasses.replace(g2, data={"m": data.reshape(
+        g2.block_capacity, g2.cells_per_block)})
+    vals = np.asarray(g3.value_or("m", cells, -1.0))
+    np.testing.assert_allclose(vals, [1., 2., 3.])

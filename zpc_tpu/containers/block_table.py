@@ -40,6 +40,11 @@ __all__ = [
     "unpack_key",
     "BlockTable",
     "build_block_table",
+    "build_overflowed",
+    "WideBlockTable",
+    "build_wide_block_table",
+    "pack_coords_wide",
+    "unpack_key_wide",
 ]
 
 KEY_SENTINEL = np.int32(np.iinfo(np.int32).max)
@@ -146,7 +151,116 @@ def build_block_table(coords: jax.Array, capacity: int,
     return BlockTable(table_keys, count.astype(jnp.int32), dim), inverse
 
 
-def build_overflowed(table: BlockTable) -> jax.Array:
+def build_overflowed(table) -> jax.Array:
     """True when the last build exceeded capacity (bht ``_buildSuccess``
     analog, Bht.hpp:163-175); host should rebuild with a larger capacity."""
     return table.count > table.capacity
+
+
+# ---------------------------------------------------------------------------
+# Wide (dual-int32) keys — domains beyond 1024^3 blocks
+# ---------------------------------------------------------------------------
+
+_YW_OFF = 1 << 14         # y in [-16384, 16384) blocks (15 bits, no sign)
+_ZW_OFF = 1 << 15         # z in [-32768, 32768) blocks (16 bits)
+_XW_OFF = 1 << 29         # x in [-2^29, 2^29) (sentinel-collision-free)
+
+
+def pack_coords_wide(coords: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Pack 3-D block coords into a lexicographic (kx, kyz) int32 pair.
+
+    Lifts the single-int32 1024^3-block cap (10 bits/axis) to
+    ±2^29 x ±16384 x ±32768 blocks (kyz keeps the sign bit clear so the
+    pair sorts lexicographically as plain int32s).
+    """
+    kx = coords[..., 0].astype(jnp.int32) + _XW_OFF
+    kyz = ((coords[..., 1].astype(jnp.int32) + _YW_OFF) << 16) | \
+        (coords[..., 2].astype(jnp.int32) + _ZW_OFF)
+    return kx, kyz
+
+
+def unpack_key_wide(kx: jax.Array, kyz: jax.Array) -> jax.Array:
+    x = kx - _XW_OFF
+    y = ((kyz >> 16) & 0x7FFF) - _YW_OFF
+    z = (kyz & 0xFFFF) - _ZW_OFF
+    return jnp.stack([x, y, z], axis=-1).astype(jnp.int32)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class WideBlockTable:
+    """Dual-int32-key table: same contract as :class:`BlockTable`, domains
+    beyond the packed-int32 1024^3-block cap (the reference's 64-bit key
+    hash tables, Bht.hpp key_t; enabled via ``sparse_grid(wide_keys=True)``).
+    """
+
+    kx: jax.Array     # [capacity] int32, lexicographic major
+    kyz: jax.Array    # [capacity] int32, minor
+    count: jax.Array
+    dim: int = dataclasses.field(metadata=dict(static=True), default=3)
+
+    @property
+    def capacity(self) -> int:
+        return self.kx.shape[0]
+
+    @property
+    def keys(self) -> jax.Array:
+        """Major key column (sentinel-padded) — kept for shape-generic
+        callers; identity lives in (kx, kyz)."""
+        return self.kx
+
+    @property
+    def active_coords(self) -> jax.Array:
+        return unpack_key_wide(self.kx, self.kyz)
+
+    @property
+    def mask(self) -> jax.Array:
+        return jnp.arange(self.capacity) < self.count
+
+    def query(self, coords: jax.Array) -> jax.Array:
+        """Slot per block coord, -1 if absent: vectorized lexicographic
+        binary search over the sorted (kx, kyz) pair."""
+        qx, qyz = pack_coords_wide(coords)
+        cap = self.capacity
+        lo = jnp.zeros(qx.shape, jnp.int32)
+        hi = jnp.full(qx.shape, cap, jnp.int32)
+        steps = int(np.ceil(np.log2(max(cap, 2)))) + 1
+        for _ in range(steps):
+            mid = (lo + hi) // 2
+            midc = jnp.minimum(mid, cap - 1)
+            mx = self.kx[midc]
+            myz = self.kyz[midc]
+            less = (mx < qx) | ((mx == qx) & (myz < qyz))
+            lo = jnp.where(less, mid + 1, lo)
+            hi = jnp.where(less, hi, mid)
+        idx = jnp.minimum(lo, cap - 1)
+        hit = (self.kx[idx] == qx) & (self.kyz[idx] == qyz) & \
+            (lo < self.count)
+        return jnp.where(hit, idx, -1)
+
+
+def build_wide_block_table(coords: jax.Array, capacity: int,
+                           valid: Optional[jax.Array] = None
+                           ) -> Tuple[WideBlockTable, jax.Array]:
+    """Sort-based build over dual-int32 keys (3-D only)."""
+    n = coords.shape[0]
+    kx, kyz = pack_coords_wide(coords)
+    if valid is not None:
+        kx = jnp.where(valid, kx, KEY_SENTINEL)
+        kyz = jnp.where(valid, kyz, KEY_SENTINEL)
+    lane = jnp.arange(n, dtype=jnp.int32)
+    sx, syz, sl = jax.lax.sort((kx, kyz, lane), num_keys=2, is_stable=True)
+    neq = jnp.concatenate(
+        [jnp.ones((1,), bool), (sx[1:] != sx[:-1]) | (syz[1:] != syz[:-1])])
+    neq = neq & (sx != KEY_SENTINEL)
+    rank = jnp.cumsum(neq.astype(jnp.int32)) - 1
+    count = rank[-1] + 1
+    dst = jnp.clip(jnp.where(neq, rank, capacity), 0, capacity)
+    tx = jnp.full((capacity + 1,), KEY_SENTINEL, jnp.int32).at[dst].set(
+        sx)[:capacity]
+    tyz = jnp.full((capacity + 1,), KEY_SENTINEL, jnp.int32).at[dst].set(
+        syz)[:capacity]
+    inverse = jnp.zeros((n,), jnp.int32).at[sl].set(
+        jnp.where(sx != KEY_SENTINEL, rank, -1))
+    inverse = jnp.where(inverse >= capacity, -1, inverse)
+    return WideBlockTable(tx, tyz, count.astype(jnp.int32), 3), inverse

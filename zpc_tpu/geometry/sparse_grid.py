@@ -30,8 +30,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..containers.block_table import (BlockTable, build_block_table,
-                                      pack_coords)
+from ..containers.block_table import (BlockTable, WideBlockTable,
+                                      build_block_table,
+                                      build_wide_block_table, pack_coords)
 from ..core.config import PropertyTag
 from ..containers.structured import _as_tags, PropsSpec
 from ..math.transform import Transform, translation, scaling
@@ -185,15 +186,18 @@ class SparseGrid:
         measured ~25 ms on v5e; the remap below queries only ``capacity``
         keys)."""
         cap = self.block_capacity
-        table, inverse = build_block_table(block_coords, cap, valid=valid,
-                                           dim=self.dim)
+        if isinstance(self.table, WideBlockTable):
+            build = lambda c, k, v: build_wide_block_table(c, k, valid=v)
+        else:
+            build = lambda c, k, v: build_block_table(c, k, valid=v,
+                                                      dim=self.dim)
+        table, inverse = build(block_coords, cap, valid)
         if dilation:
             offs = neighbor_offsets(self.dim, 0, dilation)
             cand = (table.active_coords[:, None, :] +
                     jnp.asarray(offs)[None, :, :]).reshape(-1, self.dim)
             vmask = jnp.repeat(table.mask, offs.shape[0])
-            table2, inv_cand = build_block_table(cand, cap, valid=vmask,
-                                                 dim=self.dim)
+            table2, inv_cand = build(cand, cap, vmask)
             # offset (0,..,0) is the first neighbor: candidate i*noffs maps
             # table slot i -> dilated slot
             remap = inv_cand[jnp.arange(cap) * offs.shape[0]]
@@ -207,14 +211,23 @@ class SparseGrid:
 
 def sparse_grid(props: PropsSpec, *, dx: float, block_capacity: int,
                 block_size: int = 4, dim: int = 3, origin=None,
-                dtype=jnp.float32) -> SparseGrid:
-    """Construct an empty SparseGrid with named cell properties."""
+                dtype=jnp.float32, wide_keys: bool = False) -> SparseGrid:
+    """Construct an empty SparseGrid with named cell properties.
+
+    ``wide_keys=True`` switches to dual-int32 block keys
+    (:class:`WideBlockTable`), lifting the 1024^3-block domain cap.
+    """
     tags = _as_tags(props)
     cap = block_capacity
     data = {t.name: jnp.zeros((cap, block_size ** dim) + t.shape, dtype)
             for t in tags}
     keys = jnp.full((cap,), np.iinfo(np.int32).max, jnp.int32)
-    table = BlockTable(keys, jnp.int32(0), dim)
+    if wide_keys:
+        assert dim == 3, "wide keys are 3-D"
+        table = WideBlockTable(keys, jnp.full_like(keys, keys[0]),
+                               jnp.int32(0), dim)
+    else:
+        table = BlockTable(keys, jnp.int32(0), dim)
     tr = scaling(dx)
     if origin is not None:
         tr = translation(origin).compose(tr)
