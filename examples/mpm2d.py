@@ -24,6 +24,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--particles", type=int, default=8192)
+    ap.add_argument("--binned", action="store_true",
+                    help="use the binned2 fast path")
     args = ap.parse_args()
 
     rng = np.random.default_rng(3)
@@ -42,11 +44,21 @@ def main():
                  gravity=jnp.asarray([0.0, -9.8]), colliders=(ground,))
     st = make_mpm_state(x, dx=1.0 / 128, block_capacity=2048)
     dt = 1e-4
-    step = jax.jit(lambda s: explicit_step(sim, s, jnp.float32(dt)))
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        st = step(st)
-    jax.block_until_ready(st)
+    if args.binned:
+        from zpc_tpu.sim.mpm_binned2 import BinnedConfig2, rollout_binned2
+        cfg = BinnedConfig2(bins_capacity=max(
+            256, st.particles.capacity // 128 * 4))
+        roll = jax.jit(lambda s: rollout_binned2(
+            sim, s, jnp.float32(dt), cfg, args.steps))
+        t0 = time.perf_counter()
+        st, overflow = jax.block_until_ready(roll(st))
+        assert not bool(overflow), "bin overflow: raise bins_capacity"
+    else:
+        step = jax.jit(lambda s: explicit_step(sim, s, jnp.float32(dt)))
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            st = step(st)
+        jax.block_until_ready(st)
     pos = np.asarray(st.particles["x"])[: st.particles.size]
     print(f"{args.steps} steps in {time.perf_counter() - t0:.2f}s; "
           f"y range [{pos[:, 1].min():.3f}, {pos[:, 1].max():.3f}] "

@@ -106,3 +106,28 @@ class TestBinned2MatchesBaseline:
         st = make_mpm_state(x, dx=0.05, block_capacity=256)
         _compare(_sim(), st, jnp.float32(1e-4),
                  BinnedConfig2(bins_capacity=64, use_segments=True))
+
+
+def test_2d_matches_baseline(rng):
+    """2-D fast path vs explicit_step oracle (drops the dim==3 limit)."""
+    x = jnp.asarray(rng.uniform(0.2, 0.8, (600, 2)), jnp.float32)
+    st = make_mpm_state(x, dx=0.05, block_capacity=256)
+    F0 = jnp.broadcast_to(jnp.diag(jnp.asarray([1.08, 0.94])), (600, 2, 2))
+    st = type(st)(st.particles.update(
+        F=F0, C=jnp.asarray(rng.standard_normal((600, 2, 2)) * 0.1,
+                            jnp.float32)), st.grid, st.max_vel)
+    sim = MPMSim(model=FixedCorotated.from_young_poisson(1e4, 0.3),
+                 gravity=jnp.asarray([0.0, -9.8]))
+    cfg = BinnedConfig2(bins_capacity=64)
+    ref = st
+    for _ in range(3):
+        ref = explicit_step(sim, ref, jnp.float32(1e-4))
+    out, overflow = jax.jit(
+        lambda s: rollout_binned2(sim, s, jnp.float32(1e-4), cfg, 3))(st)
+    assert not bool(overflow)
+    np.testing.assert_allclose(np.asarray(out.particles["x"]),
+                               np.asarray(ref.particles["x"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.particles["v"]),
+                               np.asarray(ref.particles["v"]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.particles["F"]),
+                               np.asarray(ref.particles["F"]), atol=1e-5)

@@ -76,12 +76,15 @@ class BinState:
 
     @property
     def has_jp(self) -> bool:
-        return self.cols.shape[1] == 27   # x3 v3 F9 C9 m1 vol1 Jp1
+        d = self.grid.dim
+        return self.cols.shape[1] == 2 * d + 2 * d * d + 3
 
 
 def _pack_cols(p, pmask):
     n = p.capacity
-    cols = [p["x"], p["v"], p["F"].reshape(n, 9), p["C"].reshape(n, 9),
+    d = p["x"].shape[-1]
+    cols = [p["x"], p["v"], p["F"].reshape(n, d * d),
+            p["C"].reshape(n, d * d),
             jnp.where(pmask, p["m"], 0.0)[:, None],
             jnp.where(pmask, p["vol"], 0.0)[:, None]]
     if p.has_prop("Jp"):
@@ -89,12 +92,20 @@ def _pack_cols(p, pmask):
     return jnp.concatenate(cols, axis=1)
 
 
+def _col_layout(dim):
+    """Column offsets of the packed layout for a given dim."""
+    dd = dim * dim
+    return dict(x=(0, dim), v=(dim, 2 * dim), F=(2 * dim, 2 * dim + dd),
+                C=(2 * dim + dd, 2 * dim + 2 * dd), m=2 * dim + 2 * dd,
+                vol=2 * dim + 2 * dd + 1, Jp=2 * dim + 2 * dd + 2)
+
+
 def bin_state(sim: MPMSim, state: MPMState, cfg: BinnedConfig2) -> BinState:
     """Enter bin order: one wide sort with per-block K-padding dummies."""
     p = state.particles
     grid = state.grid
     dim, bs = grid.dim, grid.block_size
-    assert dim == 3 and bs == 4, "binned2 is specialized to 3-D, bs=4"
+    assert dim in (2, 3) and bs == 4, "binned2 needs bs=4, dim 2 or 3"
     assert sim.order == 2
     N = p.capacity
     L = cfg.bins_capacity * K
@@ -104,20 +115,21 @@ def bin_state(sim: MPMSim, state: MPMState, cfg: BinnedConfig2) -> BinState:
     cols = _pack_cols(p, pmask)
     pid = jnp.where(pmask, jnp.arange(N, dtype=jnp.int32), -1)
 
-    origin_w = grid.transform.matrix[:dim, 3]
+    origin_w = grid.transform.matrix[:dim, dim]
     xi = (p["x"] - origin_w) / grid.dx
     base, _, _ = bspline_weights(xi, sim.order)
     keys = jnp.where(pmask, pack_coords(jnp.floor_divide(base, bs)),
                      KEY_SENTINEL)
     nb = cfg.block_capacity or grid.block_capacity
-    st = _sort_into_bins(keys, cols, pid, cfg, nb)
+    st = _sort_into_bins(keys, cols, pid, cfg, nb, dim)
     return dataclasses.replace(
         st, grid=dataclasses.replace(st.grid, transform=grid.transform),
         max_vel=state.max_vel)
 
 
 def _sort_into_bins(keys: jax.Array, cols: jax.Array, pid: jax.Array,
-                    cfg: BinnedConfig2, nb: int) -> BinState:
+                    cfg: BinnedConfig2, nb: int,
+                    dim: int = 3) -> BinState:
     """Core rebinning: composite (block_key, is_dummy) sort with padding.
 
     Returns a BinState whose grid holds ONLY the table (data unset).
@@ -181,15 +193,16 @@ def _sort_into_bins(keys: jax.Array, cols: jax.Array, pid: jax.Array,
     scols = jnp.stack(sorted_ops[2:], axis=1)
 
     # block table (dilated) from the group keys
-    offs = jnp.asarray(neighbor_offsets(3, 0, 1))
-    gcoords = unpack_key(gkeys, 3)
-    cand = (gcoords[:, None, :] + offs[None, :, :]).reshape(-1, 3)
+    offs = jnp.asarray(neighbor_offsets(dim, 0, 1))
+    gcoords = unpack_key(gkeys, dim)
+    cand = (gcoords[:, None, :] + offs[None, :, :]).reshape(-1, dim)
     vmask = jnp.repeat(gvalid, offs.shape[0])
-    table, _ = build_block_table(cand, nb, valid=vmask, dim=3)
+    table, _ = build_block_table(cand, nb, valid=vmask, dim=dim)
     overflow = overflow | (table.count > table.capacity)
-    data = {"m": jnp.zeros((nb, 64), jnp.float32),
-            "v": jnp.zeros((nb, 64, 3), jnp.float32)}
-    grid = SparseGrid(table, data, None, 4, 3)  # transform set by caller
+    ncell = 4 ** dim
+    data = {"m": jnp.zeros((nb, ncell), jnp.float32),
+            "v": jnp.zeros((nb, ncell, dim), jnp.float32)}
+    grid = SparseGrid(table, data, None, 4, dim)  # transform set by caller
     return BinState(scols, spid, grid, jnp.float32(0.0), overflow)
 
 
@@ -197,9 +210,9 @@ def _rebin(sim: MPMSim, st: BinState, cfg: BinnedConfig2) -> BinState:
     """Re-sort an existing BinState into fresh bins (bin order in, bin
     order out) — the per-step partition, no gathers."""
     grid = st.grid
-    L = st.cols.shape[0]
-    origin_w = grid.transform.matrix[:3, 3]
-    x = st.cols[:, 0:3]
+    dim = grid.dim
+    origin_w = grid.transform.matrix[:dim, dim]
+    x = st.cols[:, 0:dim]
     alive = st.pid >= 0
     xi = (x - origin_w) / grid.dx
     base, _, _ = bspline_weights(xi, sim.order)
@@ -207,7 +220,7 @@ def _rebin(sim: MPMSim, st: BinState, cfg: BinnedConfig2) -> BinState:
                      KEY_SENTINEL)
     # sort keeps L lanes: dead lanes re-keyed as padding dummies
     nb = cfg.block_capacity or grid.table.capacity
-    nst = _sort_into_bins_from_lanes(keys, st.cols, st.pid, cfg, nb)
+    nst = _sort_into_bins_from_lanes(keys, st.cols, st.pid, cfg, nb, dim)
     return dataclasses.replace(
         nst,
         grid=dataclasses.replace(nst.grid, transform=grid.transform),
@@ -215,7 +228,7 @@ def _rebin(sim: MPMSim, st: BinState, cfg: BinnedConfig2) -> BinState:
 
 
 def _sort_into_bins_from_lanes(keys, cols, pid, cfg: BinnedConfig2,
-                               nb: int) -> BinState:
+                               nb: int, dim: int = 3) -> BinState:
     """Like :func:`_sort_into_bins` but input lanes already number L:
     dead lanes are re-used as the padding budget."""
     L = keys.shape[0]
@@ -261,15 +274,16 @@ def _sort_into_bins_from_lanes(keys, cols, pid, cfg: BinnedConfig2,
     spid = sorted_ops[1]
     scols = jnp.stack(sorted_ops[2:], axis=1)
 
-    offs = jnp.asarray(neighbor_offsets(3, 0, 1))
-    gcoords = unpack_key(gkeys, 3)
-    cand = (gcoords[:, None, :] + offs[None, :, :]).reshape(-1, 3)
+    offs = jnp.asarray(neighbor_offsets(dim, 0, 1))
+    gcoords = unpack_key(gkeys, dim)
+    cand = (gcoords[:, None, :] + offs[None, :, :]).reshape(-1, dim)
     vmask = jnp.repeat(gvalid, offs.shape[0])
-    table, _ = build_block_table(cand, nb, valid=vmask, dim=3)
+    table, _ = build_block_table(cand, nb, valid=vmask, dim=dim)
     overflow = overflow | (table.count > table.capacity)
-    data = {"m": jnp.zeros((nb, 64), jnp.float32),
-            "v": jnp.zeros((nb, 64, 3), jnp.float32)}
-    grid = SparseGrid(table, data, None, 4, 3)
+    ncell = 4 ** dim
+    data = {"m": jnp.zeros((nb, ncell), jnp.float32),
+            "v": jnp.zeros((nb, ncell, dim), jnp.float32)}
+    grid = SparseGrid(table, data, None, 4, dim)
     return BinState(scols, spid, grid, jnp.float32(0.0), overflow)
 
 
@@ -278,6 +292,8 @@ def unbin_state(st: BinState, template: MPMState) -> MPMState:
     p = template.particles
     N = p.capacity
     L = st.cols.shape[0]
+    d = st.grid.dim
+    lay = _col_layout(d)
     alive = st.pid >= 0
     dst = jnp.where(alive, st.pid, N)
     inv = jnp.zeros((N + 1,), jnp.int32).at[dst].set(
@@ -286,12 +302,16 @@ def unbin_state(st: BinState, template: MPMState) -> MPMState:
     pmask = p.mask
     mk = pmask[:, None]
     upd = dict(
-        x=jnp.where(mk, mat[:, 0:3], p["x"]),
-        v=jnp.where(mk, mat[:, 3:6], p["v"]),
-        F=jnp.where(mk[..., None], mat[:, 6:15].reshape(N, 3, 3), p["F"]),
-        C=jnp.where(mk[..., None], mat[:, 15:24].reshape(N, 3, 3), p["C"]))
+        x=jnp.where(mk, mat[:, lay["x"][0]:lay["x"][1]], p["x"]),
+        v=jnp.where(mk, mat[:, lay["v"][0]:lay["v"][1]], p["v"]),
+        F=jnp.where(mk[..., None],
+                    mat[:, lay["F"][0]:lay["F"][1]].reshape(N, d, d),
+                    p["F"]),
+        C=jnp.where(mk[..., None],
+                    mat[:, lay["C"][0]:lay["C"][1]].reshape(N, d, d),
+                    p["C"]))
     if st.has_jp and p.has_prop("Jp"):
-        upd["Jp"] = jnp.where(pmask, mat[:, 26], p["Jp"])
+        upd["Jp"] = jnp.where(pmask, mat[:, lay["Jp"]], p["Jp"])
     particles = p.update(**upd)
     return MPMState(particles, st.grid, st.max_vel)
 
@@ -303,17 +323,17 @@ def unbin_state(st: BinState, template: MPMState) -> MPMState:
 def _axis_stencils(xib, borigin):
     """Per-axis one-hot halo-window stencils from binned index coords.
 
-    Returns (w [3][B,K,6], w_i [3][B,K,6], rel0 [B,K,3]).
+    Returns (w [dim][B,K,6], w_i [dim][B,K,6], rel0 [B,K,dim]).
     """
-    B, Kk, _ = xib.shape
-    base, wt, _ = bspline_weights(xib.reshape(B * Kk, 3), 2)
-    base = base.reshape(B, Kk, 3)
-    wt = wt.reshape(B, Kk, 3, 3)
+    B, Kk, dim = xib.shape
+    base, wt, _ = bspline_weights(xib.reshape(B * Kk, dim), 2)
+    base = base.reshape(B, Kk, dim)
+    wt = wt.reshape(B, Kk, dim, 3)
     off = jnp.clip(base - borigin[:, None, :], 0, 3)
     sidx = jnp.arange(SIDE, dtype=jnp.int32)
     ws, wis = [], []
     fidx = sidx.astype(xib.dtype)
-    for d in range(3):
+    for d in range(dim):
         w_axis = jnp.zeros((B, Kk, SIDE), xib.dtype)
         for j in range(3):
             hit = sidx[None, None, :] == (off[..., d] + j)[..., None]
@@ -322,6 +342,35 @@ def _axis_stencils(xib, borigin):
         wis.append(w_axis * fidx)
     rel0 = (borigin[:, None, :].astype(xib.dtype) - xib)
     return ws, wis, rel0
+
+
+# 2-D spill/pull slab tables (own + 3 positive dirs)
+_DIRS2 = [(0, 0), (0, 1), (1, 0), (1, 1)]
+
+
+def _spill2(d):
+    M = np.zeros((16, 36), np.float32)
+    for i in range(4):
+        for j in range(4):
+            si, sj = i + 4 * d[0], j + 4 * d[1]
+            if si < SIDE and sj < SIDE:
+                M[i * 4 + j, si * SIDE + sj] = 1.0
+    return M
+
+
+def _pull2(d):
+    P = np.zeros((36, 16), np.float32)
+    for a in range(SIDE):
+        for b in range(SIDE):
+            da, db = a >= 4, b >= 4
+            if (int(da), int(db)) != d:
+                continue
+            P[a * SIDE + b, (a - 4 * da) * 4 + (b - 4 * db)] = 1.0
+    return P
+
+
+_SPILL2 = np.stack([_spill2(d) for d in _DIRS2])
+_PULL2 = np.stack([_pull2(d) for d in _DIRS2])
 
 
 def _spill_sel(table, bin_block, bin_live, nbq, cfg):
@@ -350,11 +399,17 @@ def _spill_sel(table, bin_block, bin_live, nbq, cfg):
 def explicit_step_binned2(sim: MPMSim, state, dt, cfg: BinnedConfig2,
                           *, rebin: bool = True):
     """One explicit APIC step on a :class:`BinState` (bin order in/out)."""
-    from ..ops.p2g_pallas import _PULL_ALL, _SPILL_ALL
-
     st = state
     if rebin:
         st = _rebin(sim, st, cfg)
+    if st.grid.dim == 2:
+        return _step2d(sim, st, dt, cfg)
+    return _step3d(sim, st, dt, cfg)
+
+
+def _step3d(sim: MPMSim, st, dt, cfg: BinnedConfig2):
+    from ..ops.p2g_pallas import _PULL_ALL, _SPILL_ALL
+
     grid = st.grid
     table = grid.table
     nbq = cfg.bins_capacity
@@ -506,6 +561,162 @@ def explicit_step_binned2(sim: MPMSim, state, dt, cfg: BinnedConfig2,
                  else cols[..., 26])
         newcols.append(jnp.where(ok3, jpcol[..., None],
                                  cols[..., 26:27]))
+    ncols = jnp.concatenate(newcols, axis=-1).reshape(L, -1)
+
+    grid = dataclasses.replace(grid, data={"m": gm, "v": gv})
+    return dataclasses.replace(st, cols=ncols, grid=grid, max_vel=max_vel,
+                               overflow=overflow)
+
+
+def _step2d(sim: MPMSim, st, dt, cfg: BinnedConfig2):
+    """2-D specialization: 4^2 blocks, 6^2 windows, 4 spill dirs
+    (the reference's 2-D MPM use cases on the fast path)."""
+    grid = st.grid
+    table = grid.table
+    nb = table.capacity
+    dx = grid.dx
+    origin_w = grid.transform.matrix[:2, 2]
+    B = cfg.bins_capacity
+    L = B * K
+    lay = _col_layout(2)
+
+    cols = st.cols.reshape(B, K, -1)
+    xb = cols[..., 0:2]
+    vb = cols[..., 2:4]
+    Fb = cols[..., 4:8].reshape(B, K, 2, 2)
+    Cb = cols[..., 8:12].reshape(B, K, 2, 2)
+    mban = cols[..., 12]
+    volb = cols[..., 13]
+    lane_alive = (st.pid >= 0).reshape(B, K)
+    mban = jnp.where(lane_alive, mban, 0.0)
+    volb = jnp.where(lane_alive, volb, 0.0)
+
+    bin_live = jnp.any(lane_alive, axis=1)
+    first_block = jnp.floor_divide(jnp.floor(
+        (xb[:, 0, :] - origin_w) / dx - 0.5).astype(jnp.int32), 4)
+    bin_block = jnp.where(bin_live, table.query(first_block), -1)
+    bad_bin = bin_live & (bin_block < 0)
+    overflow = st.overflow | jnp.any(bad_bin)
+    bin_block_safe = jnp.clip(bin_block, 0, nb - 1)
+    borigin = table.active_coords[bin_block_safe] * 4
+
+    xib = (xb - origin_w) / dx
+    (wx, wy), (wx_i, wy_i), rel0i = _axis_stencils(xib, borigin)
+    rel0 = rel0i * dx
+    wx = wx * lane_alive[..., None]
+    wx_i = wx_i * lane_alive[..., None]
+
+    # ---- P2G -----------------------------------------------------------------
+    Dinv = 4.0 / (dx * dx)
+    tau = sim.model.kirchhoff(Fb)
+    A = mban[..., None, None] * Cb - \
+        (dt * Dinv * volb)[..., None, None] * tau
+    u0 = mban[..., None] * vb + jnp.einsum("bkij,bkj->bki", A, rel0)
+    Q0 = jnp.concatenate([mban[..., None], u0], -1)           # [B,K,3]
+    zero = jnp.zeros_like(mban)[..., None]
+    QA = [jnp.concatenate([zero, dx * A[..., :, d]], -1) for d in range(2)]
+
+    def plane_scale(w6, q):
+        return (w6[..., :, None] * q[..., None, :]).reshape(B, K, 18)
+
+    R1 = plane_scale(wx, Q0) + plane_scale(wx_i, QA[0])
+    R2 = plane_scale(wx, QA[1])
+    Sstack = jnp.concatenate([wy, wy_i], axis=1)              # [B,2K,6]
+    Rstack = jnp.concatenate([R1, R2], axis=1)                # [B,2K,18]
+    out = jnp.einsum("bkm,bkA->bmA", Sstack, Rstack, precision=_PREC,
+                     preferred_element_type=jnp.float32)      # [B,6,18]
+    cube = jnp.moveaxis(out.reshape(B, SIDE, SIDE, 3), 1, 2
+                        ).reshape(B, 36, 3)                   # [(a,y)]
+
+    # ---- spill + block reduction -----------------------------------------------
+    dirs = [d for d in _DIRS2 if any(d)]
+    coords = table.active_coords
+    dirs_j = jnp.asarray(dirs, jnp.int32)
+    nbr_pos = jax.vmap(
+        lambda d: table.query(coords + d[None, :]), out_axes=1)(dirs_j)
+    own_ids = jnp.arange(nb, dtype=jnp.int32)[:, None]
+    nbr4 = jnp.concatenate([own_ids, nbr_pos], axis=1)
+    nbr4 = jnp.where(table.mask[:, None], nbr4, -1)
+    tgt = nbr4[bin_block_safe].T                              # [4, B]
+    tgt = jnp.where((bin_live & ~bad_bin)[None, :], tgt, -1)
+    spill = jnp.asarray(_SPILL2)                              # [4,16,36]
+    spilled = jnp.einsum("dts,nsc->dntc", spill, cube, precision=_PREC,
+                         preferred_element_type=jnp.float32)  # [4,B,16,3]
+    use_seg = cfg.use_segments
+    if use_seg is None:
+        use_seg = nb * 4 * B > (1 << 27)
+    if use_seg:
+        seg = jnp.where(tgt >= 0, tgt, nb).reshape(-1)
+        acc = jax.ops.segment_sum(
+            spilled.reshape(4 * B, 16 * 3), seg,
+            num_segments=nb + 1)[:nb].reshape(nb, 16, 3)
+        sel = None
+    else:
+        sel = (tgt.reshape(-1)[None, :] ==
+               jnp.arange(nb, dtype=jnp.int32)[:, None]).astype(jnp.float32)
+        acc = jax.lax.dot_general(
+            sel, spilled.reshape(4 * B, 16 * 3),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PREC,
+        ).reshape(nb, 16, 3)
+    gm = acc[..., 0]
+    gmv = acc[..., 1:]
+
+    # ---- grid update --------------------------------------------------------------
+    has_mass = gm > 0.0
+    gv = jnp.where(has_mass[..., None],
+                   gmv / jnp.maximum(gm, 1e-30)[..., None], 0.0)
+    gv = gv + dt * sim.gravity[None, None, :]
+    corners = jnp.asarray(neighbor_offsets(2, 0, 3))
+    node_x = (coords[:, None, :] * 4 +
+              corners[None]).astype(gv.dtype) * dx + origin_w
+    gv = resolve_boundaries(sim.colliders, node_x, gv)
+    gv = jnp.where(has_mass[..., None], gv, 0.0)
+    max_vel = jnp.sqrt(jnp.max(jnp.sum(gv * gv, -1)))
+
+    # ---- G2P -------------------------------------------------------------------
+    if use_seg:
+        safe = jnp.clip(tgt, 0, nb - 1)
+        Vd = jnp.where((tgt >= 0)[..., None, None], gv[safe], 0.0)
+    else:
+        Vd = jax.lax.dot_general(
+            sel, gv.reshape(nb, 16 * 2),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PREC,
+        ).reshape(4, B, 16, 2)
+    pull = jnp.asarray(_PULL2)                                # [4,36,16]
+    Vbin = jnp.einsum("dst,dnte->nse", pull, Vd, precision=_PREC,
+                      preferred_element_type=jnp.float32)     # [B,36,2]
+    Vac = jnp.moveaxis(Vbin.reshape(B, SIDE, SIDE, 2), 1, 2
+                       ).reshape(B, SIDE, 12)                 # [B,6(y),12]
+    P0 = jnp.einsum("bkm,bmA->bkA", wy, Vac, precision=_PREC,
+                    preferred_element_type=jnp.float32)
+    P1 = jnp.einsum("bkm,bmA->bkA", wy_i, Vac, precision=_PREC,
+                    preferred_element_type=jnp.float32)
+    P0r = P0.reshape(B, K, SIDE, 2)
+    P1r = P1.reshape(B, K, SIDE, 2)
+    s0 = jnp.einsum("bka,bkac->bkc", wx, P0r)
+    sx = jnp.einsum("bka,bkac->bkc", wx_i, P0r)
+    sy = jnp.einsum("bka,bkac->bkc", wx, P1r)
+
+    v_new = s0
+    Bmat = v_new[..., :, None] * rel0[..., None, :] + \
+        dx * jnp.stack([sx, sy], axis=-1)
+    C_new = Dinv * Bmat
+    eye = jnp.eye(2, dtype=Fb.dtype)
+    F_new = mm(eye + dt * C_new, Fb)
+    if sim.plasticity is not None and st.has_jp:
+        F_new, Jp_new = sim.plasticity.project(F_new, cols[..., 14])
+    x_new = xb + dt * v_new
+
+    ok2 = lane_alive[..., None]
+    newcols = [jnp.where(ok2, x_new, xb), jnp.where(ok2, v_new, vb),
+               jnp.where(ok2[..., None], F_new, Fb).reshape(B, K, 4),
+               jnp.where(ok2[..., None], C_new, Cb).reshape(B, K, 4),
+               mban[..., None], volb[..., None]]
+    if st.has_jp:
+        jpcol = (Jp_new if sim.plasticity is not None else cols[..., 14])
+        newcols.append(jnp.where(ok2, jpcol[..., None], cols[..., 14:15]))
     ncols = jnp.concatenate(newcols, axis=-1).reshape(L, -1)
 
     grid = dataclasses.replace(grid, data={"m": gm, "v": gv})
