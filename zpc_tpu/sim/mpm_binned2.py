@@ -56,6 +56,10 @@ class BinnedConfig2:
     bins_capacity: int           # static bin count (lanes = bins * K)
     block_capacity: Optional[int] = None  # dilated table cap (None = grid's)
     use_segments: Optional[bool] = None   # None = auto by one-hot size
+    sort_chunk: int = 8          # payload columns per stable sort (the
+                                 # 29-operand single sort compiles
+                                 # pathologically at 512k lanes; chunked
+                                 # stable sorts share the permutation)
 
 
 @jax.tree_util.register_dataclass
@@ -73,6 +77,7 @@ class BinState:
     grid: SparseGrid
     max_vel: jax.Array
     overflow: jax.Array
+    needs_rebin: jax.Array       # any particle left its bin's block window
 
     @property
     def has_jp(self) -> bool:
@@ -182,15 +187,11 @@ def _sort_into_bins(keys: jax.Array, cols: jax.Array, pid: jax.Array,
     ckey = all_keys * 2 + is_dummy          # keys are 30-bit, fits int32
     ckey = jnp.where(all_keys == KEY_SENTINEL, KEY_SENTINEL, ckey)
 
-    pad_cols = jnp.zeros((npad, cols.shape[1]), cols.dtype)
     pad_pid = jnp.full((npad,), -1, jnp.int32)
-    ops = (ckey,
-           jnp.concatenate([pid, pad_pid]),
-           *[jnp.concatenate([cols[:, i], pad_cols[:, i]])
-             for i in range(cols.shape[1])])
-    sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
-    spid = sorted_ops[1]
-    scols = jnp.stack(sorted_ops[2:], axis=1)
+    allcols = [jnp.concatenate([cols[:, i], jnp.zeros((npad,), cols.dtype)])
+               for i in range(cols.shape[1])]
+    spid, scols = _chunked_stable_sort(
+        ckey, jnp.concatenate([pid, pad_pid]), allcols, cfg.sort_chunk)
 
     # block table (dilated) from the group keys
     offs = jnp.asarray(neighbor_offsets(dim, 0, 1))
@@ -203,7 +204,22 @@ def _sort_into_bins(keys: jax.Array, cols: jax.Array, pid: jax.Array,
     data = {"m": jnp.zeros((nb, ncell), jnp.float32),
             "v": jnp.zeros((nb, ncell, dim), jnp.float32)}
     grid = SparseGrid(table, data, None, 4, dim)  # transform set by caller
-    return BinState(scols, spid, grid, jnp.float32(0.0), overflow)
+    return BinState(scols, spid, grid, jnp.float32(0.0), overflow,
+                    jnp.bool_(False))
+
+
+def _chunked_stable_sort(ckey, pid, cols, chunk):
+    """Sort (pid + payload columns) by ckey in ``chunk``-column stable
+    sorts: identical keys + stability => identical permutations, so the
+    chunks compose to one wide sort without its compile-time blowup."""
+    first = jax.lax.sort((ckey, pid), num_keys=1, is_stable=True)
+    spid = first[1]
+    out = []
+    for i in range(0, len(cols), chunk):
+        res = jax.lax.sort((ckey, *cols[i:i + chunk]), num_keys=1,
+                           is_stable=True)
+        out.extend(res[1:])
+    return spid, jnp.stack(out, axis=1)
 
 
 def _rebin(sim: MPMSim, st: BinState, cfg: BinnedConfig2) -> BinState:
@@ -269,10 +285,9 @@ def _sort_into_bins_from_lanes(keys, cols, pid, cfg: BinnedConfig2,
     ckey = jnp.where(keys2 == KEY_SENTINEL, KEY_SENTINEL,
                      keys2 * 2 + dead.astype(jnp.int32))
 
-    ops = (ckey, pid, *[cols[:, i] for i in range(cols.shape[1])])
-    sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
-    spid = sorted_ops[1]
-    scols = jnp.stack(sorted_ops[2:], axis=1)
+    spid, scols = _chunked_stable_sort(
+        ckey, pid, [cols[:, i] for i in range(cols.shape[1])],
+        cfg.sort_chunk)
 
     offs = jnp.asarray(neighbor_offsets(dim, 0, 1))
     gcoords = unpack_key(gkeys, dim)
@@ -284,7 +299,8 @@ def _sort_into_bins_from_lanes(keys, cols, pid, cfg: BinnedConfig2,
     data = {"m": jnp.zeros((nb, ncell), jnp.float32),
             "v": jnp.zeros((nb, ncell, dim), jnp.float32)}
     grid = SparseGrid(table, data, None, 4, dim)
-    return BinState(scols, spid, grid, jnp.float32(0.0), overflow)
+    return BinState(scols, spid, grid, jnp.float32(0.0), overflow,
+                    jnp.bool_(False))
 
 
 def unbin_state(st: BinState, template: MPMState) -> MPMState:
@@ -551,6 +567,14 @@ def _step3d(sim: MPMSim, st, dt, cfg: BinnedConfig2):
         F_new, Jp_new = sim.plasticity.project(F_new, Jpb)
     x_new = xb + dt * v_new
 
+    # escape check: a particle whose new stencil base leaves its bin's
+    # block [0,3] window forces a rebin before the next step (the clip in
+    # _axis_stencils would otherwise silently corrupt weights)
+    base_new = jnp.floor((x_new - origin_w) / dx - 0.5).astype(jnp.int32)
+    off_new = base_new - borigin[:, None, :]
+    escaped = jnp.any(lane_alive[..., None] &
+                      ((off_new < 0) | (off_new > 3)))
+
     ok3 = lane_alive[..., None]
     newcols = [jnp.where(ok3, x_new, xb), jnp.where(ok3, v_new, vb),
                jnp.where(ok3[..., None], F_new, Fb).reshape(B, K, 9),
@@ -565,7 +589,7 @@ def _step3d(sim: MPMSim, st, dt, cfg: BinnedConfig2):
 
     grid = dataclasses.replace(grid, data={"m": gm, "v": gv})
     return dataclasses.replace(st, cols=ncols, grid=grid, max_vel=max_vel,
-                               overflow=overflow)
+                               overflow=overflow, needs_rebin=escaped)
 
 
 def _step2d(sim: MPMSim, st, dt, cfg: BinnedConfig2):
@@ -709,6 +733,11 @@ def _step2d(sim: MPMSim, st, dt, cfg: BinnedConfig2):
         F_new, Jp_new = sim.plasticity.project(F_new, cols[..., 14])
     x_new = xb + dt * v_new
 
+    base_new = jnp.floor((x_new - origin_w) / dx - 0.5).astype(jnp.int32)
+    off_new = base_new - borigin[:, None, :]
+    escaped = jnp.any(lane_alive[..., None] &
+                      ((off_new < 0) | (off_new > 3)))
+
     ok2 = lane_alive[..., None]
     newcols = [jnp.where(ok2, x_new, xb), jnp.where(ok2, v_new, vb),
                jnp.where(ok2[..., None], F_new, Fb).reshape(B, K, 4),
@@ -721,7 +750,7 @@ def _step2d(sim: MPMSim, st, dt, cfg: BinnedConfig2):
 
     grid = dataclasses.replace(grid, data={"m": gm, "v": gv})
     return dataclasses.replace(st, cols=ncols, grid=grid, max_vel=max_vel,
-                               overflow=overflow)
+                               overflow=overflow, needs_rebin=escaped)
 
 
 def rollout_binned2(sim: MPMSim, state: MPMState, dt, cfg: BinnedConfig2,
@@ -733,7 +762,12 @@ def rollout_binned2(sim: MPMSim, state: MPMState, dt, cfg: BinnedConfig2,
     st = bin_state(sim, state, cfg)
 
     def body(_, s):
-        return explicit_step_binned2(sim, s, dt, cfg)
+        # adaptive rebin (cross-step G2P2G fusion, G2P2G.hpp lineage):
+        # skip the sort+table rebuild while every particle stays inside
+        # its bin's block window; the step sets needs_rebin otherwise
+        s = jax.lax.cond(s.needs_rebin,
+                         lambda t: _rebin(sim, t, cfg), lambda t: t, s)
+        return explicit_step_binned2(sim, s, dt, cfg, rebin=False)
 
     st = jax.lax.fori_loop(0, n_steps, body, st)
     return unbin_state(st, state), st.overflow
