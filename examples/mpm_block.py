@@ -53,6 +53,8 @@ def main():
     ap.add_argument("--particles", type=int, default=262144)
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--dx", type=float, default=1.0 / 128)
+    ap.add_argument("--vdb", type=str, default="",
+                    help="write the final grid to this .vdb file")
     args = ap.parse_args()
 
     sim, st, dt = build(args.particles, args.dx)
@@ -76,6 +78,11 @@ def main():
     print(f"active blocks={int(st.grid.table.count)} "
           f"max_vel={float(st.max_vel):.3f} "
           f"y-range=[{x[:,1].min():.3f},{x[:,1].max():.3f}]")
+    if args.vdb:
+        # export the final grid state as an OpenVDB-format file
+        from zpc_tpu.geometry.vdb_bridge import save_vdb
+        save_vdb(args.vdb, st.grid, ["m", "v"], grid_class="fog volume")
+        print(f"wrote {args.vdb}")
 
 
 if __name__ == "__main__":
