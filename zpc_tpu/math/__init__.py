@@ -14,6 +14,7 @@ from .transform import (Transform, translation, scaling, rotation_transform,
                         rotation_x, rotation_y, rotation_z)
 from .bits import (morton3d, morton2d, clz32, common_prefix_length,
                    next_pow2, expand_bits_3d)
+from .bigint import BigInt, bigint, bigint_gcd, RationalW, rational_w
 
 __all__ = [
     "svd2x2", "svd3x3", "polar_decomposition", "eigh3x3", "qr3x3",
@@ -28,4 +29,5 @@ __all__ = [
     "euler_to_matrix", "rotation_x", "rotation_y", "rotation_z",
     "morton3d", "morton2d", "clz32", "common_prefix_length", "next_pow2",
     "expand_bits_3d",
+    "BigInt", "bigint", "bigint_gcd", "RationalW", "rational_w",
 ]

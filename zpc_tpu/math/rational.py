@@ -11,6 +11,11 @@ binary Euclid), usable inside jit.
 
 For host-side exact computation beyond int32 range, fall back to Python's
 ``fractions`` (``to_fractions``/``from_fractions``).
+
+For **device-side** exactness beyond int32 — the reference type's actual
+range (i64, with overflow UB above it) — use ``math.bigint.RationalW``:
+192-bit limb arithmetic that is exact for any product of two int64-range
+values, strictly wider than the reference.
 """
 
 from __future__ import annotations
