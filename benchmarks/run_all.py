@@ -1,10 +1,11 @@
 """Full benchmark harness — the five BASELINE.md configs.
 
-Measurement methodology: independent repeated dispatches through the axon
-tunnel under-report (block_until_ready returns before execution for small
-programs), so every benchmark here runs N **data-dependent** iterations
-inside one jitted ``fori_loop`` and divides the synchronized wall time —
-the same discipline as the MPM chained benches.
+Measurement methodology (round 2, see measure.py): data-dependent
+iterations inside one jitted ``fori_loop``; synchronization by a host
+transfer of an output element (``block_until_ready`` alone can return
+before execution through the axon tunnel); chain dependences pass
+through abs-sums so XLA can neither narrow nor factorize them; median
+of post-warmup reps.
 
 Writes BENCHMARKS.md at the repo root.
 Run on the target chip:  python benchmarks/run_all.py [--quick]
@@ -20,18 +21,7 @@ import jax.numpy as jnp
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
-
-def chained_ms(body, x0, iters, reps=3):
-    """Median wall ms of one `body` application, amortized over a dependent
-    fori_loop chain (compile excluded)."""
-    f = jax.jit(lambda x: jax.lax.fori_loop(0, iters, body, x))
-    x = jax.block_until_ready(f(x0))
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        x = jax.block_until_ready(f(x))
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best * 1e3
+from benchmarks.measure import chained_ms, dep_scalar
 
 
 def bytes_gb(n):
@@ -45,31 +35,33 @@ def bench_primitives(n=1_000_000):
     xi = jnp.asarray(rng.integers(0, 1 << 30, n).astype(np.int32))
     rows = []
 
-    ms = chained_ms(lambda i, s: s + jnp.sum(xf + s * 1e-30), jnp.float32(0),
-                    iters=50)
+    def red(i, c):
+        s, = c
+        return (s + jnp.sum(jnp.abs(xf + s * 1e-37)),)
+    ms = chained_ms(red, (jnp.float32(0),), iters=40)
     rows.append(("reduce 1M f32", f"{ms:.3f} ms",
                  f"{bytes_gb(n * 4 / (ms / 1e3)):.0f} GB/s"))
 
-    ms = chained_ms(lambda i, x: jnp.cumsum(x) * 1e-9, xf, iters=30)
+    def scan(i, c):
+        x, = c
+        return (x + jnp.cumsum(x) * 1e-37,)
+    ms = chained_ms(scan, (xf,), iters=20)
     rows.append(("inclusive-scan 1M f32", f"{ms:.3f} ms",
                  f"{bytes_gb(2 * n * 4 / (ms / 1e3)):.0f} GB/s"))
 
-    ms = chained_ms(lambda i, k: jax.lax.sort(jnp.roll(k, 1) ^ i), xi,
-                    iters=10)
+    def srt(i, c):
+        k, = c
+        return (jax.lax.sort(jnp.roll(k, 1) ^ i),)
+    ms = chained_ms(srt, (xi,), iters=8)
     rows.append(("sort 1M i32", f"{ms:.2f} ms",
                  f"{n / (ms / 1e3) / 1e6:.0f} Mkeys/s"))
 
-    def sp_body(i, kv):
-        k, v = kv
-        ko, vo = jax.lax.sort((jnp.roll(k, 1) ^ i, v), num_keys=1)
-        return ko, vo
-
     vals = jnp.arange(n, dtype=jnp.int32)
-    f = jax.jit(lambda kv: jax.lax.fori_loop(0, 10, sp_body, kv))
-    kv = jax.block_until_ready(f((xi, vals)))
-    t0 = time.perf_counter()
-    kv = jax.block_until_ready(f(kv))
-    ms = (time.perf_counter() - t0) / 10 * 1e3
+
+    def sp(i, c):
+        k, v = c
+        return jax.lax.sort((jnp.roll(k, 1) ^ i, v), num_keys=1)
+    ms = chained_ms(sp, (xi, vals), iters=8)
     rows.append(("radix_sort_pair 1M i32", f"{ms:.2f} ms",
                  f"{n / (ms / 1e3) / 1e6:.0f} Mpairs/s"))
     return rows
@@ -93,74 +85,74 @@ def bench_poisson(n=128):
     b = jnp.asarray(rng.standard_normal((n, n, n)).astype(np.float32))
     iters = 100
 
-    def solve_chain(b):
-        res = cg(laplace, b, max_iters=iters, rel_tol=0.0)
-        return b + 1e-30 * res.x    # dependence for honest chaining
+    def solve_chain(i, c):
+        bb, = c
+        res = cg(laplace, bb, max_iters=iters, rel_tol=0.0)
+        return (bb + 1e-30 * jnp.abs(res.x),)
 
-    f = jax.jit(solve_chain)
-    bb = jax.block_until_ready(f(b))
-    t0 = time.perf_counter()
-    reps = 3
-    for _ in range(reps):
-        bb = jax.block_until_ready(f(bb))
-    wall = (time.perf_counter() - t0) / reps
-    it_s = iters / wall
-    bw = bytes_gb(iters * 8 * n ** 3 * 4 / wall)
+    ms = chained_ms(solve_chain, (b,), iters=1, reps=3)
+    it_s = iters / (ms / 1e3)
+    bw = bytes_gb(iters * 8 * n ** 3 * 4 / (ms / 1e3))
     return [(f"CG Poisson {n}^3 (100 iters)",
-             f"{wall * 1e3:.1f} ms", f"{it_s:.0f} iters/s, ~{bw:.0f} GB/s")]
+             f"{ms:.1f} ms", f"{it_s:.0f} iters/s, ~{bw:.0f} GB/s")]
 
 
 def bench_mpm(n=262144, quick=False):
-    """Config 3: explicit MPM, the available transfer paths."""
+    """Config 3: explicit MPM, all transfer paths."""
     from examples.mpm_block import build
     from zpc_tpu.sim.mpm import explicit_step
     from zpc_tpu.sim.mpm_binned import BinnedConfig, explicit_step_binned
+    from zpc_tpu.sim.mpm_binned2 import (BinnedConfig2, _rebin, bin_state,
+                                         explicit_step_binned2)
     from zpc_tpu.sim.mpm_pallas import explicit_step_pallas
 
     sim, st0, dt = build(n, dx=1.0 / 128)
     dtj = jnp.float32(dt)
     cfg = BinnedConfig(bins_capacity=4096)
     rows = []
-    chain = 5 if quick else 10
+    iters = 5 if quick else 10
 
-    def run(name, step1):
-        # step1 returns (state, overflow); OR-reduce overflow through the
-        # carry so a mid-rollout bin overflow fails loudly (the flag exists
-        # precisely so the host can react)
-        def chained(carry):
-            def body(_, c):
-                t, ov = c
-                t2, ov2 = step1(t)
-                return t2, ov | ov2
-            return jax.lax.fori_loop(0, chain, body, carry)
-        f = jax.jit(chained)
-        s, overflow = jax.block_until_ready(f((st0, jnp.bool_(False))))
-        t0 = time.perf_counter()
-        reps = 2 if quick else 3
-        for _ in range(reps):
-            s, ov = jax.block_until_ready(f((s, overflow)))
-            overflow = overflow | ov
-        wall = time.perf_counter() - t0
-        assert not bool(overflow), f"{name}: bin overflow mid-rollout"
-        pps = n * reps * chain / wall
-        rows.append((f"MPM 256k {name}",
-                     f"{wall / reps / chain * 1e3:.1f} ms/step",
-                     f"{pps / 1e6:.2f} M particle-steps/s"))
+    def add(name, ms):
+        rows.append((f"MPM 256k {name}", f"{ms:.1f} ms/step",
+                     f"{n / (ms / 1e3) / 1e6:.2f} M particle-steps/s"))
 
-    run("binned", lambda s: explicit_step_binned(sim, s, dtj, cfg))
-    try:
-        run("pallas", lambda s: explicit_step_pallas(sim, s, dtj, cfg))
-    except Exception as e:  # pallas path requires Mosaic compile support
-        rows.append(("MPM 256k pallas", "n/a", str(e)[:60]))
+    cfg2 = BinnedConfig2(bins_capacity=2560, block_capacity=2048)
+    bst = jax.block_until_ready(
+        jax.jit(lambda s: bin_state(sim, s, cfg2))(st0))
+
+    def v2(_, s):
+        s = jax.lax.cond(s.needs_rebin,
+                         lambda t: _rebin(sim, t, cfg2), lambda t: t, s)
+        return explicit_step_binned2(sim, s, dtj, cfg2, rebin=False)
+    add("binned2 adaptive", chained_ms(v2, bst, iters=iters))
+
+    def v1(_, c):
+        s, ov = c
+        s2, ov2 = explicit_step_binned(sim, s, dtj, cfg)
+        return s2, ov | ov2
+    add("binned", chained_ms(v1, (st0, jnp.bool_(False)), iters=iters))
+
     if not quick:
-        run("baseline",
-            lambda s: (explicit_step(sim, s, dtj), jnp.bool_(False)))
+        try:
+            def vp(_, c):
+                s, ov = c
+                s2, ov2 = explicit_step_pallas(sim, s, dtj, cfg)
+                return s2, ov | ov2
+            add("pallas", chained_ms(vp, (st0, jnp.bool_(False)),
+                                     iters=iters))
+        except Exception as e:     # Mosaic tunnel outages
+            rows.append(("MPM 256k pallas", "n/a", str(e)[:60]))
+
+        def vb(_, s):
+            return explicit_step(sim, s, dtj)
+        add("baseline", chained_ms(vb, st0, iters=3, reps=2))
     return rows
 
 
 def bench_bvh(n=1_000_000, quick=False):
-    """Config 4: LBVH build + query over primitives (dependent chains)."""
-    from zpc_tpu.containers.bvh import build_lbvh, query_overlaps
+    """Config 4: LBVH build + AABB query (sorted banded join)."""
+    from zpc_tpu.containers.bvh import (build_lbvh, query_overlaps,
+                                        query_overlaps_sorted)
 
     if quick:
         n = 262144
@@ -173,28 +165,42 @@ def bench_bvh(n=1_000_000, quick=False):
     def build_body(i, lohi):
         l, h2 = lohi
         bvh = build_lbvh(l, h2)
-        # dependence: jiggle boxes by a root-box epsilon
-        eps = 1e-12 * bvh.lo[0, 0]
+        eps = dep_scalar(bvh.lo)
         return l + eps, h2 + eps
 
-    ms = chained_ms(build_body, (lo, hi), iters=5, reps=2)
+    ms = chained_ms(build_body, (lo, hi), iters=4, reps=3)
     rows = [(f"LBVH build {n // 1000}k", f"{ms:.1f} ms",
              f"{n / (ms / 1e3) / 1e6:.1f} Mprims/s")]
 
-    bvh = jax.jit(build_lbvh)(lo, hi)
-    nq = 100_000
-    qlo = lo[:nq] - 0.004
-    qhi = hi[:nq] + 0.004
+    bvh = jax.block_until_ready(jax.jit(build_lbvh)(lo, hi))
+    nq = n
+    qlo = lo - 0.004
+    qhi = hi + 0.004
 
-    def q_body(i, q):
+    def q_sorted(i, q, consts):
+        b, = consts
         ql, qh = q
-        hits, cnt = query_overlaps(bvh, ql, qh, 16)
-        eps = 1e-12 * cnt[0]
+        qid, hits, cnt, ok = query_overlaps_sorted(b, ql, qh, 16,
+                                                   tile=256, group=32)
+        eps = dep_scalar(cnt) + dep_scalar(hits[:, 0])
         return ql + eps, qh + eps
 
-    ms = chained_ms(q_body, (qlo, qhi), iters=3, reps=2)
-    rows.append((f"LBVH query {nq // 1000}k boxes", f"{ms:.1f} ms",
-                 f"{nq / (ms / 1e3) / 1e6:.2f} Mqueries/s"))
+    ms = chained_ms(q_sorted, (qlo, qhi), iters=3, const=(bvh,))
+    rows.append((f"AABB query (banded join) {nq // 1000}k",
+                 f"{ms:.1f} ms", f"{nq / (ms / 1e3) / 1e6:.2f} Mq/s"))
+
+    nq2 = 8192
+
+    def q_rope(i, q, consts):
+        b, = consts
+        ql, qh = q
+        hits, cnt = query_overlaps(b, ql, qh, 16)
+        return ql + dep_scalar(cnt), qh + dep_scalar(cnt)
+
+    ms = chained_ms(q_rope, (qlo[:nq2], qhi[:nq2]), iters=2, reps=2,
+                    const=(bvh,))
+    rows.append((f"AABB query (rope walk) {nq2 // 1000}k",
+                 f"{ms:.1f} ms", f"{nq2 / (ms / 1e3) / 1e6:.3f} Mq/s"))
     return rows
 
 
@@ -208,37 +214,51 @@ def bench_implicit(n=1_000_000, quick=False):
         n = 262144
     sim, st, dt = build(n, dx=1.0 / 128,
                         block_capacity=8192 if n > 500_000 else 4096)
-    cfg = BinnedConfig(bins_capacity=max(2048, n // 128 * 2))
-    step = jax.jit(lambda s: implicit_step_binned(
-        sim, s, jnp.float32(5e-4), cfg, cg_iters=20)[0])
-    s = jax.block_until_ready(step(st))
-    t0 = time.perf_counter()
-    s = jax.block_until_ready(step(s))
-    wall = time.perf_counter() - t0
+    cfg = BinnedConfig(bins_capacity=max(2048, n // 128 * 2)
+                       if n <= 500_000 else 9216)
+
+    def step(i, c):
+        s, ov = c
+        s2, ov2 = implicit_step_binned(sim, s, jnp.float32(5e-4), cfg,
+                                       cg_iters=20)
+        return s2, ov | ov2
+    ms = chained_ms(step, (st, jnp.bool_(False)), iters=1, reps=2)
     return [(f"implicit MPM {n // 1000}k (20 CG iters)",
-             f"{wall * 1e3:.0f} ms/step",
-             f"{n / wall / 1e6:.2f} M particles/s")]
+             f"{ms:.0f} ms/step",
+             f"{n / (ms / 1e3) / 1e6:.2f} M particles/s")]
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--only", default="",
+                    help="comma list: prim,poisson,mpm,bvh,implicit")
     ap.add_argument("--out", default="BENCHMARKS.md")
     args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else None
 
     dev = jax.devices()[0]
-    sections = [
-        ("Parallel primitives (config 1)", bench_primitives()),
-        ("Poisson CG (config 2)", bench_poisson(64 if args.quick else 128)),
-        ("Explicit MPM (config 3)", bench_mpm(quick=args.quick)),
-        ("LBVH (config 4)", bench_bvh(quick=args.quick)),
-        ("Implicit MPM (config 5)", bench_implicit(quick=args.quick)),
-    ]
+    sections = []
+    if not only or "prim" in only:
+        sections.append(("Parallel primitives (config 1)",
+                         bench_primitives()))
+    if not only or "poisson" in only:
+        sections.append(("Poisson CG (config 2)",
+                         bench_poisson(64 if args.quick else 128)))
+    if not only or "mpm" in only:
+        sections.append(("Explicit MPM (config 3)",
+                         bench_mpm(quick=args.quick)))
+    if not only or "bvh" in only:
+        sections.append(("LBVH (config 4)", bench_bvh(quick=args.quick)))
+    if not only or "implicit" in only:
+        sections.append(("Implicit MPM (config 5)",
+                         bench_implicit(quick=args.quick)))
     lines = [f"# BENCHMARKS — measured on {dev.device_kind} "
              f"({time.strftime('%Y-%m-%d')})",
              "",
              "All timings from data-dependent chained iterations inside one",
-             "compiled program (see module docstring).", ""]
+             "compiled program, synchronized by host transfers (see",
+             "benchmarks/measure.py for why).", ""]
     for title, rows in sections:
         lines.append(f"## {title}\n")
         lines.append("| case | time | throughput |")
@@ -248,8 +268,9 @@ def main():
         lines.append("")
     out = "\n".join(lines)
     print(out)
-    with open(args.out, "w") as f:
-        f.write(out + "\n")
+    if not only:
+        with open(args.out, "w") as f:
+            f.write(out + "\n")
 
 
 if __name__ == "__main__":
