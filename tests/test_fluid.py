@@ -1,0 +1,127 @@
+"""J-only fluid MPM pipeline tests (sim/fluid.py).
+
+Oracle: the F-based explicit_step with the same EquationOfState model —
+for small steps det(F) tracks the scalar J, so both pipelines must agree
+closely over a short rollout.  Plus conservation and 2-D coverage.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from zpc_tpu.geometry.collider import Collider, ColliderType
+from zpc_tpu.geometry.levelset import HalfSpace
+from zpc_tpu.models.constitutive import EquationOfState
+from zpc_tpu.sim.mpm import MPMSim, make_mpm_state, explicit_step
+from zpc_tpu.sim.fluid import make_fluid_state, explicit_fluid_step
+
+
+def _sim(dim=3, flip=0.0):
+    model = EquationOfState(mu=jnp.float32(0.0), lam=jnp.float32(1e4),
+                            gamma=jnp.float32(7.15))
+    g = [0.0, -9.8, 0.0][:dim] if dim == 3 else [0.0, -9.8]
+    return MPMSim(model=model, gravity=jnp.asarray(g), flip=flip)
+
+
+def _block(rng, n=512, dim=3):
+    return jnp.asarray(rng.uniform(0.3, 0.7, (n, dim)), jnp.float32)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def test_mass_conservation(rng):
+    sim = _sim()
+    x = _block(rng)
+    st = make_fluid_state(x, dx=0.05, block_capacity=512)
+    st2 = explicit_fluid_step(sim, st, jnp.float32(1e-4))
+    np.testing.assert_allclose(float(jnp.sum(st2.grid.data["m"])),
+                               float(jnp.sum(st.particles["m"])),
+                               rtol=1e-5)
+
+
+def test_momentum_gravity(rng):
+    sim = _sim()
+    x = _block(rng, 256)
+    st = make_fluid_state(x, dx=0.05, block_capacity=512)
+    dt = 2e-4
+    st2 = explicit_fluid_step(sim, st, jnp.float32(dt))
+    m = np.asarray(st.particles["m"])
+    p0 = (m[:, None] * np.asarray(st.particles["v"])).sum(0)
+    p1 = (m[:, None] * np.asarray(st2.particles["v"])).sum(0)
+    expected = p0 + m.sum() * np.array([0.0, -9.8, 0.0]) * dt
+    np.testing.assert_allclose(p1, expected, rtol=1e-4, atol=1e-8)
+
+
+def test_matches_F_based_eos(rng):
+    """J pipeline vs det(F) pipeline over a short rollout."""
+    sim = _sim()
+    x = _block(rng, 384)
+    dt = jnp.float32(1e-4)
+    stF = make_mpm_state(x, dx=0.05, block_capacity=512)
+    stJ = make_fluid_state(x, dx=0.05, block_capacity=512)
+    for _ in range(5):
+        stF = explicit_step(sim, stF, dt)
+        stJ = explicit_fluid_step(sim, stJ, dt)
+    np.testing.assert_allclose(np.asarray(stJ.particles["x"]),
+                               np.asarray(stF.particles["x"]),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(stJ.particles["v"]),
+                               np.asarray(stF.particles["v"]),
+                               rtol=0, atol=2e-4)
+    detF = np.linalg.det(np.asarray(stF.particles["F"]))
+    np.testing.assert_allclose(np.asarray(stJ.particles["J"]), detF,
+                               rtol=0, atol=1e-4)
+
+
+def test_hydrostatic_compression(rng):
+    """A fluid column under gravity on a floor: J compresses below 1 at
+    the bottom and total mass never changes over a rollout."""
+    floor = Collider(HalfSpace(origin=jnp.asarray([0.0, 0.25, 0.0]),
+                               direction=jnp.asarray([0.0, 1.0, 0.0])),
+                     kind=ColliderType.sticky)
+    model = EquationOfState(mu=jnp.float32(0.0), lam=jnp.float32(1e4),
+                            gamma=jnp.float32(7.15))
+    sim = MPMSim(model=model, gravity=jnp.asarray([0.0, -9.8, 0.0]),
+                 colliders=(floor,))
+    x = _block(rng, 512)
+    v0 = jnp.broadcast_to(jnp.asarray([0.0, -0.8, 0.0]), x.shape)
+    st = make_fluid_state(x, dx=0.05, block_capacity=512, velocity=v0)
+    dt = jnp.float32(2e-4)
+
+    def body(_, s):
+        return explicit_fluid_step(sim, s, dt)
+
+    st2 = jax.jit(lambda s: jax.lax.fori_loop(0, 400, body, s))(st)
+    J = np.asarray(st2.particles["J"])
+    assert np.all(J > 0.1) and np.all(np.isfinite(J))
+    assert float(J.min()) < 1.0          # compression happened
+    x2 = np.asarray(st2.particles["x"])
+    assert np.all(np.isfinite(x2))
+    assert x2[:, 1].min() > 0.2          # floor held
+
+
+def test_2d(rng):
+    sim = _sim(dim=2)
+    x = _block(rng, 256, dim=2)
+    st = make_fluid_state(x, dx=0.05, block_capacity=256)
+    st2 = explicit_fluid_step(sim, st, jnp.float32(1e-4))
+    np.testing.assert_allclose(float(jnp.sum(st2.grid.data["m"])),
+                               float(jnp.sum(st.particles["m"])),
+                               rtol=1e-5)
+    assert np.all(np.isfinite(np.asarray(st2.particles["x"])))
+
+
+def test_flip_fluid(rng):
+    sim = _sim(flip=0.95)
+    x = _block(rng, 256)
+    st = make_fluid_state(x, dx=0.05, block_capacity=512)
+    dt = 2e-4
+    st2 = explicit_fluid_step(sim, st, jnp.float32(dt))
+    m = np.asarray(st.particles["m"])
+    p1 = (m[:, None] * np.asarray(st2.particles["v"])).sum(0)
+    expected = m.sum() * np.array([0.0, -9.8, 0.0]) * dt
+    np.testing.assert_allclose(p1, expected, rtol=1e-3, atol=1e-8)

@@ -5,4 +5,5 @@ from .levelset import (LevelSet, HalfSpace, Sphere, Cuboid, Cylinder, Torus,
                        IntersectionLevelSet, ComplementLevelSet)
 from .collider import Collider, ColliderType, resolve_boundaries
 from .ccd_tight import CCDResult, vertex_face_ccd, edge_edge_ccd_tight
+from .marching import TriSoup, marching_tets, surface_from_levelset
 from .sparse_grid import SparseGrid, sparse_grid, neighbor_offsets

@@ -4,5 +4,6 @@ from .mpm import MPMSim, MPMState, make_mpm_state, explicit_step
 from .mpm_binned import BinnedConfig, explicit_step_binned
 from .mpm_pallas import explicit_step_pallas
 from .implicit import implicit_step
+from .fluid import make_fluid_state, explicit_fluid_step
 from .scene import Scene
 from .runner import simulate
