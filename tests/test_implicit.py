@@ -94,3 +94,55 @@ class TestImplicitBinned:
             st = step(st)
         v = np.asarray(st.particles["v"])
         assert np.isfinite(v).all() and np.abs(v).max() < 10.0
+
+
+class TestNewtonRefinement:
+    def test_default_unchanged(self, setup):
+        """newton_iters=1 must be bit-identical to the original path."""
+        sim, st = setup
+        F0 = jnp.broadcast_to(jnp.diag(jnp.asarray([1.05, 0.95, 1.0])),
+                              (512, 3, 3))
+        st = type(st)(st.particles.update(F=F0), st.grid, st.max_vel)
+        dt = jnp.float32(2e-3)
+        a = implicit_step(sim, st, dt, cg_iters=40)
+        b = implicit_step(sim, st, dt, cg_iters=40, newton_iters=1)
+        np.testing.assert_array_equal(np.asarray(a.particles["v"]),
+                                      np.asarray(b.particles["v"]))
+
+    def test_newton_reduces_residual(self, setup):
+        """Extra Newton iterations with line search must not blow up and
+        should track the explicit solution at least as well at stiff dt."""
+        sim, st = setup
+        F0 = jnp.broadcast_to(jnp.diag(jnp.asarray([1.2, 0.85, 1.0])),
+                              (512, 3, 3))
+        st = type(st)(st.particles.update(F=F0), st.grid, st.max_vel)
+        dt = jnp.float32(5e-3)     # far beyond explicit CFL
+        one = implicit_step(sim, st, dt, cg_iters=60)
+        three = implicit_step(sim, st, dt, cg_iters=60, newton_iters=3)
+        v1 = np.asarray(one.particles["v"])
+        v3 = np.asarray(three.particles["v"])
+        assert np.isfinite(v1).all() and np.isfinite(v3).all()
+        # the refined solve stays bounded
+        assert np.abs(v3).max() <= np.abs(v1).max() * 1.5 + 1.0
+
+    def test_hessian_clamp_near_inversion(self, setup):
+        """Near-inverted F: the clamped-Hessian solve stays finite."""
+        sim, st = setup
+        F0 = jnp.broadcast_to(jnp.diag(jnp.asarray([0.05, 1.0, 1.0])),
+                              (512, 3, 3))
+        st = type(st)(st.particles.update(F=F0), st.grid, st.max_vel)
+        dt = jnp.float32(2e-3)
+        out = implicit_step(sim, st, dt, cg_iters=60, newton_iters=2,
+                            hessian_clamp=0.2)
+        v = np.asarray(out.particles["v"])
+        assert np.isfinite(v).all()
+        assert np.isfinite(float(out.max_vel))
+
+    def test_jit_newton(self, setup):
+        sim, st = setup
+        dt = jnp.float32(1e-3)
+        f = jax.jit(lambda s: implicit_step(sim, s, dt, cg_iters=20,
+                                            newton_iters=2,
+                                            hessian_clamp=0.1))
+        out = f(st)
+        assert np.isfinite(np.asarray(out.particles["v"])).all()

@@ -36,8 +36,21 @@ __all__ = ["implicit_step"]
 
 
 def implicit_step(sim: MPMSim, state: MPMState, dt,
-                  cg_iters: int = 50, cg_tol: float = 1e-3) -> MPMState:
-    """One implicit (backward-Euler) MPM step — single XLA program."""
+                  cg_iters: int = 50, cg_tol: float = 1e-3,
+                  newton_iters: int = 1, hessian_clamp: float = 0.0
+                  ) -> MPMState:
+    """One implicit (backward-Euler) MPM step — single XLA program.
+
+    ``newton_iters=1`` (default) is the reference-equivalent single
+    linearized solve.  ``newton_iters>1`` adds true Newton refinement of
+    the nonlinear grid residual G(v) = M(v - v_mom) - dt f_int(F(v)),
+    each refinement guarded by a backtracking line search on |G| (the
+    reference's ImplicitMPM has neither; they matter for stiff materials
+    at large dt).  ``hessian_clamp=s`` evaluates the force differential
+    at F with singular values clamped to >= s — a Gauss-Newton-style
+    positive-definiteness guard near inversion (cf. the reference's
+    hand-coded per-model Hessians, ImplicitMPM.hpp:11-60).
+    """
     p = state.particles
     grid = state.grid
     dim, bs = grid.dim, grid.block_size
@@ -99,13 +112,25 @@ def implicit_step(sim: MPMSim, state: MPMState, dt,
     def project(u):
         return jnp.where(free[:, None], u, 0.0)
 
+    # Hessian linearization point: optionally clamp F's singular values
+    # away from inversion (scalar-form svd, math/svd.py) so dP/dF stays
+    # positive-definite-ish for the corotated/NH family
+    if hessian_clamp > 0.0:
+        from ..math.svd import svd3x3, svd2x2
+        svd = svd3x3 if dim == 3 else svd2x2
+        U, S, V = svd(F)
+        Sc = jnp.maximum(S, hessian_clamp)
+        F_h = mm(U * Sc[..., None, :], jnp.swapaxes(V, -1, -2))
+    else:
+        F_h = F
+
     # -- matrix-free operator: A u = M u + dt^2 K u ---------------------------
     def K_action(u):
         du = gather3(u)                                   # [N,S^3,3]
         dC = Dinv * jnp.einsum("nk,nki,nkj->nij", w3, du, xdiff)
-        dF = dt * mm(dC, F)
-        _, dP = jax.jvp(sim.model.first_piola, (F,), (dF,))
-        dtau = mm(dP, jnp.swapaxes(F, -1, -2))
+        dF = dt * mm(dC, F_h)
+        _, dP = jax.jvp(sim.model.first_piola, (F_h,), (dF,))
+        dtau = mm(dP, jnp.swapaxes(F_h, -1, -2))
         return scatter3(w3[..., None] * Dinv * vol[:, None, None] * dt *
                         jnp.einsum("nij,nkj->nki", dtau, xdiff))
 
@@ -121,6 +146,46 @@ def implicit_step(sim: MPMSim, state: MPMState, dt,
     res = cg(lambda u: A(u), rhs, x0=project(v_pred), project=project,
              precondition=precondition, max_iters=cg_iters, rel_tol=cg_tol)
     gv = jnp.where(free[:, None], res.x, v_bc)
+
+    # -- optional Newton refinement with backtracking line search -------------
+    if newton_iters > 1:
+        eye_d = jnp.eye(dim, dtype=F.dtype)
+        v_mom = gmv * minv[:, None] + dt * sim.gravity[None, :]
+        v_mom = jnp.where(has_mass[:, None], v_mom, 0.0)
+
+        def residual(v):
+            du = gather3(v)
+            Cv = Dinv * jnp.einsum("nk,nki,nkj->nij", w3, du, xdiff)
+            Fv = mm(eye_d + dt * Cv, F)
+            tau_v = sim.model.kirchhoff(Fv)
+            fv = scatter3(-w3[..., None] * Dinv * vol[:, None, None] *
+                          jnp.einsum("nij,nkj->nki", tau_v, xdiff))
+            return project(gm[:, None] * v - gm[:, None] * v_mom
+                           - dt * fv)
+
+        def norm2(u):
+            return jnp.sum(u * u)
+
+        vk = jnp.where(free[:, None], gv, 0.0)
+        for _ in range(newton_iters - 1):
+            Gk = residual(vk)
+            gn = norm2(Gk)
+            delta = cg(lambda u: A(u), -Gk, project=project,
+                       precondition=precondition, max_iters=cg_iters,
+                       rel_tol=cg_tol).x
+            # backtracking: first alpha in {1, 1/2, 1/4, 1/8} that
+            # reduces |G|; keep vk if none does
+            best_v, best_n = vk, gn
+            accepted = jnp.bool_(False)
+            for alpha in (1.0, 0.5, 0.25, 0.125):
+                cand = project(vk + alpha * delta)
+                cn = norm2(residual(cand))
+                take = (~accepted) & (cn < gn)
+                best_v = jnp.where(take, cand, best_v)
+                best_n = jnp.where(take, cn, best_n)
+                accepted = accepted | take
+            vk = best_v
+        gv = jnp.where(free[:, None], vk, v_bc)
     gv = jnp.where(has_mass[:, None], gv, 0.0)
     max_vel = jnp.sqrt(jnp.max(jnp.sum(gv * gv, -1)))
     grid = grid.with_data(
