@@ -56,10 +56,10 @@ class BinnedConfig2:
     bins_capacity: int           # static bin count (lanes = bins * K)
     block_capacity: Optional[int] = None  # dilated table cap (None = grid's)
     use_segments: Optional[bool] = None   # None = auto by one-hot size
-    sort_chunk: int = 8          # payload columns per stable sort (the
-                                 # 29-operand single sort compiles
-                                 # pathologically at 512k lanes; chunked
-                                 # stable sorts share the permutation)
+    sort_chunk: int = 0          # 0 = permutation sort + one row gather
+                                 # (compile-friendly through the remote
+                                 # TPU compiler; see _chunked_stable_sort)
+                                 # >0 = payload columns per stable sort
 
 
 @jax.tree_util.register_dataclass
@@ -209,9 +209,24 @@ def _sort_into_bins(keys: jax.Array, cols: jax.Array, pid: jax.Array,
 
 
 def _chunked_stable_sort(ckey, pid, cols, chunk):
-    """Sort (pid + payload columns) by ckey in ``chunk``-column stable
-    sorts: identical keys + stability => identical permutations, so the
-    chunks compose to one wide sort without its compile-time blowup."""
+    """Move (pid + payload columns) into ckey order.
+
+    ``chunk == 0`` (default): ONE stable 3-operand sort produces pid and
+    the permutation; the payload moves with a single [L, W] row gather.
+    Measured on v5e (benchmarks/probe_sort_compile.py): 19 s compile,
+    ~13 ms at 655k lanes x 24 columns.  The remote TPU compiler chokes
+    superlinearly when several multi-operand sorts appear in one program
+    (bin_state with chunk=8 compiled for >25 min; each 9-operand sort
+    alone is 78 s), so payload-carrying sorts are opt-in only.
+
+    ``chunk > 0``: chunked stable sorts sharing the permutation through
+    key equality (kept for machines where gathers are the bottleneck).
+    """
+    if chunk == 0:
+        lane = jnp.arange(ckey.shape[0], dtype=jnp.int32)
+        _, spid, perm = jax.lax.sort((ckey, pid, lane), num_keys=1,
+                                     is_stable=True)
+        return spid, jnp.stack(cols, axis=1)[perm]
     first = jax.lax.sort((ckey, pid), num_keys=1, is_stable=True)
     spid = first[1]
     out = []
