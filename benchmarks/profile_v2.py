@@ -26,7 +26,8 @@ def main():
     n = 262144
     sim, st0, dt = build(n, dx=1.0 / 128)
     dtj = jnp.float32(dt)
-    cfg = BinnedConfig2(bins_capacity=2560, block_capacity=2048)
+    # slack=0: the stage replica below mirrors the 6-node-window math
+    cfg = BinnedConfig2(bins_capacity=2560, block_capacity=2048, slack=0)
     bst = jax.block_until_ready(
         jax.jit(lambda s: bin_state(sim, s, cfg))(st0))
 

@@ -131,3 +131,41 @@ def test_2d_matches_baseline(rng):
                                np.asarray(ref.particles["v"]), atol=2e-4)
     np.testing.assert_allclose(np.asarray(out.particles["F"]),
                                np.asarray(ref.particles["F"]), atol=1e-5)
+
+
+class TestDriftSlack:
+    def test_rebins_actually_skipped(self, rng):
+        """With slack=1 and a small dt, multi-step rollouts must run
+        mostly rebin-free AND stay oracle-accurate."""
+        from zpc_tpu.sim.mpm_binned2 import (bin_state, _rebin,
+                                             explicit_step_binned2)
+        x = jnp.asarray(rng.uniform(0.3, 0.7, (768, 3)), jnp.float32)
+        st = make_mpm_state(x, dx=0.05, block_capacity=256,
+                            velocity=jnp.broadcast_to(
+                                jnp.asarray([0.05, 0.0, 0.0]), (768, 3)))
+        sim = _sim()
+        cfg = BinnedConfig2(bins_capacity=64, slack=1)
+        bst = bin_state(sim, st, cfg)
+        dt = jnp.float32(1e-4)
+        rebins = 0
+        for _ in range(10):
+            if bool(bst.needs_rebin):
+                bst = _rebin(sim, bst, cfg)
+                rebins += 1
+            bst = explicit_step_binned2(sim, bst, dt, cfg, rebin=False)
+        # drift per step ~ v dt / dx = 1e-4 * 0.05/0.05 -> far below one
+        # cell: the whole rollout should need no rebin at all
+        assert rebins == 0
+        assert not bool(bst.overflow)
+
+    def test_slack0_equals_slack1(self, rng):
+        """Same physics regardless of slack (rollout vs oracle)."""
+        x = jnp.asarray(rng.uniform(0.3, 0.7, (512, 3)), jnp.float32)
+        st = make_mpm_state(x, dx=0.05, block_capacity=256)
+        F0 = jnp.broadcast_to(jnp.diag(jnp.asarray([1.05, 0.97, 1.0])),
+                              (512, 3, 3))
+        st = type(st)(st.particles.update(F=F0), st.grid, st.max_vel)
+        for slack in (0, 1):
+            _compare(_sim(), st, jnp.float32(1e-4),
+                     BinnedConfig2(bins_capacity=64, slack=slack),
+                     steps=3)

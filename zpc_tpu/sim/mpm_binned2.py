@@ -60,6 +60,21 @@ class BinnedConfig2:
                                  # (compile-friendly through the remote
                                  # TPU compiler; see _chunked_stable_sort)
                                  # >0 = payload columns per stable sort
+    slack: int = 1               # drift slack in cells before a rebin.
+                                 # 0: exact 6-node window, rebin whenever
+                                 #    any stencil base crosses a cell.
+                                 # 1: bins keyed on floor((base-1)/4) so
+                                 #    the nominal window sits at [1,4] of
+                                 #    an 8-node span — particles drift a
+                                 #    full cell each way before needing a
+                                 #    rebin, and the 8-node window aligns
+                                 #    to block boundaries, turning the
+                                 #    spill/pull matmuls into reshapes.
+
+    @property
+    def side(self) -> int:
+        assert self.slack in (0, 1)
+        return 6 + 2 * self.slack
 
 
 @jax.tree_util.register_dataclass
@@ -78,6 +93,11 @@ class BinState:
     max_vel: jax.Array
     overflow: jax.Array
     needs_rebin: jax.Array       # any particle left its bin's block window
+    bin_block: jax.Array         # [bins] table slot per bin, frozen at
+                                 # rebin time (-1 = dead bin).  With
+                                 # drift slack the lane-0 position may
+                                 # cross a cell boundary mid-interval, so
+                                 # the mapping cannot be recomputed.
 
     @property
     def has_jp(self) -> bool:
@@ -123,7 +143,8 @@ def bin_state(sim: MPMSim, state: MPMState, cfg: BinnedConfig2) -> BinState:
     origin_w = grid.transform.matrix[:dim, dim]
     xi = (p["x"] - origin_w) / grid.dx
     base, _, _ = bspline_weights(xi, sim.order)
-    keys = jnp.where(pmask, pack_coords(jnp.floor_divide(base, bs)),
+    keys = jnp.where(pmask,
+                     pack_coords(jnp.floor_divide(base - cfg.slack, bs)),
                      KEY_SENTINEL)
     nb = cfg.block_capacity or grid.block_capacity
     st = _sort_into_bins(keys, cols, pid, cfg, nb, dim)
@@ -190,7 +211,7 @@ def _sort_into_bins(keys: jax.Array, cols: jax.Array, pid: jax.Array,
     pad_pid = jnp.full((npad,), -1, jnp.int32)
     allcols = [jnp.concatenate([cols[:, i], jnp.zeros((npad,), cols.dtype)])
                for i in range(cols.shape[1])]
-    spid, scols = _chunked_stable_sort(
+    sck, spid, scols = _chunked_stable_sort(
         ckey, jnp.concatenate([pid, pad_pid]), allcols, cfg.sort_chunk)
 
     # block table (dilated) from the group keys
@@ -200,12 +221,19 @@ def _sort_into_bins(keys: jax.Array, cols: jax.Array, pid: jax.Array,
     vmask = jnp.repeat(gvalid, offs.shape[0])
     table, _ = build_block_table(cand, nb, valid=vmask, dim=dim)
     overflow = overflow | (table.count > table.capacity)
+    # per-BIN block slot (a group can span several K-bins): from each
+    # bin's first sorted lane (dummies carry their group key too)
+    first_ck = sck.reshape(cfg.bins_capacity, K)[:, 0]
+    first_key = jnp.where(first_ck == KEY_SENTINEL, KEY_SENTINEL,
+                          first_ck >> 1)
+    bin_block = jnp.where(first_key == KEY_SENTINEL, -1,
+                          table.query_keys(first_key))
     ncell = 4 ** dim
     data = {"m": jnp.zeros((nb, ncell), jnp.float32),
             "v": jnp.zeros((nb, ncell, dim), jnp.float32)}
     grid = SparseGrid(table, data, None, 4, dim)  # transform set by caller
     return BinState(scols, spid, grid, jnp.float32(0.0), overflow,
-                    jnp.bool_(False))
+                    jnp.bool_(False), bin_block)
 
 
 def _chunked_stable_sort(ckey, pid, cols, chunk):
@@ -224,17 +252,17 @@ def _chunked_stable_sort(ckey, pid, cols, chunk):
     """
     if chunk == 0:
         lane = jnp.arange(ckey.shape[0], dtype=jnp.int32)
-        _, spid, perm = jax.lax.sort((ckey, pid, lane), num_keys=1,
-                                     is_stable=True)
-        return spid, jnp.stack(cols, axis=1)[perm]
+        skey, spid, perm = jax.lax.sort((ckey, pid, lane), num_keys=1,
+                                        is_stable=True)
+        return skey, spid, jnp.stack(cols, axis=1)[perm]
     first = jax.lax.sort((ckey, pid), num_keys=1, is_stable=True)
-    spid = first[1]
+    skey, spid = first[0], first[1]
     out = []
     for i in range(0, len(cols), chunk):
         res = jax.lax.sort((ckey, *cols[i:i + chunk]), num_keys=1,
                            is_stable=True)
         out.extend(res[1:])
-    return spid, jnp.stack(out, axis=1)
+    return skey, spid, jnp.stack(out, axis=1)
 
 
 def _rebin(sim: MPMSim, st: BinState, cfg: BinnedConfig2) -> BinState:
@@ -247,7 +275,8 @@ def _rebin(sim: MPMSim, st: BinState, cfg: BinnedConfig2) -> BinState:
     alive = st.pid >= 0
     xi = (x - origin_w) / grid.dx
     base, _, _ = bspline_weights(xi, sim.order)
-    keys = jnp.where(alive, pack_coords(jnp.floor_divide(base, 4)),
+    keys = jnp.where(alive,
+                     pack_coords(jnp.floor_divide(base - cfg.slack, 4)),
                      KEY_SENTINEL)
     # sort keeps L lanes: dead lanes re-keyed as padding dummies
     nb = cfg.block_capacity or grid.table.capacity
@@ -300,7 +329,7 @@ def _sort_into_bins_from_lanes(keys, cols, pid, cfg: BinnedConfig2,
     ckey = jnp.where(keys2 == KEY_SENTINEL, KEY_SENTINEL,
                      keys2 * 2 + dead.astype(jnp.int32))
 
-    spid, scols = _chunked_stable_sort(
+    sck, spid, scols = _chunked_stable_sort(
         ckey, pid, [cols[:, i] for i in range(cols.shape[1])],
         cfg.sort_chunk)
 
@@ -310,12 +339,19 @@ def _sort_into_bins_from_lanes(keys, cols, pid, cfg: BinnedConfig2,
     vmask = jnp.repeat(gvalid, offs.shape[0])
     table, _ = build_block_table(cand, nb, valid=vmask, dim=dim)
     overflow = overflow | (table.count > table.capacity)
+    # per-BIN block slot (a group can span several K-bins): from each
+    # bin's first sorted lane (dummies carry their group key too)
+    first_ck = sck.reshape(cfg.bins_capacity, K)[:, 0]
+    first_key = jnp.where(first_ck == KEY_SENTINEL, KEY_SENTINEL,
+                          first_ck >> 1)
+    bin_block = jnp.where(first_key == KEY_SENTINEL, -1,
+                          table.query_keys(first_key))
     ncell = 4 ** dim
     data = {"m": jnp.zeros((nb, ncell), jnp.float32),
             "v": jnp.zeros((nb, ncell, dim), jnp.float32)}
     grid = SparseGrid(table, data, None, 4, dim)
     return BinState(scols, spid, grid, jnp.float32(0.0), overflow,
-                    jnp.bool_(False))
+                    jnp.bool_(False), bin_block)
 
 
 def unbin_state(st: BinState, template: MPMState) -> MPMState:
@@ -351,21 +387,25 @@ def unbin_state(st: BinState, template: MPMState) -> MPMState:
 # the step
 # ---------------------------------------------------------------------------
 
-def _axis_stencils(xib, borigin):
+def _axis_stencils(xib, borigin, side=SIDE):
     """Per-axis one-hot halo-window stencils from binned index coords.
 
-    Returns (w [dim][B,K,6], w_i [dim][B,K,6], rel0 [B,K,dim]).
+    Returns (w [dim][B,K,side], w_i [dim][B,K,side], rel0 [B,K,dim]).
+    Window nodes are ``borigin + [0, side)``; base offsets are clipped to
+    the legal [0, side-3] (an out-of-window particle flags needs_rebin at
+    the end of the step that moved it, so clipped weights are never used
+    for physics).
     """
     B, Kk, dim = xib.shape
     base, wt, _ = bspline_weights(xib.reshape(B * Kk, dim), 2)
     base = base.reshape(B, Kk, dim)
     wt = wt.reshape(B, Kk, dim, 3)
-    off = jnp.clip(base - borigin[:, None, :], 0, 3)
-    sidx = jnp.arange(SIDE, dtype=jnp.int32)
+    off = jnp.clip(base - borigin[:, None, :], 0, side - 3)
+    sidx = jnp.arange(side, dtype=jnp.int32)
     ws, wis = [], []
     fidx = sidx.astype(xib.dtype)
     for d in range(dim):
-        w_axis = jnp.zeros((B, Kk, SIDE), xib.dtype)
+        w_axis = jnp.zeros((B, Kk, side), xib.dtype)
         for j in range(3):
             hit = sidx[None, None, :] == (off[..., d] + j)[..., None]
             w_axis = w_axis + jnp.where(hit, wt[..., d, j:j + 1], 0.0)
@@ -449,6 +489,7 @@ def _step3d(sim: MPMSim, st, dt, cfg: BinnedConfig2):
     origin_w = grid.transform.matrix[:3, 3]
     B = nbq
     L = B * K
+    side = cfg.side
 
     cols = st.cols.reshape(B, K, -1)
     xb = cols[..., 0:3]
@@ -461,19 +502,18 @@ def _step3d(sim: MPMSim, st, dt, cfg: BinnedConfig2):
     mban = jnp.where(lane_alive, mban, 0.0)
     volb = jnp.where(lane_alive, volb, 0.0)
 
-    # bin -> block mapping from the first lane's position (every live bin
-    # starts with a real particle: padding follows reals within a block)
+    # bin -> block mapping frozen at rebin time (recomputing it from a
+    # lane position would break once drift slack lets particles cross a
+    # cell boundary mid-interval)
     bin_live = jnp.any(lane_alive, axis=1)
-    bin_block = jnp.where(bin_live, table.query(
-        jnp.floor_divide(jnp.floor(
-            (xb[:, 0, :] - origin_w) / dx - 0.5).astype(jnp.int32), 4)), -1)
+    bin_block = jnp.where(bin_live, st.bin_block, -1)
     bad_bin = bin_live & (bin_block < 0)
     overflow = st.overflow | jnp.any(bad_bin)
     bin_block_safe = jnp.clip(bin_block, 0, nb - 1)
     borigin = table.active_coords[bin_block_safe] * 4
 
     xib = (xb - origin_w) / dx
-    ws, wis, rel0i = _axis_stencils(xib, borigin)
+    ws, wis, rel0i = _axis_stencils(xib, borigin, side)
     wx, wy, wz = ws
     wx_i, wy_i, wz_i = wis
     rel0 = rel0i * dx
@@ -493,28 +533,35 @@ def _step3d(sim: MPMSim, st, dt, cfg: BinnedConfig2):
 
     # RHS channel layout: (a, c) with a = 6 planes, c = 4 channels
     def plane_scale(w6, q):
-        # [B,K,6],[B,K,4] -> [B,K,24]
-        return (w6[..., :, None] * q[..., None, :]).reshape(B, K, 24)
+        # [B,K,side],[B,K,4] -> [B,K,4*side]
+        return (w6[..., :, None] * q[..., None, :]).reshape(B, K, 4 * side)
 
+    sq = side * side
     R1 = plane_scale(wx, Q0) + plane_scale(wx_i, QA[0])
     R2 = plane_scale(wx, QA[1])
     R3 = plane_scale(wx, QA[2])
-    S0 = (wy[:, :, :, None] * wz[:, :, None, :]).reshape(B, K, 36)
-    S1 = (wy_i[:, :, :, None] * wz[:, :, None, :]).reshape(B, K, 36)
-    S2 = (wy[:, :, :, None] * wz_i[:, :, None, :]).reshape(B, K, 36)
-    Sstack = jnp.concatenate([S0, S1, S2], axis=1)            # [B,3K,36]
-    Rstack = jnp.concatenate([R1, R2, R3], axis=1)            # [B,3K,24]
+    S0 = (wy[:, :, :, None] * wz[:, :, None, :]).reshape(B, K, sq)
+    S1 = (wy_i[:, :, :, None] * wz[:, :, None, :]).reshape(B, K, sq)
+    S2 = (wy[:, :, :, None] * wz_i[:, :, None, :]).reshape(B, K, sq)
+    Sstack = jnp.concatenate([S0, S1, S2], axis=1)          # [B,3K,side^2]
+    Rstack = jnp.concatenate([R1, R2, R3], axis=1)          # [B,3K,4*side]
     out = jnp.einsum("bkm,bkA->bmA", Sstack, Rstack, precision=_PREC,
-                     preferred_element_type=jnp.float32)      # [B,36,24]
-    cube = jnp.moveaxis(out.reshape(B, 36, SIDE, 4), 2, 1
-                        ).reshape(B, SIDE ** 3, 4)            # [B,216,4]
+                     preferred_element_type=jnp.float32)  # [B,side^2,4side]
+    cube = jnp.moveaxis(out.reshape(B, sq, side, 4), 2, 1
+                        ).reshape(B, side ** 3, 4)          # [B,side^3,4]
 
     # ---- spill + block reduction --------------------------------------------
     sel, tgt8, use_seg = _spill_sel(table, bin_block_safe,
                                     bin_live & ~bad_bin, nb, cfg)
-    spill = jnp.asarray(_SPILL_ALL[:, :, :216])               # [8,64,216]
-    spilled = jnp.einsum("dts,nsc->dntc", spill, cube, precision=_PREC,
-                         preferred_element_type=jnp.float32)  # [8,B,64,4]
+    if side == 8:
+        # the 8-node window tiles 2x2x2 blocks exactly: "spill" is a
+        # transpose, not a matmul
+        spilled = cube.reshape(B, 2, 4, 2, 4, 2, 4, 4).transpose(
+            1, 3, 5, 0, 2, 4, 6, 7).reshape(8, B, 64, 4)
+    else:
+        spill = jnp.asarray(_SPILL_ALL[:, :, :216])           # [8,64,216]
+        spilled = jnp.einsum("dts,nsc->dntc", spill, cube, precision=_PREC,
+                             preferred_element_type=jnp.float32)
     if use_seg:
         seg = jnp.where(tgt8 >= 0, tgt8, nb).reshape(-1)
         acc = jax.ops.segment_sum(
@@ -551,21 +598,26 @@ def _step3d(sim: MPMSim, st, dt, cfg: BinnedConfig2):
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_PREC,
         ).reshape(8, B, 64, 3)
-    pull = jnp.asarray(_PULL_ALL[:, :, :64])                  # [8,216,64]
-    Vbin = jnp.einsum("dst,dnte->nse", pull, Vd, precision=_PREC,
-                      preferred_element_type=jnp.float32)     # [B,216,3]
-    # V as [B, 36, (a,c)=18]
-    Vac = jnp.moveaxis(Vbin.reshape(B, SIDE, 36, 3), 1, 2
-                       ).reshape(B, 36, 18)
+    if side == 8:
+        # inverse of the spill transpose: window = 2x2x2 blocks
+        Vbin = Vd.reshape(2, 2, 2, B, 4, 4, 4, 3).transpose(
+            3, 0, 4, 1, 5, 2, 6, 7).reshape(B, 512, 3)
+    else:
+        pull = jnp.asarray(_PULL_ALL[:, :, :64])              # [8,216,64]
+        Vbin = jnp.einsum("dst,dnte->nse", pull, Vd, precision=_PREC,
+                          preferred_element_type=jnp.float32)  # [B,216,3]
+    # V as [B, side^2, (a,c)]
+    Vac = jnp.moveaxis(Vbin.reshape(B, side, sq, 3), 1, 2
+                       ).reshape(B, sq, 3 * side)
     P0 = jnp.einsum("bkm,bmA->bkA", S0, Vac, precision=_PREC,
                     preferred_element_type=jnp.float32)       # [B,K,18]
     P1 = jnp.einsum("bkm,bmA->bkA", S1, Vac, precision=_PREC,
                     preferred_element_type=jnp.float32)
     P2 = jnp.einsum("bkm,bmA->bkA", S2, Vac, precision=_PREC,
                     preferred_element_type=jnp.float32)
-    P0r = P0.reshape(B, K, SIDE, 3)
-    P1r = P1.reshape(B, K, SIDE, 3)
-    P2r = P2.reshape(B, K, SIDE, 3)
+    P0r = P0.reshape(B, K, side, 3)
+    P1r = P1.reshape(B, K, side, 3)
+    P2r = P2.reshape(B, K, side, 3)
     s0 = jnp.einsum("bka,bkac->bkc", wx, P0r)
     sx = jnp.einsum("bka,bkac->bkc", wx_i, P0r)
     sy = jnp.einsum("bka,bkac->bkc", wx, P1r)
@@ -588,7 +640,7 @@ def _step3d(sim: MPMSim, st, dt, cfg: BinnedConfig2):
     base_new = jnp.floor((x_new - origin_w) / dx - 0.5).astype(jnp.int32)
     off_new = base_new - borigin[:, None, :]
     escaped = jnp.any(lane_alive[..., None] &
-                      ((off_new < 0) | (off_new > 3)))
+                      ((off_new < 0) | (off_new > side - 3)))
 
     ok3 = lane_alive[..., None]
     newcols = [jnp.where(ok3, x_new, xb), jnp.where(ok3, v_new, vb),
@@ -617,6 +669,7 @@ def _step2d(sim: MPMSim, st, dt, cfg: BinnedConfig2):
     origin_w = grid.transform.matrix[:2, 2]
     B = cfg.bins_capacity
     L = B * K
+    side = cfg.side
     lay = _col_layout(2)
 
     cols = st.cols.reshape(B, K, -1)
@@ -631,16 +684,14 @@ def _step2d(sim: MPMSim, st, dt, cfg: BinnedConfig2):
     volb = jnp.where(lane_alive, volb, 0.0)
 
     bin_live = jnp.any(lane_alive, axis=1)
-    first_block = jnp.floor_divide(jnp.floor(
-        (xb[:, 0, :] - origin_w) / dx - 0.5).astype(jnp.int32), 4)
-    bin_block = jnp.where(bin_live, table.query(first_block), -1)
+    bin_block = jnp.where(bin_live, st.bin_block, -1)
     bad_bin = bin_live & (bin_block < 0)
     overflow = st.overflow | jnp.any(bad_bin)
     bin_block_safe = jnp.clip(bin_block, 0, nb - 1)
     borigin = table.active_coords[bin_block_safe] * 4
 
     xib = (xb - origin_w) / dx
-    (wx, wy), (wx_i, wy_i), rel0i = _axis_stencils(xib, borigin)
+    (wx, wy), (wx_i, wy_i), rel0i = _axis_stencils(xib, borigin, side)
     rel0 = rel0i * dx
     wx = wx * lane_alive[..., None]
     wx_i = wx_i * lane_alive[..., None]
@@ -656,16 +707,16 @@ def _step2d(sim: MPMSim, st, dt, cfg: BinnedConfig2):
     QA = [jnp.concatenate([zero, dx * A[..., :, d]], -1) for d in range(2)]
 
     def plane_scale(w6, q):
-        return (w6[..., :, None] * q[..., None, :]).reshape(B, K, 18)
+        return (w6[..., :, None] * q[..., None, :]).reshape(B, K, 3 * side)
 
     R1 = plane_scale(wx, Q0) + plane_scale(wx_i, QA[0])
     R2 = plane_scale(wx, QA[1])
-    Sstack = jnp.concatenate([wy, wy_i], axis=1)              # [B,2K,6]
-    Rstack = jnp.concatenate([R1, R2], axis=1)                # [B,2K,18]
+    Sstack = jnp.concatenate([wy, wy_i], axis=1)            # [B,2K,side]
+    Rstack = jnp.concatenate([R1, R2], axis=1)              # [B,2K,3side]
     out = jnp.einsum("bkm,bkA->bmA", Sstack, Rstack, precision=_PREC,
-                     preferred_element_type=jnp.float32)      # [B,6,18]
-    cube = jnp.moveaxis(out.reshape(B, SIDE, SIDE, 3), 1, 2
-                        ).reshape(B, 36, 3)                   # [(a,y)]
+                     preferred_element_type=jnp.float32)  # [B,side,3side]
+    cube = jnp.moveaxis(out.reshape(B, side, side, 3), 1, 2
+                        ).reshape(B, side * side, 3)         # [(a,y)]
 
     # ---- spill + block reduction -----------------------------------------------
     dirs = [d for d in _DIRS2 if any(d)]
@@ -678,9 +729,13 @@ def _step2d(sim: MPMSim, st, dt, cfg: BinnedConfig2):
     nbr4 = jnp.where(table.mask[:, None], nbr4, -1)
     tgt = nbr4[bin_block_safe].T                              # [4, B]
     tgt = jnp.where((bin_live & ~bad_bin)[None, :], tgt, -1)
-    spill = jnp.asarray(_SPILL2)                              # [4,16,36]
-    spilled = jnp.einsum("dts,nsc->dntc", spill, cube, precision=_PREC,
-                         preferred_element_type=jnp.float32)  # [4,B,16,3]
+    if side == 8:
+        spilled = cube.reshape(B, 2, 4, 2, 4, 3).transpose(
+            1, 3, 0, 2, 4, 5).reshape(4, B, 16, 3)
+    else:
+        spill = jnp.asarray(_SPILL2)                          # [4,16,36]
+        spilled = jnp.einsum("dts,nsc->dntc", spill, cube, precision=_PREC,
+                             preferred_element_type=jnp.float32)
     use_seg = cfg.use_segments
     if use_seg is None:
         use_seg = nb * 4 * B > (1 << 27)
@@ -723,17 +778,21 @@ def _step2d(sim: MPMSim, st, dt, cfg: BinnedConfig2):
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_PREC,
         ).reshape(4, B, 16, 2)
-    pull = jnp.asarray(_PULL2)                                # [4,36,16]
-    Vbin = jnp.einsum("dst,dnte->nse", pull, Vd, precision=_PREC,
-                      preferred_element_type=jnp.float32)     # [B,36,2]
-    Vac = jnp.moveaxis(Vbin.reshape(B, SIDE, SIDE, 2), 1, 2
-                       ).reshape(B, SIDE, 12)                 # [B,6(y),12]
+    if side == 8:
+        Vbin = Vd.reshape(2, 2, B, 4, 4, 2).transpose(
+            2, 0, 3, 1, 4, 5).reshape(B, 64, 2)
+    else:
+        pull = jnp.asarray(_PULL2)                            # [4,36,16]
+        Vbin = jnp.einsum("dst,dnte->nse", pull, Vd, precision=_PREC,
+                          preferred_element_type=jnp.float32)  # [B,36,2]
+    Vac = jnp.moveaxis(Vbin.reshape(B, side, side, 2), 1, 2
+                       ).reshape(B, side, 2 * side)          # [B,y,(a,c)]
     P0 = jnp.einsum("bkm,bmA->bkA", wy, Vac, precision=_PREC,
                     preferred_element_type=jnp.float32)
     P1 = jnp.einsum("bkm,bmA->bkA", wy_i, Vac, precision=_PREC,
                     preferred_element_type=jnp.float32)
-    P0r = P0.reshape(B, K, SIDE, 2)
-    P1r = P1.reshape(B, K, SIDE, 2)
+    P0r = P0.reshape(B, K, side, 2)
+    P1r = P1.reshape(B, K, side, 2)
     s0 = jnp.einsum("bka,bkac->bkc", wx, P0r)
     sx = jnp.einsum("bka,bkac->bkc", wx_i, P0r)
     sy = jnp.einsum("bka,bkac->bkc", wx, P1r)
@@ -751,7 +810,7 @@ def _step2d(sim: MPMSim, st, dt, cfg: BinnedConfig2):
     base_new = jnp.floor((x_new - origin_w) / dx - 0.5).astype(jnp.int32)
     off_new = base_new - borigin[:, None, :]
     escaped = jnp.any(lane_alive[..., None] &
-                      ((off_new < 0) | (off_new > 3)))
+                      ((off_new < 0) | (off_new > side - 3)))
 
     ok2 = lane_alive[..., None]
     newcols = [jnp.where(ok2, x_new, xb), jnp.where(ok2, v_new, vb),
