@@ -1,5 +1,7 @@
 """Driver benchmark: explicit MPM particle-steps/sec on one chip (BASELINE
-config 3, the north-star metric), using the binned (fast) transfer path.
+config 3, the north-star metric), using the binned-v2 adaptive path
+(bin-ordered state, drift-slack windows, rebin only when a particle
+leaves its bin's block window).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -14,6 +16,7 @@ import json
 import sys
 import time
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -24,31 +27,37 @@ A100_PARTICLE_STEPS_PER_SEC = 100e6  # parity anchor (claymore-class MPM)
 
 def main():
     from examples.mpm_block import build
-    from zpc_tpu.sim.mpm_binned import BinnedConfig, explicit_step_binned
+    from zpc_tpu.sim.mpm_binned2 import (BinnedConfig2, _rebin, bin_state,
+                                         explicit_step_binned2)
 
     n = 262144
     sim, st, dt = build(n, dx=1.0 / 128)
-    cfg = BinnedConfig(bins_capacity=4096)
-    chain = 10
+    dtj = jnp.float32(dt)
+    cfg = BinnedConfig2(bins_capacity=2560, block_capacity=2048)
+    chain = 20
+
+    bst = jax.jit(lambda s: bin_state(sim, s, cfg))(st)
 
     def chained(s):
-        # OR-reduce overflow through the carry: a mid-rollout bin overflow
-        # must surface, not silently corrupt the measured physics
-        def body(_, carry):
-            t, ov = carry
-            t2, ov2 = explicit_step_binned(sim, t, jnp.float32(dt), cfg)
-            return t2, ov | ov2
-        return jax.lax.fori_loop(0, chain, body, (s, jnp.bool_(False)))
+        # adaptive rebinning rides inside the chain; overflow OR-reduces
+        # through the carry so a mid-rollout bin overflow surfaces
+        # instead of silently corrupting the measured physics
+        def body(_, t):
+            t = jax.lax.cond(t.needs_rebin,
+                             lambda u: _rebin(sim, u, cfg), lambda u: u, t)
+            return explicit_step_binned2(sim, t, dtj, cfg, rebin=False)
+        return jax.lax.fori_loop(0, chain, body, s)
 
     step = jax.jit(chained)
-    st, overflow = jax.block_until_ready(step(st))  # compile + warm
+    bst = step(bst)                               # compile + warm
+    np.asarray(jax.device_get(bst.cols.reshape(-1)[0]))   # reliable sync
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        (st, ov) = jax.block_until_ready(step(st))
-        overflow = overflow | ov
+        bst = step(bst)
+        np.asarray(jax.device_get(bst.cols.reshape(-1)[0]))
         best = min(best, time.perf_counter() - t0)
-    if bool(overflow):
+    if bool(bst.overflow):
         raise RuntimeError("bin overflow mid-rollout: grow bins_capacity")
     pps = n * chain / best
     print(json.dumps({
