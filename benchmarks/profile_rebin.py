@@ -68,14 +68,14 @@ def main():
             pads = jnp.where(gvalid, (-counts) % K, 0)
             if stage == "groups":
                 return _fold(st, dep_scalar(gkeys) + dep_scalar(pads))
+            from zpc_tpu.sim.mpm_binned2 import _dummy_keys_by_rank
             dead = keys == KEY_SENTINEL
             dead_rank = jnp.cumsum(dead.astype(jnp.int32)) - 1
             padcum = jnp.cumsum(pads)
-            serve_g = jnp.clip(
-                jnp.searchsorted(padcum, dead_rank, side="right"),
-                0, nbq - 1).astype(jnp.int32)
+            dense = _dummy_keys_by_rank(gkeys, gvalid, pads, padcum, L)
             in_budget = dead & (dead_rank < padcum[-1])
-            keys2 = jnp.where(in_budget, gkeys[serve_g], keys)
+            keys2 = jnp.where(in_budget,
+                              dense[jnp.clip(dead_rank, 0, L - 1)], keys)
             ckey = jnp.where(keys2 == KEY_SENTINEL, KEY_SENTINEL,
                              keys2 * 2 + dead.astype(jnp.int32))
             if stage == "dummykeys":

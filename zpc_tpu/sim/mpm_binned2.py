@@ -194,12 +194,10 @@ def _sort_into_bins(keys: jax.Array, cols: jax.Array, pid: jax.Array,
 
     # dummy lanes: j-th dummy belongs to the group whose cum-pad covers j
     padcum = jnp.cumsum(pads)
-    dummy_g = jnp.clip(jnp.searchsorted(
-        padcum, jnp.arange(npad, dtype=jnp.int32), side="right"),
-        0, nbq - 1).astype(jnp.int32)
+    dense = _dummy_keys_by_rank(gkeys, gvalid, pads, padcum, npad)
     in_budget = jnp.arange(npad, dtype=jnp.int32) < jnp.minimum(
         padcum[-1], npad)
-    dummy_keys = jnp.where(in_budget, gkeys[dummy_g], KEY_SENTINEL)
+    dummy_keys = jnp.where(in_budget, dense, KEY_SENTINEL)
 
     # composite key: (block_key, is_dummy) — dummies sort after reals
     all_keys = jnp.concatenate([keys, dummy_keys])
@@ -234,6 +232,23 @@ def _sort_into_bins(keys: jax.Array, cols: jax.Array, pid: jax.Array,
     grid = SparseGrid(table, data, None, 4, dim)  # transform set by caller
     return BinState(scols, spid, grid, jnp.float32(0.0), overflow,
                     jnp.bool_(False), bin_block)
+
+
+
+def _dummy_keys_by_rank(gkeys, gvalid, pads, padcum, size):
+    """Key for the j-th padding dummy, j in [0, size): the group whose
+    cumulative pad range covers j.  Built as a scatter-max at each
+    group's pad-start followed by a cummax (gkeys are ascending, so the
+    running max IS the covering group's key) — replaces a searchsorted
+    whose ~12 gather passes cost 30 ms at 327k lanes (profile_rebin.py).
+    Out-of-budget ranks (j >= padcum[-1]) are NOT masked here; callers
+    must mask.  Returns [size] int32 keys.
+    """
+    starts = padcum - pads
+    pos = jnp.where(gvalid & (pads > 0), starts, size)
+    gmark = jnp.zeros((size + 1,), jnp.int32).at[pos].max(
+        jnp.where(gvalid, gkeys, 0), mode="drop")[:size]
+    return jax.lax.cummax(gmark)
 
 
 def _chunked_stable_sort(ckey, pid, cols, chunk):
@@ -322,10 +337,10 @@ def _sort_into_bins_from_lanes(keys, cols, pid, cfg: BinnedConfig2,
     dead = keys == KEY_SENTINEL
     dead_rank = jnp.cumsum(dead.astype(jnp.int32)) - 1    # per dead lane
     padcum = jnp.cumsum(pads)
-    serve_g = jnp.clip(jnp.searchsorted(padcum, dead_rank, side="right"),
-                       0, nbq - 1).astype(jnp.int32)
+    dense = _dummy_keys_by_rank(gkeys, gvalid, pads, padcum, L)
     in_budget = dead & (dead_rank < padcum[-1])
-    keys2 = jnp.where(in_budget, gkeys[serve_g], keys)
+    keys2 = jnp.where(in_budget,
+                      dense[jnp.clip(dead_rank, 0, L - 1)], keys)
     ckey = jnp.where(keys2 == KEY_SENTINEL, KEY_SENTINEL,
                      keys2 * 2 + dead.astype(jnp.int32))
 
