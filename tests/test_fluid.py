@@ -125,3 +125,56 @@ def test_flip_fluid(rng):
     p1 = (m[:, None] * np.asarray(st2.particles["v"])).sum(0)
     expected = m.sum() * np.array([0.0, -9.8, 0.0]) * dt
     np.testing.assert_allclose(p1, expected, rtol=1e-3, atol=1e-8)
+
+
+class TestFluidBinned2:
+    def _compare(self, sim, st, dt, cfg, steps, atol_v=2e-4):
+        from zpc_tpu.sim.fluid_binned2 import rollout_fluid_binned2
+        ref = st
+        for _ in range(steps):
+            ref = explicit_fluid_step(sim, ref, dt)
+        out, overflow = jax.jit(
+            lambda s: rollout_fluid_binned2(sim, s, dt, cfg, steps))(st)
+        assert not bool(overflow)
+        np.testing.assert_allclose(np.asarray(out.particles["x"]),
+                                   np.asarray(ref.particles["x"]),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out.particles["v"]),
+                                   np.asarray(ref.particles["v"]),
+                                   atol=atol_v)
+        np.testing.assert_allclose(np.asarray(out.particles["J"]),
+                                   np.asarray(ref.particles["J"]),
+                                   atol=1e-5)
+
+    def test_matches_scatter_fluid(self, rng):
+        from zpc_tpu.sim.mpm_binned2 import BinnedConfig2
+        sim = _sim()
+        x = _block(rng, 768)
+        v0 = jnp.broadcast_to(jnp.asarray([0.2, -0.5, 0.1]), (768, 3))
+        st = make_fluid_state(x, dx=0.05, block_capacity=256, velocity=v0)
+        self._compare(sim, st, jnp.float32(1e-4),
+                      BinnedConfig2(bins_capacity=64), steps=5)
+
+    def test_slack0(self, rng):
+        from zpc_tpu.sim.mpm_binned2 import BinnedConfig2
+        sim = _sim()
+        x = _block(rng, 512)
+        st = make_fluid_state(x, dx=0.05, block_capacity=256)
+        self._compare(sim, st, jnp.float32(1e-4),
+                      BinnedConfig2(bins_capacity=64, slack=0), steps=2)
+
+    def test_collider(self, rng):
+        from zpc_tpu.sim.mpm_binned2 import BinnedConfig2
+        floor = Collider(HalfSpace(origin=jnp.asarray([0.0, 0.28, 0.0]),
+                                   direction=jnp.asarray([0.0, 1.0, 0.0])),
+                         kind=ColliderType.slip)
+        model = EquationOfState(mu=jnp.float32(0.0), lam=jnp.float32(1e4),
+                                gamma=jnp.float32(7.15))
+        sim = MPMSim(model=model, gravity=jnp.asarray([0.0, -9.8, 0.0]),
+                     colliders=(floor,))
+        x = _block(rng, 512)
+        v0 = jnp.broadcast_to(jnp.asarray([0.0, -1.0, 0.0]), (512, 3))
+        st = make_fluid_state(x, dx=0.05, block_capacity=256, velocity=v0)
+        self._compare(sim, st, jnp.float32(2e-4),
+                      BinnedConfig2(bins_capacity=64), steps=8,
+                      atol_v=5e-4)

@@ -5,5 +5,7 @@ from .mpm_binned import BinnedConfig, explicit_step_binned
 from .mpm_pallas import explicit_step_pallas
 from .implicit import implicit_step
 from .fluid import make_fluid_state, explicit_fluid_step
+from .fluid_binned2 import (bin_fluid_state, explicit_fluid_step_binned2,
+                            rollout_fluid_binned2, unbin_fluid_state)
 from .scene import Scene
 from .runner import simulate

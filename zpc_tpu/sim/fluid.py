@@ -84,7 +84,8 @@ def explicit_fluid_step(sim: MPMSim, state: MPMState, dt,
     # fused P2G: tau = -p(J) J I is diagonal, so the stress only shifts
     # the APIC affine matrix's diagonal by one scalar per particle
     Dinv = _apic_dinv(sim.order, dx)
-    J = p["J"]
+    # masked lanes carry J = 0; pressure(0) = inf and 0 * inf = NaN
+    J = jnp.where(pmask, p["J"], 1.0)
     tau_s = -sim.model.pressure(J) * J                         # [N]
     stress_s = -dt * Dinv * jnp.where(pmask, p["vol"], 0.0) * tau_s
     A = m[:, None, None] * p["C"]

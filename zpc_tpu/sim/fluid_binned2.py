@@ -1,0 +1,268 @@
+"""Binned-v2 fast path for the J-only fluid pipeline (3-D).
+
+claymore's flagship fluid configuration is exactly this: scalar-J EOS
+particles over block-sparse grids with fused G2P2G transfers
+(reference lineage: simulation/transfer/P2G.hpp fluid specialization).
+Reuses the mpm_binned2 machinery — sort-into-bins, drift-slack windows,
+adaptive rebinning, reshape spill/pull — with an 18-column payload
+(x3 v3 J1 C9 m1 vol1) instead of 26: rebins move ~30% less data and the
+stress contribution to the APIC affine matrix is one scalar.
+
+Oracle-shared with sim.fluid.explicit_fluid_step (same physics tests).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..containers.block_table import KEY_SENTINEL, pack_coords
+from ..geometry.collider import resolve_boundaries
+from ..geometry.sparse_grid import neighbor_offsets
+from ..math.interpolation import bspline_weights
+from ..models.constitutive import EquationOfState
+from .mpm import MPMSim, MPMState
+from .mpm_binned2 import (BinnedConfig2, BinState, K, _axis_stencils,
+                          _rebin, _sort_into_bins, _spill_sel)
+
+__all__ = ["bin_fluid_state", "explicit_fluid_step_binned2",
+           "rollout_fluid_binned2", "unbin_fluid_state"]
+
+_PREC = jax.lax.Precision.HIGH
+
+# column layout: x3 v3 J1 C9 m1 vol1
+_J, _C0, _M, _VOL = 6, 7, 16, 17
+_W = 18
+
+
+def bin_fluid_state(sim: MPMSim, state: MPMState,
+                    cfg: BinnedConfig2) -> BinState:
+    """Enter bin order from a fluid MPMState (x, v, J, C, m, vol)."""
+    p = state.particles
+    grid = state.grid
+    assert grid.dim == 3 and grid.block_size == 4
+    N = p.capacity
+    pmask = p.mask
+    cols = jnp.concatenate([
+        p["x"], p["v"], p["J"][:, None], p["C"].reshape(N, 9),
+        jnp.where(pmask, p["m"], 0.0)[:, None],
+        jnp.where(pmask, p["vol"], 0.0)[:, None]], axis=1)
+    pid = jnp.where(pmask, jnp.arange(N, dtype=jnp.int32), -1)
+    origin_w = grid.transform.matrix[:3, 3]
+    xi = (p["x"] - origin_w) / grid.dx
+    base, _, _ = bspline_weights(xi, sim.order)
+    keys = jnp.where(pmask,
+                     pack_coords(jnp.floor_divide(base - cfg.slack, 4)),
+                     KEY_SENTINEL)
+    nb = cfg.block_capacity or grid.block_capacity
+    st = _sort_into_bins(keys, cols, pid, cfg, nb, 3)
+    return dataclasses.replace(
+        st, grid=dataclasses.replace(st.grid, transform=grid.transform),
+        max_vel=state.max_vel)
+
+
+def unbin_fluid_state(st: BinState, template: MPMState) -> MPMState:
+    p = template.particles
+    N = p.capacity
+    L = st.cols.shape[0]
+    alive = st.pid >= 0
+    dst = jnp.where(alive, st.pid, N)
+    inv = jnp.zeros((N + 1,), jnp.int32).at[dst].set(
+        jnp.arange(L, dtype=jnp.int32))[:N]
+    mat = st.cols[inv]
+    pmask = p.mask
+    mk = pmask[:, None]
+    particles = p.update(
+        x=jnp.where(mk, mat[:, 0:3], p["x"]),
+        v=jnp.where(mk, mat[:, 3:6], p["v"]),
+        J=jnp.where(pmask, mat[:, _J], p["J"]),
+        C=jnp.where(mk[..., None], mat[:, _C0:_C0 + 9].reshape(N, 3, 3),
+                    p["C"]))
+    return MPMState(particles, st.grid, st.max_vel)
+
+
+def explicit_fluid_step_binned2(sim: MPMSim, state: BinState, dt,
+                                cfg: BinnedConfig2, *, rebin: bool = True,
+                                j_clamp: float = 0.1) -> BinState:
+    """One explicit J-only EOS step on a fluid BinState."""
+    assert isinstance(sim.model, EquationOfState)
+    st = state
+    if rebin:
+        st = _rebin(sim, st, cfg)
+    grid = st.grid
+    table = grid.table
+    nb = table.capacity
+    dx = grid.dx
+    origin_w = grid.transform.matrix[:3, 3]
+    B = cfg.bins_capacity
+    L = B * K
+    side = cfg.side
+
+    cols = st.cols.reshape(B, K, _W)
+    xb = cols[..., 0:3]
+    vb = cols[..., 3:6]
+    Jb = cols[..., _J]
+    Cb = cols[..., _C0:_C0 + 9].reshape(B, K, 3, 3)
+    mban = cols[..., _M]
+    volb = cols[..., _VOL]
+    lane_alive = (st.pid >= 0).reshape(B, K)
+    mban = jnp.where(lane_alive, mban, 0.0)
+    volb = jnp.where(lane_alive, volb, 0.0)
+    # dead lanes carry J = 0 and pressure(0) is inf: 0 * inf = NaN would
+    # contaminate the einsums even though vol masks the magnitude
+    Jb = jnp.where(lane_alive, Jb, 1.0)
+
+    bin_live = jnp.any(lane_alive, axis=1)
+    bin_block = jnp.where(bin_live, st.bin_block, -1)
+    bad_bin = bin_live & (bin_block < 0)
+    overflow = st.overflow | jnp.any(bad_bin)
+    bin_block_safe = jnp.clip(bin_block, 0, nb - 1)
+    borigin = table.active_coords[bin_block_safe] * 4
+
+    xib = (xb - origin_w) / dx
+    ws, wis, rel0i = _axis_stencils(xib, borigin, side)
+    wx, wy, wz = ws
+    wx_i, wy_i, wz_i = wis
+    rel0 = rel0i * dx
+    wx = wx * lane_alive[..., None]
+    wx_i = wx_i * lane_alive[..., None]
+
+    # ---- P2G: diagonal stress — one scalar shifts A's diagonal ---------
+    Dinv = 4.0 / (dx * dx)
+    tau_s = -sim.model.pressure(Jb) * Jb                     # [B,K]
+    stress_s = -dt * Dinv * volb * tau_s
+    A = mban[..., None, None] * Cb
+    A = A + stress_s[..., None, None] * jnp.eye(3, dtype=A.dtype)
+    u0 = mban[..., None] * vb + jnp.einsum("bkij,bkj->bki", A, rel0)
+    Q0 = jnp.concatenate([mban[..., None], u0], -1)
+    zero = jnp.zeros_like(mban)[..., None]
+    QA = [jnp.concatenate([zero, dx * A[..., :, d]], -1) for d in range(3)]
+
+    def plane_scale(w6, q):
+        return (w6[..., :, None] * q[..., None, :]).reshape(B, K, 4 * side)
+
+    sq = side * side
+    R1 = plane_scale(wx, Q0) + plane_scale(wx_i, QA[0])
+    R2 = plane_scale(wx, QA[1])
+    R3 = plane_scale(wx, QA[2])
+    S0 = (wy[:, :, :, None] * wz[:, :, None, :]).reshape(B, K, sq)
+    S1 = (wy_i[:, :, :, None] * wz[:, :, None, :]).reshape(B, K, sq)
+    S2 = (wy[:, :, :, None] * wz_i[:, :, None, :]).reshape(B, K, sq)
+    Sstack = jnp.concatenate([S0, S1, S2], axis=1)
+    Rstack = jnp.concatenate([R1, R2, R3], axis=1)
+    out = jnp.einsum("bkm,bkA->bmA", Sstack, Rstack, precision=_PREC,
+                     preferred_element_type=jnp.float32)
+    cube = jnp.moveaxis(out.reshape(B, sq, side, 4), 2, 1
+                        ).reshape(B, side ** 3, 4)
+
+    sel, tgt8, use_seg = _spill_sel(table, bin_block_safe,
+                                    bin_live & ~bad_bin, nb, cfg)
+    if side == 8:
+        spilled = cube.reshape(B, 2, 4, 2, 4, 2, 4, 4).transpose(
+            1, 3, 5, 0, 2, 4, 6, 7).reshape(8, B, 64, 4)
+    else:
+        from ..ops.p2g_pallas import _SPILL_ALL
+        spill = jnp.asarray(_SPILL_ALL[:, :, :216])
+        spilled = jnp.einsum("dts,nsc->dntc", spill, cube, precision=_PREC,
+                             preferred_element_type=jnp.float32)
+    if use_seg:
+        seg = jnp.where(tgt8 >= 0, tgt8, nb).reshape(-1)
+        acc = jax.ops.segment_sum(
+            spilled.reshape(8 * B, 64 * 4), seg,
+            num_segments=nb + 1)[:nb].reshape(nb, 64, 4)
+    else:
+        acc = jax.lax.dot_general(
+            sel, spilled.reshape(8 * B, 64 * 4),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_PREC).reshape(nb, 64, 4)
+    gm = acc[..., 0]
+    gmv = acc[..., 1:]
+
+    # ---- grid update -----------------------------------------------------
+    has_mass = gm > 0.0
+    gv = jnp.where(has_mass[..., None],
+                   gmv / jnp.maximum(gm, 1e-30)[..., None], 0.0)
+    gv = gv + dt * sim.gravity[None, None, :]
+    corners = jnp.asarray(neighbor_offsets(3, 0, 3))
+    node_x = (table.active_coords[:, None, :] * 4 +
+              corners[None]).astype(gv.dtype) * dx + origin_w
+    gv = resolve_boundaries(sim.colliders, node_x, gv)
+    gv = jnp.where(has_mass[..., None], gv, 0.0)
+    max_vel = jnp.sqrt(jnp.max(jnp.sum(gv * gv, -1)))
+
+    # ---- G2P --------------------------------------------------------------
+    if use_seg:
+        safe = jnp.clip(tgt8, 0, nb - 1)
+        Vd = jnp.where((tgt8 >= 0)[..., None, None], gv[safe], 0.0)
+    else:
+        Vd = jax.lax.dot_general(
+            sel, gv.reshape(nb, 64 * 3),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_PREC).reshape(8, B, 64, 3)
+    if side == 8:
+        Vbin = Vd.reshape(2, 2, 2, B, 4, 4, 4, 3).transpose(
+            3, 0, 4, 1, 5, 2, 6, 7).reshape(B, 512, 3)
+    else:
+        from ..ops.p2g_pallas import _PULL_ALL
+        pull = jnp.asarray(_PULL_ALL[:, :, :64])
+        Vbin = jnp.einsum("dst,dnte->nse", pull, Vd, precision=_PREC,
+                          preferred_element_type=jnp.float32)
+    Vac = jnp.moveaxis(Vbin.reshape(B, side, sq, 3), 1, 2
+                       ).reshape(B, sq, 3 * side)
+    P0 = jnp.einsum("bkm,bmA->bkA", S0, Vac, precision=_PREC,
+                    preferred_element_type=jnp.float32)
+    P1 = jnp.einsum("bkm,bmA->bkA", S1, Vac, precision=_PREC,
+                    preferred_element_type=jnp.float32)
+    P2 = jnp.einsum("bkm,bmA->bkA", S2, Vac, precision=_PREC,
+                    preferred_element_type=jnp.float32)
+    P0r = P0.reshape(B, K, side, 3)
+    P1r = P1.reshape(B, K, side, 3)
+    P2r = P2.reshape(B, K, side, 3)
+    s0 = jnp.einsum("bka,bkac->bkc", wx, P0r)
+    sx = jnp.einsum("bka,bkac->bkc", wx_i, P0r)
+    sy = jnp.einsum("bka,bkac->bkc", wx, P1r)
+    sz = jnp.einsum("bka,bkac->bkc", wx, P2r)
+
+    v_new = s0
+    Bmat = v_new[..., :, None] * rel0[..., None, :] + \
+        dx * jnp.stack([sx, sy, sz], axis=-1)
+    C_new = Dinv * Bmat
+    J_new = Jb * (1.0 + dt * jnp.trace(C_new, axis1=-2, axis2=-1))
+    J_new = jnp.maximum(J_new, j_clamp)
+    x_new = xb + dt * v_new
+
+    base_new = jnp.floor((x_new - origin_w) / dx - 0.5).astype(jnp.int32)
+    off_new = base_new - borigin[:, None, :]
+    escaped = jnp.any(lane_alive[..., None] &
+                      ((off_new < 0) | (off_new > side - 3)))
+
+    ok3 = lane_alive[..., None]
+    ncols = jnp.concatenate(
+        [jnp.where(ok3, x_new, xb), jnp.where(ok3, v_new, vb),
+         jnp.where(lane_alive, J_new, Jb)[..., None],
+         jnp.where(ok3[..., None], C_new, Cb).reshape(B, K, 9),
+         mban[..., None], volb[..., None]], axis=-1).reshape(L, _W)
+
+    grid = dataclasses.replace(grid, data={"m": gm, "v": gv})
+    return dataclasses.replace(st, cols=ncols, grid=grid, max_vel=max_vel,
+                               overflow=overflow, needs_rebin=escaped)
+
+
+def rollout_fluid_binned2(sim: MPMSim, state: MPMState, dt,
+                          cfg: BinnedConfig2,
+                          n_steps: int) -> Tuple[MPMState, jax.Array]:
+    """n adaptive fluid steps in bin order; unbin once at the end."""
+    st = bin_fluid_state(sim, state, cfg)
+
+    def body(_, s):
+        s = jax.lax.cond(s.needs_rebin,
+                         lambda t: _rebin(sim, t, cfg), lambda t: t, s)
+        return explicit_fluid_step_binned2(sim, s, dt, cfg, rebin=False)
+
+    st = jax.lax.fori_loop(0, n_steps, body, st)
+    return unbin_fluid_state(st, state), st.overflow
