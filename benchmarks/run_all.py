@@ -17,6 +17,8 @@ import time
 
 import numpy as np
 import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 import jax.numpy as jnp
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
@@ -149,7 +151,7 @@ def bench_mpm(n=262144, quick=False):
     return rows
 
 
-def bench_bvh(n=1_000_000, quick=False):
+def bench_bvh(n=1_048_576, quick=False):
     """Config 4: LBVH build + AABB query (sorted banded join)."""
     from zpc_tpu.containers.bvh import (build_lbvh, query_overlaps,
                                         query_overlaps_sorted)
@@ -239,20 +241,30 @@ def main():
 
     dev = jax.devices()[0]
     sections = []
+
+    def add_section(title, fn):
+        try:
+            rows = fn()
+        except Exception as e:          # keep earlier sections on a crash
+            rows = [("FAILED", "n/a", str(e)[:80])]
+        sections.append((title, rows))
+        print(f"== {title}", flush=True)
+        for r in rows:
+            print("   " + " | ".join(r), flush=True)
+
     if not only or "prim" in only:
-        sections.append(("Parallel primitives (config 1)",
-                         bench_primitives()))
+        add_section("Parallel primitives (config 1)", bench_primitives)
     if not only or "poisson" in only:
-        sections.append(("Poisson CG (config 2)",
-                         bench_poisson(64 if args.quick else 128)))
+        add_section("Poisson CG (config 2)",
+                    lambda: bench_poisson(64 if args.quick else 128))
     if not only or "mpm" in only:
-        sections.append(("Explicit MPM (config 3)",
-                         bench_mpm(quick=args.quick)))
+        add_section("Explicit MPM (config 3)",
+                    lambda: bench_mpm(quick=args.quick))
     if not only or "bvh" in only:
-        sections.append(("LBVH (config 4)", bench_bvh(quick=args.quick)))
+        add_section("LBVH (config 4)", lambda: bench_bvh(quick=args.quick))
     if not only or "implicit" in only:
-        sections.append(("Implicit MPM (config 5)",
-                         bench_implicit(quick=args.quick)))
+        add_section("Implicit MPM (config 5)",
+                    lambda: bench_implicit(quick=args.quick))
     lines = [f"# BENCHMARKS — measured on {dev.device_kind} "
              f"({time.strftime('%Y-%m-%d')})",
              "",
