@@ -153,7 +153,8 @@ def bench_mpm(n=262144, quick=False):
 
 def bench_bvh(n=1_048_576, quick=False):
     """Config 4: LBVH build + AABB query (sorted banded join)."""
-    from zpc_tpu.containers.bvh import (build_lbvh, query_overlaps,
+    from zpc_tpu.containers.bvh import (build_lbvh, build_lbvh_complete,
+                                        query_overlaps,
                                         query_overlaps_sorted)
 
     if quick:
@@ -171,8 +172,18 @@ def bench_bvh(n=1_048_576, quick=False):
         return l + eps, h2 + eps
 
     ms = chained_ms(build_body, (lo, hi), iters=4, reps=3)
-    rows = [(f"LBVH build {n // 1000}k", f"{ms:.1f} ms",
+    rows = [(f"LBVH build (Karras) {n // 1000}k", f"{ms:.1f} ms",
              f"{n / (ms / 1e3) / 1e6:.1f} Mprims/s")]
+
+    def build_body2(i, lohi):
+        l, h2 = lohi
+        bvh = build_lbvh_complete(l, h2)
+        eps = dep_scalar(bvh.lo)
+        return l + eps, h2 + eps
+
+    ms = chained_ms(build_body2, (lo, hi), iters=6, reps=3)
+    rows.append((f"LBVH build (complete tree) {n // 1000}k", f"{ms:.1f} ms",
+                 f"{n / (ms / 1e3) / 1e6:.1f} Mprims/s"))
 
     bvh = jax.block_until_ready(jax.jit(build_lbvh)(lo, hi))
     nq = n

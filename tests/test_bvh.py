@@ -248,3 +248,70 @@ class TestSortedBandedJoin:
             bvh, qlo, qhi, 16, tile=32)
         ib = np.asarray(in_band)[np.argsort(np.asarray(qid))]
         assert not ib[0]                 # the huge box is flagged
+
+
+class TestCompleteBuild:
+    """build_lbvh_complete: gather-free implicit complete tree."""
+
+    @pytest.mark.parametrize("n", [1, 2, 7, 64, 500])
+    def test_root_and_leaves(self, rng, n):
+        from zpc_tpu.containers.bvh import build_lbvh_complete
+        lo, hi = _random_boxes(rng, n)
+        bvh = build_lbvh_complete(jnp.asarray(lo), jnp.asarray(hi))
+        np.testing.assert_allclose(np.asarray(bvh.lo[0]), lo.min(0),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(bvh.hi[0]), hi.max(0),
+                                   atol=1e-6)
+        prim = np.asarray(bvh.leaf_prim)
+        leaves = prim[prim >= 0]
+        assert sorted(leaves.tolist()) == list(range(n))
+
+    def test_overlap_oracle(self, rng):
+        from zpc_tpu.containers.bvh import build_lbvh_complete
+        n, nq = 400, 64
+        lo, hi = _random_boxes(rng, n)
+        bvh = build_lbvh_complete(jnp.asarray(lo), jnp.asarray(hi))
+        qlo, qhi = _random_boxes(rng, nq, size=0.1)
+        hits, cnt = query_overlaps(bvh, jnp.asarray(qlo),
+                                   jnp.asarray(qhi), 64)
+        hits = np.asarray(hits)
+        cnt = np.asarray(cnt)
+        for qi in range(nq):
+            want = set(np.nonzero(
+                (lo <= qhi[qi]).all(1) & (qlo[qi] <= hi).all(1))[0])
+            got = set(hits[qi][hits[qi] >= 0].tolist())
+            assert got == want, qi
+            assert cnt[qi] == len(want)
+
+    def test_with_invalid(self, rng):
+        from zpc_tpu.containers.bvh import build_lbvh_complete
+        n = 100
+        lo, hi = _random_boxes(rng, n)
+        valid = jnp.asarray(rng.uniform(size=n) > 0.3)
+        bvh = build_lbvh_complete(jnp.asarray(lo), jnp.asarray(hi),
+                                  valid=valid)
+        qlo, qhi = _random_boxes(rng, 16, size=0.2)
+        hits, cnt = query_overlaps(bvh, jnp.asarray(qlo),
+                                   jnp.asarray(qhi), 64)
+        va = np.asarray(valid)
+        for qi in range(16):
+            want = set(np.nonzero(
+                (lo <= qhi[qi]).all(1) & (qlo[qi] <= hi).all(1) & va)[0])
+            got = set(np.asarray(hits[qi])[np.asarray(hits[qi]) >= 0]
+                      .tolist())
+            assert got == want
+
+    def test_matches_karras_queries(self, rng):
+        from zpc_tpu.containers.bvh import build_lbvh_complete
+        n, nq = 300, 32
+        lo, hi = _random_boxes(rng, n)
+        b1 = build_lbvh(jnp.asarray(lo), jnp.asarray(hi))
+        b2 = build_lbvh_complete(jnp.asarray(lo), jnp.asarray(hi))
+        qlo, qhi = _random_boxes(rng, nq, size=0.15)
+        h1, c1 = query_overlaps(b1, jnp.asarray(qlo), jnp.asarray(qhi), 96)
+        h2, c2 = query_overlaps(b2, jnp.asarray(qlo), jnp.asarray(qhi), 96)
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+        for qi in range(nq):
+            s1 = set(np.asarray(h1[qi])[np.asarray(h1[qi]) >= 0].tolist())
+            s2 = set(np.asarray(h2[qi])[np.asarray(h2[qi]) >= 0].tolist())
+            assert s1 == s2

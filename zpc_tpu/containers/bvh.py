@@ -35,7 +35,8 @@ import numpy as np
 
 from ..math.bits import morton3d, common_prefix_length
 
-__all__ = ["LBvh", "build_lbvh", "query_overlaps",
+__all__ = ["LBvh", "build_lbvh", "build_lbvh_complete",
+           "query_overlaps",
            "query_overlaps_sorted", "query_nearest", "query_ray",
            "aabb_overlap", "BvttFront"]
 
@@ -241,6 +242,94 @@ def build_lbvh(prim_lo: jax.Array, prim_hi: jax.Array,
         jnp.full((ninternal,), -1, jnp.int32),
         jnp.where(valid[order], order, -1).astype(jnp.int32)])
     return LBvh(lo, hi, leftc, rightc, escape, leaf_prim, count,
+                codes_s, scene_lo, extent, half_max)
+
+
+def build_lbvh_complete(prim_lo: jax.Array, prim_hi: jax.Array,
+                        valid: Optional[jax.Array] = None) -> LBvh:
+    """Gather-free LBVH: implicit complete binary tree over the sorted
+    morton order.
+
+    The Karras topology needs ~67 dynamic-index passes over the code
+    array (doubling + two binary searches, each a gather at 1M prims →
+    hundreds of ms on TPU).  A complete tree over the same sorted leaf
+    order replaces ALL of it with arithmetic: heap numbering (node i →
+    children 2i+1, 2i+2) lands leaves exactly on the LBvh convention
+    [m-1, 2m-1), escape pointers come from log2(m) rounds of pure vector
+    parent-chasing, and internal boxes are pairwise reshape-reductions.
+    Build cost ≈ one radix sort + 2 passes over the boxes.
+
+    Trade-off vs Karras: subtree ranges are fixed powers of two instead
+    of adapting to morton-code splits, so clustered scenes test somewhat
+    more boxes per query.  Same LBvh type; every query path works
+    unchanged.  Leaf count is padded to a power of two (invalid leaves
+    carry inverted boxes).
+    """
+    n = prim_lo.shape[0]
+    dim = prim_lo.shape[-1]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    m = 1 << int(np.ceil(np.log2(max(n, 2))))
+    count = jnp.sum(valid.astype(jnp.int32))
+    big = jnp.asarray(3.4e38, prim_lo.dtype)
+    centers = 0.5 * (prim_lo + prim_hi)
+    vlo = jnp.where(valid[:, None], prim_lo, big)
+    vhi = jnp.where(valid[:, None], prim_hi, -big)
+    scene_lo = jnp.min(vlo, 0)
+    scene_hi = jnp.max(vhi, 0)
+    extent = jnp.maximum(scene_hi - scene_lo, 1e-12)
+    q = jnp.clip(((centers - scene_lo) / extent * 1024.0), 0, 1023).astype(
+        jnp.int32)
+    codes = morton3d(q)
+    sentinel = jnp.asarray(np.iinfo(np.int32).max, jnp.int32)
+    codes = jnp.where(valid, codes, sentinel)
+    order = jnp.argsort(codes)
+    codes_s = codes[order]
+    half_max = 0.5 * jnp.max(jnp.where(valid[:, None],
+                                       prim_hi - prim_lo, 0.0), axis=0)
+
+    # padded sorted leaf boxes
+    pad = m - n
+    leaf_lo = jnp.where(valid[order][:, None], prim_lo[order], big)
+    leaf_hi = jnp.where(valid[order][:, None], prim_hi[order], -big)
+    if pad:
+        leaf_lo = jnp.concatenate(
+            [leaf_lo, jnp.full((pad, dim), big, prim_lo.dtype)])
+        leaf_hi = jnp.concatenate(
+            [leaf_hi, jnp.full((pad, dim), -big, prim_lo.dtype)])
+        codes_s = jnp.concatenate(
+            [codes_s, jnp.full((pad,), sentinel, jnp.int32)])
+
+    # bottom-up pairwise unions; heap level ell occupies [2^ell-1, 2^(ell+1)-1)
+    levels_lo, levels_hi = [leaf_lo], [leaf_hi]
+    while levels_lo[-1].shape[0] > 1:
+        ll = levels_lo[-1].reshape(-1, 2, dim)
+        hh = levels_hi[-1].reshape(-1, 2, dim)
+        levels_lo.append(jnp.min(ll, axis=1))
+        levels_hi.append(jnp.max(hh, axis=1))
+    lo = jnp.concatenate(levels_lo[::-1])          # [2m-1, dim]
+    hi = jnp.concatenate(levels_hi[::-1])
+
+    total = 2 * m - 1
+    idx = jnp.arange(total, dtype=jnp.int32)
+    is_leaf = idx >= m - 1
+    left = jnp.where(is_leaf, -1, 2 * idx + 1)
+    right = jnp.where(is_leaf, -1, 2 * idx + 2)
+
+    # escape = right sibling of the deepest ancestor (or self) that is a
+    # left child; -1 past the root.  log2(m)+1 rounds of vector math.
+    esc = jnp.full((total,), -1, jnp.int32)
+    cur = idx
+    for _ in range(int(np.log2(m)) + 1):
+        is_left = (cur > 0) & (cur % 2 == 1)
+        esc = jnp.where((esc == -1) & is_left, cur + 1, esc)
+        cur = jnp.where(cur > 0, (cur - 1) // 2, 0)
+
+    leaf_prim = jnp.concatenate([
+        jnp.full((m - 1,), -1, jnp.int32),
+        jnp.where(valid[order], order, -1).astype(jnp.int32),
+        jnp.full((pad,), -1, jnp.int32)])
+    return LBvh(lo, hi, left, right, esc, leaf_prim, count,
                 codes_s, scene_lo, extent, half_max)
 
 
