@@ -465,10 +465,13 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
 
     def per_group(carry, tgroup):
         wl, wh, wp, ql, qh = tgroup                # [G, T|3TL, ...]
-        # [G, T, 3TL] overlap mask
-        ov = jnp.all(ql[:, :, None, :] <= wh[:, None, :, :], -1) & \
-            jnp.all(wl[:, None, :, :] <= qh[:, :, None, :], -1) & \
-            (wp[:, None, :] >= 0)
+        # [G, T, 3TL] overlap mask, built per-dimension: a fused
+        # jnp.all(..., -1) materializes [G,T,3TL,dim] whose dim-minor
+        # lane-pads 128x on TPU (measured 40x slowdown at 1M queries)
+        ov = wp[:, None, :] >= 0
+        for d in range(dim):
+            ov = ov & (ql[:, :, None, d] <= wh[:, None, :, d])
+            ov = ov & (wl[:, None, :, d] <= qh[:, :, None, d])
         cnt = jnp.sum(ov, axis=-1).astype(jnp.int32)
         # first max_hits lane ids per query via top_k on -(lane or BIG)
         lane = jnp.arange(3 * TL, dtype=jnp.int32)
