@@ -315,3 +315,29 @@ class TestCompleteBuild:
             s1 = set(np.asarray(h1[qi])[np.asarray(h1[qi]) >= 0].tolist())
             s2 = set(np.asarray(h2[qi])[np.asarray(h2[qi]) >= 0].tolist())
             assert s1 == s2
+
+
+class TestExtractVariants:
+    def test_scan_equals_topk(self, rng):
+        from zpc_tpu.containers.bvh import (build_lbvh,
+                                            query_overlaps_sorted)
+        n = 1024
+        c = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+        h = np.full((n, 3), 0.01, np.float32)
+        lo = jnp.asarray(c - h)
+        hi = jnp.asarray(c + h)
+        bvh = build_lbvh(lo, hi)
+        qlo = lo[:512] - 0.02
+        qhi = hi[:512] + 0.02
+        r_scan = query_overlaps_sorted(bvh, qlo, qhi, 32, tile=64,
+                                       extract="scan")
+        r_topk = query_overlaps_sorted(bvh, qlo, qhi, 32, tile=64,
+                                       extract="topk")
+        np.testing.assert_array_equal(np.asarray(r_scan[1]),
+                                      np.asarray(r_topk[1]))
+        np.testing.assert_array_equal(np.asarray(r_scan[2]),
+                                      np.asarray(r_topk[2]))
+        r_none = query_overlaps_sorted(bvh, qlo, qhi, 32, tile=64,
+                                       extract="none")
+        np.testing.assert_array_equal(np.asarray(r_none[2]),
+                                      np.asarray(r_topk[2]))

@@ -379,7 +379,7 @@ def query_overlaps(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
 
 def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
                           max_hits: int, tile: int = 128,
-                          group: int = 128):
+                          group: int = 128, extract: str = "scan"):
     """High-throughput AABB overlap query: sorted banded tile join.
 
     TPU-native replacement for per-query tree walks (which serialize into
@@ -473,15 +473,29 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
             ov = ov & (ql[:, :, None, d] <= wh[:, None, :, d])
             ov = ov & (wl[:, None, :, d] <= qh[:, :, None, d])
         cnt = jnp.sum(ov, axis=-1).astype(jnp.int32)
-        # first max_hits lane ids per query via top_k on -(lane or BIG)
-        lane = jnp.arange(3 * TL, dtype=jnp.int32)
-        key = jnp.where(ov, lane[None, None, :], 3 * TL)
-        neg, _ = jax.lax.top_k(-key, max_hits)    # smallest lanes first
-        lanes = -neg                               # [G, T, max_hits]
-        hit_prim = jnp.take_along_axis(
-            jnp.broadcast_to(wp[:, None, :], ov.shape),
-            jnp.minimum(lanes, 3 * TL - 1), axis=-1)
-        hits = jnp.where(lanes < 3 * TL, hit_prim, -1)
+        if extract == "none":
+            hits = jnp.full(ov.shape[:2] + (max_hits,), -1, jnp.int32)
+        elif extract == "scan":
+            # rank-compaction scatter: hit slot = prefix count of the
+            # overlap mask (top_k over the 768-lane window costs a sort
+            # per query — this is one cumsum + one scatter)
+            rank = jnp.cumsum(ov.astype(jnp.int32), axis=-1)
+            slot = jnp.where(ov & (rank <= max_hits), rank - 1, max_hits)
+            gi = jnp.arange(ov.shape[0])[:, None, None]
+            ti = jnp.arange(ov.shape[1])[None, :, None]
+            prim_b = jnp.broadcast_to(wp[:, None, :], ov.shape)
+            hits = jnp.full(ov.shape[:2] + (max_hits + 1,), -1,
+                            jnp.int32).at[gi, ti, slot].set(
+                jnp.where(ov, prim_b, -1))[..., :max_hits]
+        else:                                      # "topk"
+            lane = jnp.arange(3 * TL, dtype=jnp.int32)
+            key = jnp.where(ov, lane[None, None, :], 3 * TL)
+            neg, _ = jax.lax.top_k(-key, max_hits)  # smallest lanes first
+            lanes = -neg                             # [G, T, max_hits]
+            hit_prim = jnp.take_along_axis(
+                jnp.broadcast_to(wp[:, None, :], ov.shape),
+                jnp.minimum(lanes, 3 * TL - 1), axis=-1)
+            hits = jnp.where(lanes < 3 * TL, hit_prim, -1)
         return carry, (hits, cnt)
 
     scanned = (wlo.reshape(ntiles // G, G, 3 * TL, dim),
