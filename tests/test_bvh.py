@@ -341,3 +341,9 @@ class TestExtractVariants:
                                        extract="none")
         np.testing.assert_array_equal(np.asarray(r_none[2]),
                                       np.asarray(r_topk[2]))
+        r_peel = query_overlaps_sorted(bvh, qlo, qhi, 32, tile=64,
+                                       extract="peel")
+        np.testing.assert_array_equal(np.asarray(r_peel[1]),
+                                      np.asarray(r_topk[1]))
+        np.testing.assert_array_equal(np.asarray(r_peel[2]),
+                                      np.asarray(r_topk[2]))

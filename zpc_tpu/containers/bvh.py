@@ -379,7 +379,7 @@ def query_overlaps(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
 
 def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
                           max_hits: int, tile: int = 128,
-                          group: int = 128, extract: str = "scan"):
+                          group: int = 128, extract: str = "peel"):
     """High-throughput AABB overlap query: sorted banded tile join.
 
     TPU-native replacement for per-query tree walks (which serialize into
@@ -473,8 +473,26 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
             ov = ov & (ql[:, :, None, d] <= wh[:, None, :, d])
             ov = ov & (wl[:, None, :, d] <= qh[:, :, None, d])
         cnt = jnp.sum(ov, axis=-1).astype(jnp.int32)
+        lane_ids = jnp.arange(3 * TL, dtype=jnp.int32)
         if extract == "none":
             hits = jnp.full(ov.shape[:2] + (max_hits,), -1, jnp.int32)
+        elif extract == "peel":
+            # argmin peeling on a composite (lane << 21 | prim) key:
+            # max_hits rounds of min-reduce + clear — no per-row sort
+            # (top_k) and no scatters.  Caps prim ids at 2^21 (2M prims);
+            # larger trees should use extract="topk".
+            big_c = jnp.int32(2 ** 30)
+            comp0 = jnp.where(
+                ov, (lane_ids[None, None, :] << 21) |
+                jnp.maximum(wp, 0)[:, None, :], big_c)
+            comp = comp0
+            cols_out = []
+            for _ in range(max_hits):
+                m = jnp.min(comp, axis=-1)                 # [G, T]
+                cols_out.append(jnp.where(m < big_c,
+                                          m & ((1 << 21) - 1), -1))
+                comp = jnp.where(comp == m[..., None], big_c, comp)
+            hits = jnp.stack(cols_out, axis=-1)
         elif extract == "scan":
             # rank-compaction scatter: hit slot = prefix count of the
             # overlap mask (top_k over the 768-lane window costs a sort
