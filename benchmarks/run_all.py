@@ -194,12 +194,26 @@ def bench_bvh(n=1_048_576, quick=False):
         b, = consts
         ql, qh = q
         qid, hits, cnt, ok = query_overlaps_sorted(b, ql, qh, 16,
-                                                   tile=256, group=32)
+                                                   tile=128, group=64,
+                                                   extract="peel")
         eps = dep_scalar(cnt) + dep_scalar(hits[:, 0])
         return ql + eps, qh + eps
 
     ms = chained_ms(q_sorted, (qlo, qhi), iters=3, const=(bvh,))
-    rows.append((f"AABB query (banded join) {nq // 1000}k",
+    rows.append((f"AABB query (banded join, 16 hits) {nq // 1000}k",
+                 f"{ms:.1f} ms", f"{nq / (ms / 1e3) / 1e6:.2f} Mq/s"))
+
+    def q_counts(i, q, consts):
+        b, = consts
+        ql, qh = q
+        qid, hits, cnt, ok = query_overlaps_sorted(b, ql, qh, 16,
+                                                   tile=256, group=32,
+                                                   extract="none")
+        eps = dep_scalar(cnt)
+        return ql + eps, qh + eps
+
+    ms = chained_ms(q_counts, (qlo, qhi), iters=3, const=(bvh,))
+    rows.append((f"AABB query (counts only) {nq // 1000}k",
                  f"{ms:.1f} ms", f"{nq / (ms / 1e3) / 1e6:.2f} Mq/s"))
 
     nq2 = 8192
