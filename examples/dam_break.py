@@ -20,6 +20,8 @@ def main():
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--dx", type=float, default=1.0 / 64)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--binned", action="store_true",
+                    help="binned-v2 fluid fast path (adaptive rebinning)")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -60,12 +62,27 @@ def main():
     st = make_fluid_state(x, dx=args.dx, block_capacity=2048)
     dt = jnp.float32(2e-4)
 
-    def body(_, s):
-        return explicit_fluid_step(sim, s, dt)
+    if args.binned:
+        from zpc_tpu.sim.fluid_binned2 import rollout_fluid_binned2
+        from zpc_tpu.sim.mpm_binned2 import BinnedConfig2
+        # bins must cover occupied blocks (each part-filled block pads to
+        # K): particles/K for the bulk + headroom for dilute blocks
+        cfg = BinnedConfig2(
+            bins_capacity=args.particles // 128 + 1536,
+            block_capacity=4096)
+        roll = jax.jit(lambda s: rollout_fluid_binned2(
+            sim, s, dt, cfg, args.steps))
+        t0 = time.time()
+        st, overflow = roll(s=st)
+        st = jax.block_until_ready(st)
+        assert not bool(overflow), "bin overflow: grow bins_capacity"
+    else:
+        def body(_, s):
+            return explicit_fluid_step(sim, s, dt)
 
-    roll = jax.jit(lambda s: jax.lax.fori_loop(0, args.steps, body, s))
-    t0 = time.time()
-    st = jax.block_until_ready(roll(st))
+        roll = jax.jit(lambda s: jax.lax.fori_loop(0, args.steps, body, s))
+        t0 = time.time()
+        st = jax.block_until_ready(roll(st))
     wall_s = time.time() - t0
     xs = np.asarray(st.particles["x"])
     J = np.asarray(st.particles["J"])
