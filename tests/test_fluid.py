@@ -178,3 +178,27 @@ class TestFluidBinned2:
         self._compare(sim, st, jnp.float32(2e-4),
                       BinnedConfig2(bins_capacity=64), steps=8,
                       atol_v=5e-4)
+
+    def test_2d_binned(self, rng):
+        from zpc_tpu.sim.mpm_binned2 import BinnedConfig2
+        from zpc_tpu.sim.fluid_binned2 import rollout_fluid_binned2
+        sim = _sim(dim=2)
+        x = _block(rng, 384, dim=2)
+        v0 = jnp.broadcast_to(jnp.asarray([0.1, -0.4]), (384, 2))
+        st = make_fluid_state(x, dx=0.05, block_capacity=256, velocity=v0)
+        ref = st
+        dt = jnp.float32(1e-4)
+        for _ in range(4):
+            ref = explicit_fluid_step(sim, ref, dt)
+        out, overflow = jax.jit(lambda s: rollout_fluid_binned2(
+            sim, s, dt, BinnedConfig2(bins_capacity=64), 4))(st)
+        assert not bool(overflow)
+        np.testing.assert_allclose(np.asarray(out.particles["x"]),
+                                   np.asarray(ref.particles["x"]),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out.particles["v"]),
+                                   np.asarray(ref.particles["v"]),
+                                   atol=2e-4)
+        np.testing.assert_allclose(np.asarray(out.particles["J"]),
+                                   np.asarray(ref.particles["J"]),
+                                   atol=1e-5)

@@ -38,27 +38,34 @@ _J, _C0, _M, _VOL = 6, 7, 16, 17
 _W = 18
 
 
+def _fluid_layout(dim):
+    """Column offsets for the x v J C m vol fluid payload."""
+    return dict(J=2 * dim, C0=2 * dim + 1, M=2 * dim + 1 + dim * dim,
+                VOL=2 * dim + 2 + dim * dim, W=2 * dim + 3 + dim * dim)
+
+
 def bin_fluid_state(sim: MPMSim, state: MPMState,
                     cfg: BinnedConfig2) -> BinState:
     """Enter bin order from a fluid MPMState (x, v, J, C, m, vol)."""
     p = state.particles
     grid = state.grid
-    assert grid.dim == 3 and grid.block_size == 4
+    dim = grid.dim
+    assert dim in (2, 3) and grid.block_size == 4
     N = p.capacity
     pmask = p.mask
     cols = jnp.concatenate([
-        p["x"], p["v"], p["J"][:, None], p["C"].reshape(N, 9),
+        p["x"], p["v"], p["J"][:, None], p["C"].reshape(N, dim * dim),
         jnp.where(pmask, p["m"], 0.0)[:, None],
         jnp.where(pmask, p["vol"], 0.0)[:, None]], axis=1)
     pid = jnp.where(pmask, jnp.arange(N, dtype=jnp.int32), -1)
-    origin_w = grid.transform.matrix[:3, 3]
+    origin_w = grid.transform.matrix[:dim, dim]
     xi = (p["x"] - origin_w) / grid.dx
     base, _, _ = bspline_weights(xi, sim.order)
     keys = jnp.where(pmask,
                      pack_coords(jnp.floor_divide(base - cfg.slack, 4)),
                      KEY_SENTINEL)
     nb = cfg.block_capacity or grid.block_capacity
-    st = _sort_into_bins(keys, cols, pid, cfg, nb, 3)
+    st = _sort_into_bins(keys, cols, pid, cfg, nb, dim)
     return dataclasses.replace(
         st, grid=dataclasses.replace(st.grid, transform=grid.transform),
         max_vel=state.max_vel)
@@ -66,6 +73,8 @@ def bin_fluid_state(sim: MPMSim, state: MPMState,
 
 def unbin_fluid_state(st: BinState, template: MPMState) -> MPMState:
     p = template.particles
+    d = st.grid.dim
+    lay = _fluid_layout(d)
     N = p.capacity
     L = st.cols.shape[0]
     alive = st.pid >= 0
@@ -76,10 +85,11 @@ def unbin_fluid_state(st: BinState, template: MPMState) -> MPMState:
     pmask = p.mask
     mk = pmask[:, None]
     particles = p.update(
-        x=jnp.where(mk, mat[:, 0:3], p["x"]),
-        v=jnp.where(mk, mat[:, 3:6], p["v"]),
-        J=jnp.where(pmask, mat[:, _J], p["J"]),
-        C=jnp.where(mk[..., None], mat[:, _C0:_C0 + 9].reshape(N, 3, 3),
+        x=jnp.where(mk, mat[:, 0:d], p["x"]),
+        v=jnp.where(mk, mat[:, d:2 * d], p["v"]),
+        J=jnp.where(pmask, mat[:, lay["J"]], p["J"]),
+        C=jnp.where(mk[..., None],
+                    mat[:, lay["C0"]:lay["C0"] + d * d].reshape(N, d, d),
                     p["C"]))
     return MPMState(particles, st.grid, st.max_vel)
 
@@ -92,6 +102,8 @@ def explicit_fluid_step_binned2(sim: MPMSim, state: BinState, dt,
     st = state
     if rebin:
         st = _rebin(sim, st, cfg)
+    if st.grid.dim == 2:
+        return _fluid_step2d(sim, st, dt, cfg, j_clamp)
     grid = st.grid
     table = grid.table
     nb = table.capacity
@@ -247,6 +259,169 @@ def explicit_fluid_step_binned2(sim: MPMSim, state: BinState, dt,
          jnp.where(lane_alive, J_new, Jb)[..., None],
          jnp.where(ok3[..., None], C_new, Cb).reshape(B, K, 9),
          mban[..., None], volb[..., None]], axis=-1).reshape(L, _W)
+
+    grid = dataclasses.replace(grid, data={"m": gm, "v": gv})
+    return dataclasses.replace(st, cols=ncols, grid=grid, max_vel=max_vel,
+                               overflow=overflow, needs_rebin=escaped)
+
+
+def _fluid_step2d(sim: MPMSim, st, dt, cfg: BinnedConfig2,
+                  j_clamp: float):
+    """2-D J-only EOS step (x2 v2 J1 C4 m1 vol1 payload)."""
+    from .mpm_binned2 import _DIRS2, _SPILL2, _PULL2
+    grid = st.grid
+    table = grid.table
+    nb = table.capacity
+    dx = grid.dx
+    origin_w = grid.transform.matrix[:2, 2]
+    B = cfg.bins_capacity
+    L = B * K
+    side = cfg.side
+    lay = _fluid_layout(2)
+
+    cols = st.cols.reshape(B, K, lay["W"])
+    xb = cols[..., 0:2]
+    vb = cols[..., 2:4]
+    Jb = cols[..., lay["J"]]
+    Cb = cols[..., lay["C0"]:lay["C0"] + 4].reshape(B, K, 2, 2)
+    mban = cols[..., lay["M"]]
+    volb = cols[..., lay["VOL"]]
+    lane_alive = (st.pid >= 0).reshape(B, K)
+    mban = jnp.where(lane_alive, mban, 0.0)
+    volb = jnp.where(lane_alive, volb, 0.0)
+    Jb = jnp.where(lane_alive, Jb, 1.0)
+
+    bin_live = jnp.any(lane_alive, axis=1)
+    bin_block = jnp.where(bin_live, st.bin_block, -1)
+    bad_bin = bin_live & (bin_block < 0)
+    overflow = st.overflow | jnp.any(bad_bin)
+    bin_block_safe = jnp.clip(bin_block, 0, nb - 1)
+    borigin = table.active_coords[bin_block_safe] * 4
+
+    xib = (xb - origin_w) / dx
+    (wx, wy), (wx_i, wy_i), rel0i = _axis_stencils(xib, borigin, side)
+    rel0 = rel0i * dx
+    wx = wx * lane_alive[..., None]
+    wx_i = wx_i * lane_alive[..., None]
+
+    Dinv = 4.0 / (dx * dx)
+    tau_s = -sim.model.pressure(Jb) * Jb
+    stress_s = -dt * Dinv * volb * tau_s
+    A = mban[..., None, None] * Cb
+    A = A + stress_s[..., None, None] * jnp.eye(2, dtype=A.dtype)
+    u0 = mban[..., None] * vb + jnp.einsum("bkij,bkj->bki", A, rel0)
+    Q0 = jnp.concatenate([mban[..., None], u0], -1)           # [B,K,3]
+    zero = jnp.zeros_like(mban)[..., None]
+    QA = [jnp.concatenate([zero, dx * A[..., :, d]], -1) for d in range(2)]
+
+    def plane_scale(w6, q):
+        return (w6[..., :, None] * q[..., None, :]).reshape(B, K, 3 * side)
+
+    R1 = plane_scale(wx, Q0) + plane_scale(wx_i, QA[0])
+    R2 = plane_scale(wx, QA[1])
+    Sstack = jnp.concatenate([wy, wy_i], axis=1)
+    Rstack = jnp.concatenate([R1, R2], axis=1)
+    out = jnp.einsum("bkm,bkA->bmA", Sstack, Rstack, precision=_PREC,
+                     preferred_element_type=jnp.float32)
+    cube = jnp.moveaxis(out.reshape(B, side, side, 3), 1, 2
+                        ).reshape(B, side * side, 3)
+
+    dirs = [d for d in _DIRS2 if any(d)]
+    coords = table.active_coords
+    dirs_j = jnp.asarray(dirs, jnp.int32)
+    nbr_pos = jax.vmap(
+        lambda d: table.query(coords + d[None, :]), out_axes=1)(dirs_j)
+    own_ids = jnp.arange(nb, dtype=jnp.int32)[:, None]
+    nbr4 = jnp.concatenate([own_ids, nbr_pos], axis=1)
+    nbr4 = jnp.where(table.mask[:, None], nbr4, -1)
+    tgt = nbr4[bin_block_safe].T
+    tgt = jnp.where((bin_live & ~bad_bin)[None, :], tgt, -1)
+    if side == 8:
+        spilled = cube.reshape(B, 2, 4, 2, 4, 3).transpose(
+            1, 3, 0, 2, 4, 5).reshape(4, B, 16, 3)
+    else:
+        spill = jnp.asarray(_SPILL2)
+        spilled = jnp.einsum("dts,nsc->dntc", spill, cube, precision=_PREC,
+                             preferred_element_type=jnp.float32)
+    use_seg = cfg.use_segments
+    if use_seg is None:
+        use_seg = nb * 4 * B > (1 << 27)
+    if use_seg:
+        seg = jnp.where(tgt >= 0, tgt, nb).reshape(-1)
+        acc = jax.ops.segment_sum(
+            spilled.reshape(4 * B, 16 * 3), seg,
+            num_segments=nb + 1)[:nb].reshape(nb, 16, 3)
+        sel = None
+    else:
+        sel = (tgt.reshape(-1)[None, :] ==
+               jnp.arange(nb, dtype=jnp.int32)[:, None]).astype(
+            jnp.float32)
+        acc = jax.lax.dot_general(
+            sel, spilled.reshape(4 * B, 16 * 3),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PREC,
+        ).reshape(nb, 16, 3)
+    gm = acc[..., 0]
+    gmv = acc[..., 1:]
+
+    has_mass = gm > 0.0
+    gv = jnp.where(has_mass[..., None],
+                   gmv / jnp.maximum(gm, 1e-30)[..., None], 0.0)
+    gv = gv + dt * sim.gravity[None, None, :]
+    corners = jnp.asarray(neighbor_offsets(2, 0, 3))
+    node_x = (coords[:, None, :] * 4 +
+              corners[None]).astype(gv.dtype) * dx + origin_w
+    gv = resolve_boundaries(sim.colliders, node_x, gv)
+    gv = jnp.where(has_mass[..., None], gv, 0.0)
+    max_vel = jnp.sqrt(jnp.max(jnp.sum(gv * gv, -1)))
+
+    if use_seg:
+        safe = jnp.clip(tgt, 0, nb - 1)
+        Vd = jnp.where((tgt >= 0)[..., None, None], gv[safe], 0.0)
+    else:
+        Vd = jax.lax.dot_general(
+            sel, gv.reshape(nb, 16 * 2),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PREC,
+        ).reshape(4, B, 16, 2)
+    if side == 8:
+        Vbin = Vd.reshape(2, 2, B, 4, 4, 2).transpose(
+            2, 0, 3, 1, 4, 5).reshape(B, 64, 2)
+    else:
+        pull = jnp.asarray(_PULL2)
+        Vbin = jnp.einsum("dst,dnte->nse", pull, Vd, precision=_PREC,
+                          preferred_element_type=jnp.float32)
+    Vac = jnp.moveaxis(Vbin.reshape(B, side, side, 2), 1, 2
+                       ).reshape(B, side, 2 * side)
+    P0 = jnp.einsum("bkm,bmA->bkA", wy, Vac, precision=_PREC,
+                    preferred_element_type=jnp.float32)
+    P1 = jnp.einsum("bkm,bmA->bkA", wy_i, Vac, precision=_PREC,
+                    preferred_element_type=jnp.float32)
+    P0r = P0.reshape(B, K, side, 2)
+    P1r = P1.reshape(B, K, side, 2)
+    s0 = jnp.einsum("bka,bkac->bkc", wx, P0r)
+    sx = jnp.einsum("bka,bkac->bkc", wx_i, P0r)
+    sy = jnp.einsum("bka,bkac->bkc", wx, P1r)
+
+    v_new = s0
+    Bmat = v_new[..., :, None] * rel0[..., None, :] + \
+        dx * jnp.stack([sx, sy], axis=-1)
+    C_new = Dinv * Bmat
+    J_new = Jb * (1.0 + dt * jnp.trace(C_new, axis1=-2, axis2=-1))
+    J_new = jnp.maximum(J_new, j_clamp)
+    x_new = xb + dt * v_new
+
+    base_new = jnp.floor((x_new - origin_w) / dx - 0.5).astype(jnp.int32)
+    off_new = base_new - borigin[:, None, :]
+    escaped = jnp.any(lane_alive[..., None] &
+                      ((off_new < 0) | (off_new > side - 3)))
+
+    ok2 = lane_alive[..., None]
+    ncols = jnp.concatenate(
+        [jnp.where(ok2, x_new, xb), jnp.where(ok2, v_new, vb),
+         jnp.where(lane_alive, J_new, Jb)[..., None],
+         jnp.where(ok2[..., None], C_new, Cb).reshape(B, K, 4),
+         mban[..., None], volb[..., None]], axis=-1).reshape(L, lay["W"])
 
     grid = dataclasses.replace(grid, data={"m": gm, "v": gv})
     return dataclasses.replace(st, cols=ncols, grid=grid, max_vel=max_vel,
