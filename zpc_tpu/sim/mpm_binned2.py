@@ -565,10 +565,14 @@ def _step3d(sim: MPMSim, st, dt, cfg: BinnedConfig2):
     S0 = (wy[:, :, :, None] * wz[:, :, None, :]).reshape(B, K, sq)
     S1 = (wy_i[:, :, :, None] * wz[:, :, None, :]).reshape(B, K, sq)
     S2 = (wy[:, :, :, None] * wz_i[:, :, None, :]).reshape(B, K, sq)
-    Sstack = jnp.concatenate([S0, S1, S2], axis=1)          # [B,3K,side^2]
-    Rstack = jnp.concatenate([R1, R2, R3], axis=1)          # [B,3K,4*side]
-    out = jnp.einsum("bkm,bkA->bmA", Sstack, Rstack, precision=_PREC,
-                     preferred_element_type=jnp.float32)  # [B,side^2,4side]
+    # three einsums summed (not one 3K-stacked contraction): the concats
+    # would materialize ~280 MB of stacked copies per step
+    out = (jnp.einsum("bkm,bkA->bmA", S0, R1, precision=_PREC,
+                      preferred_element_type=jnp.float32) +
+           jnp.einsum("bkm,bkA->bmA", S1, R2, precision=_PREC,
+                      preferred_element_type=jnp.float32) +
+           jnp.einsum("bkm,bkA->bmA", S2, R3, precision=_PREC,
+                      preferred_element_type=jnp.float32))
     cube = jnp.moveaxis(out.reshape(B, sq, side, 4), 2, 1
                         ).reshape(B, side ** 3, 4)          # [B,side^3,4]
 
