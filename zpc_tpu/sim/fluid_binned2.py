@@ -163,10 +163,12 @@ def explicit_fluid_step_binned2(sim: MPMSim, state: BinState, dt,
     S0 = (wy[:, :, :, None] * wz[:, :, None, :]).reshape(B, K, sq)
     S1 = (wy_i[:, :, :, None] * wz[:, :, None, :]).reshape(B, K, sq)
     S2 = (wy[:, :, :, None] * wz_i[:, :, None, :]).reshape(B, K, sq)
-    Sstack = jnp.concatenate([S0, S1, S2], axis=1)
-    Rstack = jnp.concatenate([R1, R2, R3], axis=1)
-    out = jnp.einsum("bkm,bkA->bmA", Sstack, Rstack, precision=_PREC,
-                     preferred_element_type=jnp.float32)
+    out = (jnp.einsum("bkm,bkA->bmA", S0, R1, precision=_PREC,
+                      preferred_element_type=jnp.float32) +
+           jnp.einsum("bkm,bkA->bmA", S1, R2, precision=_PREC,
+                      preferred_element_type=jnp.float32) +
+           jnp.einsum("bkm,bkA->bmA", S2, R3, precision=_PREC,
+                      preferred_element_type=jnp.float32))
     cube = jnp.moveaxis(out.reshape(B, sq, side, 4), 2, 1
                         ).reshape(B, side ** 3, 4)
 
