@@ -563,15 +563,21 @@ def _step3d(sim: MPMSim, st, dt, cfg: BinnedConfig2):
     R2 = plane_scale(wx, QA[1])
     R3 = plane_scale(wx, QA[2])
     S0 = (wy[:, :, :, None] * wz[:, :, None, :]).reshape(B, K, sq)
-    S1 = (wy_i[:, :, :, None] * wz[:, :, None, :]).reshape(B, K, sq)
-    S2 = (wy[:, :, :, None] * wz_i[:, :, None, :]).reshape(B, K, sq)
+    # index-weighted stencils are diagonal rescales of S0 along the node
+    # axis (S1 = S0 * f[y], S2 = S0 * f[z]) — fold them into the einsum
+    # OUTPUT instead of materializing two more [B,K,side^2] arrays
+    fidx = jnp.arange(side, dtype=S0.dtype)
+    fy_m = jnp.repeat(fidx, side)                           # [sq], f[y]
+    fz_m = jnp.tile(fidx, side)                             # [sq], f[z]
     # three einsums summed (not one 3K-stacked contraction): the concats
     # would materialize ~280 MB of stacked copies per step
     out = (jnp.einsum("bkm,bkA->bmA", S0, R1, precision=_PREC,
                       preferred_element_type=jnp.float32) +
-           jnp.einsum("bkm,bkA->bmA", S1, R2, precision=_PREC,
+           fy_m[None, :, None] *
+           jnp.einsum("bkm,bkA->bmA", S0, R2, precision=_PREC,
                       preferred_element_type=jnp.float32) +
-           jnp.einsum("bkm,bkA->bmA", S2, R3, precision=_PREC,
+           fz_m[None, :, None] *
+           jnp.einsum("bkm,bkA->bmA", S0, R3, precision=_PREC,
                       preferred_element_type=jnp.float32))
     cube = jnp.moveaxis(out.reshape(B, sq, side, 4), 2, 1
                         ).reshape(B, side ** 3, 4)          # [B,side^3,4]
@@ -635,12 +641,13 @@ def _step3d(sim: MPMSim, st, dt, cfg: BinnedConfig2):
     # V as [B, side^2, (a,c)]
     Vac = jnp.moveaxis(Vbin.reshape(B, side, sq, 3), 1, 2
                        ).reshape(B, sq, 3 * side)
+    # S1/S2 fold into the INPUT here: einsum(S0*f[m], V) = einsum(S0, f*V)
     P0 = jnp.einsum("bkm,bmA->bkA", S0, Vac, precision=_PREC,
-                    preferred_element_type=jnp.float32)       # [B,K,18]
-    P1 = jnp.einsum("bkm,bmA->bkA", S1, Vac, precision=_PREC,
                     preferred_element_type=jnp.float32)
-    P2 = jnp.einsum("bkm,bmA->bkA", S2, Vac, precision=_PREC,
-                    preferred_element_type=jnp.float32)
+    P1 = jnp.einsum("bkm,bmA->bkA", S0, fy_m[None, :, None] * Vac,
+                    precision=_PREC, preferred_element_type=jnp.float32)
+    P2 = jnp.einsum("bkm,bmA->bkA", S0, fz_m[None, :, None] * Vac,
+                    precision=_PREC, preferred_element_type=jnp.float32)
     P0r = P0.reshape(B, K, side, 3)
     P1r = P1.reshape(B, K, side, 3)
     P2r = P2.reshape(B, K, side, 3)
