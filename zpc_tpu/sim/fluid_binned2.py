@@ -161,13 +161,16 @@ def explicit_fluid_step_binned2(sim: MPMSim, state: BinState, dt,
     R2 = plane_scale(wx, QA[1])
     R3 = plane_scale(wx, QA[2])
     S0 = (wy[:, :, :, None] * wz[:, :, None, :]).reshape(B, K, sq)
-    S1 = (wy_i[:, :, :, None] * wz[:, :, None, :]).reshape(B, K, sq)
-    S2 = (wy[:, :, :, None] * wz_i[:, :, None, :]).reshape(B, K, sq)
+    fidx = jnp.arange(side, dtype=S0.dtype)
+    fy_m = jnp.repeat(fidx, side)
+    fz_m = jnp.tile(fidx, side)
     out = (jnp.einsum("bkm,bkA->bmA", S0, R1, precision=_PREC,
                       preferred_element_type=jnp.float32) +
-           jnp.einsum("bkm,bkA->bmA", S1, R2, precision=_PREC,
+           fy_m[None, :, None] *
+           jnp.einsum("bkm,bkA->bmA", S0, R2, precision=_PREC,
                       preferred_element_type=jnp.float32) +
-           jnp.einsum("bkm,bkA->bmA", S2, R3, precision=_PREC,
+           fz_m[None, :, None] *
+           jnp.einsum("bkm,bkA->bmA", S0, R3, precision=_PREC,
                       preferred_element_type=jnp.float32))
     cube = jnp.moveaxis(out.reshape(B, sq, side, 4), 2, 1
                         ).reshape(B, side ** 3, 4)
@@ -230,10 +233,10 @@ def explicit_fluid_step_binned2(sim: MPMSim, state: BinState, dt,
                        ).reshape(B, sq, 3 * side)
     P0 = jnp.einsum("bkm,bmA->bkA", S0, Vac, precision=_PREC,
                     preferred_element_type=jnp.float32)
-    P1 = jnp.einsum("bkm,bmA->bkA", S1, Vac, precision=_PREC,
-                    preferred_element_type=jnp.float32)
-    P2 = jnp.einsum("bkm,bmA->bkA", S2, Vac, precision=_PREC,
-                    preferred_element_type=jnp.float32)
+    P1 = jnp.einsum("bkm,bmA->bkA", S0, fy_m[None, :, None] * Vac,
+                    precision=_PREC, preferred_element_type=jnp.float32)
+    P2 = jnp.einsum("bkm,bmA->bkA", S0, fz_m[None, :, None] * Vac,
+                    precision=_PREC, preferred_element_type=jnp.float32)
     P0r = P0.reshape(B, K, side, 3)
     P1r = P1.reshape(B, K, side, 3)
     P2r = P2.reshape(B, K, side, 3)
