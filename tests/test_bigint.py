@@ -139,3 +139,25 @@ def test_jit_safe():
 
     out = f(a, b)
     assert out.shape == (16,)
+
+
+def test_to_float_huge_magnitudes():
+    # advisor round-2: plain float32 accumulation overflowed to inf above
+    # ~2^128 (well inside the 192-bit width); exponent-tracked conversion
+    # keeps finite values finite and ratios representable
+    vals = [1 << 140, -(3 << 150), 7]
+    b = as_big(vals)
+    got = np.asarray(b.to_float())
+    for g, v in zip(got, vals):
+        if abs(v) < 3.4e38:
+            assert np.isfinite(g)
+        np.testing.assert_allclose(g, np.float32(v), rtol=1e-6)
+
+
+def test_rational_to_float_huge_ratio():
+    n = [5 << 140, -(1 << 150)]
+    d = [1 << 139, 1 << 150]
+    r = rational_w(as_big(n), as_big(d))
+    got = np.asarray(r.to_float())
+    want = [float(Fraction(a, b)) for a, b in zip(n, d)]
+    np.testing.assert_allclose(got, want, rtol=1e-6)

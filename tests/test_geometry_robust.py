@@ -132,6 +132,18 @@ class TestCells:
             s0, e0, d0, jnp.asarray([2.0, -1.0, 1.0]),
             jnp.asarray([2.0, 1.0, 2.0]))
         assert int(skew) == 0
+        # advisor round-2 repro: segment straddles the perpendicular
+        # plane through s0 but its only crossing of the ray line is
+        # BEHIND the origin (x = -0.5) -> must be a miss
+        behind_straddle = cells.ray_segment_intersection(
+            s0, e0, d0, jnp.asarray([-2.0, -1.0, 0.0]),
+            jnp.asarray([1.0, 1.0, 0.0]))
+        assert int(behind_straddle) == 0
+        # mirror case: straddling segment crossing FORWARD (x = +0.5)
+        forward_straddle = cells.ray_segment_intersection(
+            s0, e0, d0, jnp.asarray([-1.0, -1.0, 0.0]),
+            jnp.asarray([2.0, 1.0, 0.0]))
+        assert int(forward_straddle) == 1
 
     def test_bilinear_orientation(self, rng):
         v = rng.uniform(-1, 1, (8, 4, 3)).astype(np.float32)

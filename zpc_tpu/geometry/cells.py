@@ -215,25 +215,20 @@ def ray_segment_intersection(s0, e0, dir0, s1, e1) -> jax.Array:
     origin_on = point_on_segment(s0, s1, e1)
 
     # straddle test in the dominant projection plane of the ray+segment
-    o_s1 = _sign(orient3d_proxy(s0, e0, s1))
-    o_e1 = _sign(orient3d_proxy(s0, e0, e1))
-    straddles = o_s1 * o_e1 <= 0
+    r_s1 = orient3d_proxy(s0, e0, s1)
+    r_e1 = orient3d_proxy(s0, e0, e1)
+    straddles = _sign(r_s1) * _sign(r_e1) <= 0
 
-    # crossing point must lie forward along dir0: test via orientation of
-    # the segment endpoints against the line through s0 perpendicular-ish
-    # (use the segment's own straddle of the backward half-line: the hit
-    # is forward iff s1,e1 do NOT both sit behind s0 w.r.t. dir0)
-    behind = jnp.ones(s0.shape[:-1], bool)
-    for d in range(3):
-        dd = dir0[..., d]
-        b_d = jnp.where(dd > 0,
-                        (s1[..., d] <= s0[..., d]) &
-                        (e1[..., d] <= s0[..., d]),
-                        jnp.where(dd < 0,
-                                  (s1[..., d] >= s0[..., d]) &
-                                  (e1[..., d] >= s0[..., d]),
-                                  behind))
-        behind = behind & b_d
+    # crossing point must lie forward along dir0.  The segment crosses
+    # the ray's line at parameter u = r_s1 / (r_s1 - r_e1) (ratio of the
+    # signed areas; invariant under the projection's scaling), giving
+    # crossing point p = s1 + u (e1 - s1).  Forward means
+    # dot(p - s0, dir0) >= 0; multiplying through by (r_s1 - r_e1) and
+    # correcting by its sign keeps it division-free:
+    a = jnp.sum((s1 - s0) * dir0, -1)
+    b = jnp.sum((e1 - s1) * dir0, -1)
+    den = r_s1 - r_e1
+    forward = (a * den + r_s1 * b) * jnp.sign(den) >= 0
     # colinear case: segment lies on the ray line
     col_s1 = point_on_ray(s0, e0, dir0, s1) > 0
     col_e1 = point_on_ray(s0, e0, dir0, e1) > 0
@@ -241,7 +236,7 @@ def ray_segment_intersection(s0, e0, dir0, s1, e1) -> jax.Array:
         is_triangle_degenerated(e1, s0, e0)
     colinear_hit = seg_on_line & (col_s1 | col_e1)
 
-    proper = coplanar & straddles & ~behind & ~seg_on_line
+    proper = coplanar & straddles & forward & ~seg_on_line
     hit = jnp.where(proper | colinear_hit, 1, 0)
     hit = jnp.where(origin_on, 2, hit)
     return jnp.where(degen_seg, on_ray_d, hit).astype(jnp.int32)

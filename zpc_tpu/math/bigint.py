@@ -25,6 +25,7 @@ Oracle tests compare against Python's unbounded ints / ``fractions``.
 from __future__ import annotations
 
 import dataclasses
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -111,13 +112,30 @@ class BigInt:
         return (self.mag[..., 0] & 1) == 0
 
     # -- conversion ----------------------------------------------------
+    def to_float_scaled(self) -> Tuple[jax.Array, jax.Array]:
+        """(mantissa, exponent) with value = mantissa * 2**exponent.
+
+        The mantissa accumulates limbs relative to the top nonzero limb,
+        so magnitudes beyond float32 range stay finite here (a plain
+        float32 accumulation overflows to inf above ~2^128, well inside
+        the default 192-bit width — advisor round-2 finding).  Limbs more
+        than ~3 below the top underflow the float32 mantissa and drop
+        out, matching float32 rounding."""
+        k = jnp.arange(self.limbs, dtype=jnp.int32)
+        nz = self.mag > 0
+        top = jnp.max(jnp.where(nz, k, 0), axis=-1)
+        shift = ((k - top[..., None]) * LIMB_BITS).astype(jnp.float32)
+        # limbs above the top are zero; mask them so 0 * exp2(+shift)
+        # cannot produce 0 * inf = nan
+        scale = jnp.where(shift > 0, 0.0, jnp.exp2(shift))
+        mant = jnp.sum(self.mag.astype(jnp.float32) * scale, axis=-1)
+        return mant * self.sign.astype(jnp.float32), top * LIMB_BITS
+
     def to_float(self) -> jax.Array:
         """Approximate float32 value (top limbs dominate; exact when the
         value fits a float32 mantissa)."""
-        acc = jnp.zeros(self.mag.shape[:-1], jnp.float32)
-        for k in range(self.limbs - 1, -1, -1):
-            acc = acc * _RADIX + self.mag[..., k].astype(jnp.float32)
-        return acc * self.sign.astype(jnp.float32)
+        mant, exp = self.to_float_scaled()
+        return jnp.ldexp(mant, exp)
 
     def to_pyints(self):
         """Host: exact Python ints (flattened)."""
@@ -314,7 +332,12 @@ class RationalW:
         return (self.num * o.den).compare(o.num * self.den)
 
     def to_float(self) -> jax.Array:
-        return self.num.to_float() / self.den.to_float()
+        # divide mantissas and recombine exponents so num/den pairs whose
+        # magnitudes individually exceed float32 range (inf/inf = NaN
+        # under plain to_float) still produce their representable ratio
+        mn, en = self.num.to_float_scaled()
+        md, ed = self.den.to_float_scaled()
+        return jnp.ldexp(mn / md, en - ed)
 
     def normalized(self) -> "RationalW":
         g = bigint_gcd(self.num, self.den)

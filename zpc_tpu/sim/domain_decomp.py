@@ -235,6 +235,12 @@ def explicit_step_dd(sim: MPMSim, dds: DDState, dt, mesh: Mesh, *,
         table, _ = build_block_table(unpack_key(cat, dim), nb_local,
                                      valid=catmask, dim=dim)
         overflow = table.count > table.capacity
+        # morton3d keys only span block coords in [-_MORTON_OFF,
+        # _MORTON_OFF); a particle outside wraps its key and would be
+        # owned by / migrated to the wrong device — flag, don't wrap
+        overflow = overflow | jnp.any(
+            alive & ((pblock < -_MORTON_OFF) |
+                     (pblock >= _MORTON_OFF)).any(-1))
         tcoords = table.active_coords
         tmk = _block_morton(tcoords)
         owned_slot = (_owner(tmk, splits) == me) & table.mask
@@ -345,6 +351,9 @@ def explicit_step_dd(sim: MPMSim, dds: DDState, dt, mesh: Mesh, *,
         nxi = (out_ch["x"] - origin) / dx
         nbase, _, _ = bspline_weights(nxi, sim.order)
         nblock = jnp.floor_divide(nbase, bs)
+        overflow = overflow | jnp.any(
+            alive & ((nblock < -_MORTON_OFF) |
+                     (nblock >= _MORTON_OFF)).any(-1))
         nowner = _owner(_block_morton(nblock), splits)
         leaving = alive & (nowner != me)
         mat = pack_ch(out_ch, pid)

@@ -388,9 +388,10 @@ def read_vdb(path: str) -> List[VdbGrid]:
                 f"unsupported compression flags {compression:#x} "
                 "(blosc / mask compression not implemented)")
     if version >= 218:
+        # versions 218..221 store the uuid as a 36-byte printed string;
+        # the 16-byte binary-uuid encoding only appears in versions >= 222,
+        # which are rejected below, so no binary branch is needed here
         _take(f, 36)                                  # uuid
-    elif version >= 221:
-        _take(f, 16)
     if version >= 222:
         raise VdbFormatError(
             f"file version {version} uses node-mask compression; "
