@@ -101,6 +101,30 @@ class TestBinned2MatchesBaseline:
             _sim(), st, jnp.float32(1e-4), BinnedConfig2(bins_capacity=5), 1)
         assert bool(overflow)
 
+    def test_overflow_padding_budget_exhausted(self):
+        # Advisor round-2 repro: with dead lanes (capacity > size) the
+        # lane total fits in L while the padding dummies needed exceed
+        # npad = L - N; truncated dummies would silently mix two blocks
+        # in one bin.  counts 100/1/100/99 over 4 blocks, N=400, L=512:
+        # npad=112 but pads sum to 212 -> must flag overflow.
+        from zpc_tpu.containers.block_table import KEY_SENTINEL, pack_coords
+        from zpc_tpu.sim.mpm_binned2 import _sort_into_bins
+
+        counts = [100, 1, 100, 99]
+        blocks = jnp.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]],
+                             jnp.int32)
+        keys = jnp.concatenate(
+            [jnp.full((c,), pack_coords(blocks[i:i + 1])[0])
+             for i, c in enumerate(counts)] +
+            [jnp.full((100,), KEY_SENTINEL, jnp.int32)])
+        n = keys.shape[0]
+        cols = jnp.zeros((n, 26), jnp.float32)
+        pid = jnp.where(keys != KEY_SENTINEL,
+                        jnp.arange(n, dtype=jnp.int32), -1)
+        st = _sort_into_bins(keys, cols, pid,
+                             BinnedConfig2(bins_capacity=4), nb=64)
+        assert bool(st.overflow)
+
     def test_segment_path(self, rng):
         x = jnp.asarray(rng.uniform(0.3, 0.7, (768, 3)), jnp.float32)
         st = make_mpm_state(x, dx=0.05, block_capacity=256)

@@ -195,10 +195,14 @@ def _sort_into_bins(keys: jax.Array, cols: jax.Array, pid: jax.Array,
         KEY_SENTINEL)
     pads = jnp.where(gvalid, (-counts) % K, 0)
     total = jnp.sum(counts + pads)
-    overflow = (total > L) | (n_groups > nbq)
 
     # dummy lanes: j-th dummy belongs to the group whose cum-pad covers j
     padcum = jnp.cumsum(pads)
+    # overflow must ALSO fire when the padding budget (npad = L - N dummy
+    # lanes) is exhausted: with dead particle lanes (capacity > size) the
+    # lane total can fit in L while the dummies needed (padcum[-1]) exceed
+    # npad — truncated dummies would silently mix two blocks in one bin
+    overflow = (total > L) | (n_groups > nbq) | (padcum[-1] > npad)
     dense = _dummy_keys_by_rank(gkeys, gvalid, pads, padcum, npad)
     in_budget = jnp.arange(npad, dtype=jnp.int32) < jnp.minimum(
         padcum[-1], npad)
@@ -408,29 +412,35 @@ def unbin_state(st: BinState, template: MPMState) -> MPMState:
 # ---------------------------------------------------------------------------
 
 def _axis_stencils(xib, borigin, side=SIDE):
-    """Per-axis one-hot halo-window stencils from binned index coords.
+    """Per-axis quadratic-B-spline window stencils, evaluated directly.
+
+    ``w[d][b,k,s] = N2(xib_d - (borigin_d + s))`` for every window node
+    ``s in [0, side)`` — the node weight IS the kernel evaluated at that
+    node's distance, and the compact support ``|t| < 1.5`` yields exactly
+    the 3 nonzero nodes of the quadratic stencil.  This replaces the
+    round-2 one-hot construction (base offsets + 3 compare/selects per
+    axis), which was the dominant stage of the measured step (3.2 ms of
+    6.0 at 256k; docs/design.md).  An out-of-window particle silently
+    loses the out-of-window part of its support, but it also flags
+    ``needs_rebin`` at the end of the step that moved it, so those
+    weights are never used for physics (same contract as the clipped
+    one-hots).  N2 algebra matches InterpolationKernel.hpp's
+    quadratic_bspline_weights branch-by-branch.
 
     Returns (w [dim][B,K,side], w_i [dim][B,K,side], rel0 [B,K,dim]).
-    Window nodes are ``borigin + [0, side)``; base offsets are clipped to
-    the legal [0, side-3] (an out-of-window particle flags needs_rebin at
-    the end of the step that moved it, so clipped weights are never used
-    for physics).
     """
     B, Kk, dim = xib.shape
-    base, wt, _ = bspline_weights(xib.reshape(B * Kk, dim), 2)
-    base = base.reshape(B, Kk, dim)
-    wt = wt.reshape(B, Kk, dim, 3)
-    off = jnp.clip(base - borigin[:, None, :], 0, side - 3)
-    sidx = jnp.arange(side, dtype=jnp.int32)
+    sidx = jnp.arange(side, dtype=xib.dtype)
     ws, wis = [], []
-    fidx = sidx.astype(xib.dtype)
     for d in range(dim):
-        w_axis = jnp.zeros((B, Kk, side), xib.dtype)
-        for j in range(3):
-            hit = sidx[None, None, :] == (off[..., d] + j)[..., None]
-            w_axis = w_axis + jnp.where(hit, wt[..., d, j:j + 1], 0.0)
+        t = xib[..., d:d + 1] - (borigin[:, None, d:d + 1].astype(xib.dtype)
+                                 + sidx)
+        at = jnp.abs(t)
+        c1 = jnp.maximum(1.5 - at, 0.0)
+        c2 = jnp.maximum(0.5 - at, 0.0)
+        w_axis = 0.5 * c1 * c1 - 1.5 * c2 * c2
         ws.append(w_axis)
-        wis.append(w_axis * fidx)
+        wis.append(w_axis * sidx)
     rel0 = (borigin[:, None, :].astype(xib.dtype) - xib)
     return ws, wis, rel0
 
@@ -569,16 +579,16 @@ def _step3d(sim: MPMSim, st, dt, cfg: BinnedConfig2):
     fidx = jnp.arange(side, dtype=S0.dtype)
     fy_m = jnp.repeat(fidx, side)                           # [sq], f[y]
     fz_m = jnp.tile(fidx, side)                             # [sq], f[z]
-    # three einsums summed (not one 3K-stacked contraction): the concats
-    # would materialize ~280 MB of stacked copies per step
-    out = (jnp.einsum("bkm,bkA->bmA", S0, R1, precision=_PREC,
-                      preferred_element_type=jnp.float32) +
-           fy_m[None, :, None] *
-           jnp.einsum("bkm,bkA->bmA", S0, R2, precision=_PREC,
-                      preferred_element_type=jnp.float32) +
-           fz_m[None, :, None] *
-           jnp.einsum("bkm,bkA->bmA", S0, R3, precision=_PREC,
-                      preferred_element_type=jnp.float32))
+    # ONE einsum reading S0 once: R1..R3 stack along the (free) output
+    # channel axis, so the concat fuses into their elementwise producers
+    # (stacking along the contracted K axis — round 2's first try —
+    # forced ~280 MB of copies of the *reused* S operands instead)
+    A4 = 4 * side
+    Rcat = jnp.concatenate([R1, R2, R3], axis=-1)           # [B,K,12side]
+    outf = jnp.einsum("bkm,bkA->bmA", S0, Rcat, precision=_PREC,
+                      preferred_element_type=jnp.float32)   # [B,sq,12side]
+    out = (outf[..., :A4] + fy_m[None, :, None] * outf[..., A4:2 * A4] +
+           fz_m[None, :, None] * outf[..., 2 * A4:])
     cube = jnp.moveaxis(out.reshape(B, sq, side, 4), 2, 1
                         ).reshape(B, side ** 3, 4)          # [B,side^3,4]
 
@@ -641,16 +651,17 @@ def _step3d(sim: MPMSim, st, dt, cfg: BinnedConfig2):
     # V as [B, side^2, (a,c)]
     Vac = jnp.moveaxis(Vbin.reshape(B, side, sq, 3), 1, 2
                        ).reshape(B, sq, 3 * side)
-    # S1/S2 fold into the INPUT here: einsum(S0*f[m], V) = einsum(S0, f*V)
-    P0 = jnp.einsum("bkm,bmA->bkA", S0, Vac, precision=_PREC,
-                    preferred_element_type=jnp.float32)
-    P1 = jnp.einsum("bkm,bmA->bkA", S0, fy_m[None, :, None] * Vac,
-                    precision=_PREC, preferred_element_type=jnp.float32)
-    P2 = jnp.einsum("bkm,bmA->bkA", S0, fz_m[None, :, None] * Vac,
-                    precision=_PREC, preferred_element_type=jnp.float32)
-    P0r = P0.reshape(B, K, side, 3)
-    P1r = P1.reshape(B, K, side, 3)
-    P2r = P2.reshape(B, K, side, 3)
+    # S1/S2 fold into the INPUT here (einsum(S0*f[m], V) = einsum(S0,
+    # f*V)); stacking the three V variants along the free channel axis
+    # again reads S0 ONCE instead of three times
+    A3 = 3 * side
+    Vcat = jnp.concatenate([Vac, fy_m[None, :, None] * Vac,
+                            fz_m[None, :, None] * Vac], axis=-1)
+    Pcat = jnp.einsum("bkm,bmA->bkA", S0, Vcat, precision=_PREC,
+                      preferred_element_type=jnp.float32)   # [B,K,9side]
+    P0r = Pcat[..., :A3].reshape(B, K, side, 3)
+    P1r = Pcat[..., A3:2 * A3].reshape(B, K, side, 3)
+    P2r = Pcat[..., 2 * A3:].reshape(B, K, side, 3)
     s0 = jnp.einsum("bka,bkac->bkc", wx, P0r)
     sx = jnp.einsum("bka,bkac->bkc", wx_i, P0r)
     sy = jnp.einsum("bka,bkac->bkc", wx, P1r)
