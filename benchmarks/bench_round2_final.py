@@ -42,26 +42,25 @@ def bvh_rows():
         print(f"    -> {n / (ms / 1e3) / 1e6:.2f} Mq/s", flush=True)
 
 
-def kminor_row():
+def mpm_row():
     from examples.mpm_block import build
     from zpc_tpu.sim.mpm_binned2 import (BinnedConfig2, _rebin, bin_state,
                                          explicit_step_binned2)
     n = 262144
     sim, st, dt = build(n, dx=1.0 / 128)
     dtj = jnp.float32(dt)
-    for km in (False, True):
-        cfg = BinnedConfig2(bins_capacity=2560, block_capacity=2048,
-                            kminor=km)
-        bst = jax.block_until_ready(
-            jax.jit(lambda s: bin_state(sim, s, cfg))(st))
+    # (kminor layout option removed in round 3 after measuring slower;
+    # docs/design.md "negative result")
+    cfg = BinnedConfig2(bins_capacity=2560, block_capacity=2048)
+    bst = jax.block_until_ready(
+        jax.jit(lambda s: bin_state(sim, s, cfg))(st))
 
-        def v2(_, s):
-            s = jax.lax.cond(s.needs_rebin,
-                             lambda t: _rebin(sim, t, cfg), lambda t: t, s)
-            return explicit_step_binned2(sim, s, dtj, cfg, rebin=False)
-        ms = chained_ms(v2, bst, iters=10,
-                        label=f"v2 adaptive kminor={km}")
-        print(f"    -> {n / (ms / 1e3) / 1e6:.1f} M pps", flush=True)
+    def v2(_, s):
+        s = jax.lax.cond(s.needs_rebin,
+                         lambda t: _rebin(sim, t, cfg), lambda t: t, s)
+        return explicit_step_binned2(sim, s, dtj, cfg, rebin=False)
+    ms = chained_ms(v2, bst, iters=10, label="v2 adaptive")
+    print(f"    -> {n / (ms / 1e3) / 1e6:.1f} M pps", flush=True)
 
 
 def primitives_16m():
@@ -70,7 +69,7 @@ def primitives_16m():
 
 
 def main():
-    kminor_row()
+    mpm_row()
     bvh_rows()
     primitives_16m()
 

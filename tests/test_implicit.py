@@ -146,3 +146,39 @@ class TestNewtonRefinement:
                                             hessian_clamp=0.1))
         out = f(st)
         assert np.isfinite(np.asarray(out.particles["v"])).all()
+
+
+class TestImplicitBinned2:
+    def test_matches_scatter_implicit(self, setup):
+        from zpc_tpu.sim.mpm_binned2 import BinnedConfig2
+        from zpc_tpu.sim.implicit_binned2 import implicit_step_binned2
+        sim, st = setup
+        F0 = jnp.broadcast_to(jnp.diag(jnp.asarray([1.03, 0.97, 1.0])),
+                              (512, 3, 3))
+        st = type(st)(st.particles.update(F=F0), st.grid, st.max_vel)
+        dt = jnp.float32(5e-4)
+        ref = implicit_step(sim, st, dt, cg_iters=80, cg_tol=1e-6)
+        out, ov = implicit_step_binned2(sim, st, dt,
+                                        BinnedConfig2(bins_capacity=64),
+                                        cg_iters=80, cg_tol=1e-6)
+        assert not bool(ov)
+        np.testing.assert_allclose(np.asarray(out.particles["v"]),
+                                   np.asarray(ref.particles["v"]),
+                                   atol=5e-4)
+        np.testing.assert_allclose(np.asarray(out.particles["x"]),
+                                   np.asarray(ref.particles["x"]),
+                                   atol=1e-6)
+
+    def test_rollout_stable_large_dt(self, setup):
+        from zpc_tpu.sim.mpm_binned2 import BinnedConfig2
+        from zpc_tpu.sim.implicit_binned2 import implicit_rollout_binned2
+        sim, st = setup
+        F0 = jnp.broadcast_to(jnp.diag(jnp.asarray([1.1, 0.9, 1.0])),
+                              (512, 3, 3))
+        st = type(st)(st.particles.update(F=F0), st.grid, st.max_vel)
+        out, ov = jax.jit(lambda s: implicit_rollout_binned2(
+            sim, s, jnp.float32(5e-3), BinnedConfig2(bins_capacity=64),
+            5, cg_iters=60))(st)
+        assert not bool(ov)
+        v = np.asarray(out.particles["v"])
+        assert np.isfinite(v).all() and np.abs(v).max() < 10.0

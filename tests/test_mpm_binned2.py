@@ -193,25 +193,3 @@ class TestDriftSlack:
             _compare(_sim(), st, jnp.float32(1e-4),
                      BinnedConfig2(bins_capacity=64, slack=slack),
                      steps=3)
-
-
-class TestKMinorLayout:
-    def test_kminor_matches(self, rng):
-        """kminor layout step is physics-identical to the default."""
-        x = jnp.asarray(rng.uniform(0.3, 0.7, (768, 3)), jnp.float32)
-        st = make_mpm_state(x, dx=0.05, block_capacity=256)
-        F0 = jnp.broadcast_to(jnp.diag(jnp.asarray([1.05, 0.97, 1.0])),
-                              (768, 3, 3))
-        st = type(st)(st.particles.update(
-            F=F0, C=jnp.asarray(rng.standard_normal((768, 3, 3)) * 0.1,
-                                jnp.float32)), st.grid, st.max_vel)
-        _compare(_sim(), st, jnp.float32(1e-4),
-                 BinnedConfig2(bins_capacity=64, kminor=True), steps=3)
-
-    def test_kminor_plasticity(self, rng):
-        x = jnp.asarray(rng.uniform(0.3, 0.6, (256, 3)), jnp.float32)
-        st = make_mpm_state(x, dx=0.05, block_capacity=256, with_Jp=True,
-                            Jp0=1.0)
-        sim = _sim(plasticity=SnowPlasticity())
-        _compare(sim, st, jnp.float32(2e-4),
-                 BinnedConfig2(bins_capacity=64, kminor=True), steps=2)

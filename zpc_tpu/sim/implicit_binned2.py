@@ -1,0 +1,201 @@
+"""Implicit MPM on the binned-v2 (bin-ordered, gather-free) machinery.
+
+Same system as :mod:`zpc_tpu.sim.implicit` — ``(M + dt^2 K) v = M v_pred``
+with Dirichlet projection — but the transfer context (:class:`_Ctx3`:
+direct-eval stencils, frozen bin->block mapping, spill selection) is
+built ONCE per step and shared by every CG operator application, and the
+particle state stays in bin order across a rollout.  This supersedes
+:mod:`zpc_tpu.sim.implicit_binned` (v1 workspace) as the BASELINE
+config-5 path: the v1 step re-packed/unpacked the particle state through
+row gathers every step (~13 ms at 1M), which dominated its 317 ms step.
+
+Reference lineage: ``simulation/mpm/ImplicitMPM.hpp:11-60`` (matrix-free
+``multiply`` = G2P force-differential + ForceDtSqrPlusMass), boundary
+``Projector`` (``:63-80``), solved by ``math/linear/ConjugateGradient.hpp``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.collider import resolve_boundaries
+from ..math.solvers import cg
+from ..math.vecmat import mm, scale_trailing
+from .mpm import MPMSim, MPMState
+from .mpm_binned2 import (BinnedConfig2, BinState, K, _ctx_g2p, _ctx_p2g,
+                          _make_ctx3, _node_positions, _rebin, bin_state,
+                          unbin_state)
+
+__all__ = ["implicit_step_binned2", "implicit_rollout_binned2"]
+
+
+def _implicit_bin_step(sim: MPMSim, st: BinState, dt, cfg: BinnedConfig2,
+                       cg_iters: int, cg_tol: float,
+                       contact=None) -> BinState:
+    """One implicit step on a BinState (bin order in/out).
+
+    ``contact``: optional :class:`~zpc_tpu.sim.contact_implicit.
+    ContactCoupling` adding IPC barrier forces/Hessians to the system.
+    """
+    grid = st.grid
+    dx = grid.dx
+    B = cfg.bins_capacity
+    L = B * K
+    Dinv = 4.0 / (dx * dx)
+
+    cols = st.cols.reshape(B, K, -1)
+    xb = cols[..., 0:3]
+    vb = cols[..., 3:6]
+    Fb = cols[..., 6:15].reshape(B, K, 3, 3)
+    Cb = cols[..., 15:24].reshape(B, K, 3, 3)
+    lane_alive = (st.pid >= 0).reshape(B, K)
+    mban = jnp.where(lane_alive, cols[..., 24], 0.0)
+    volb = jnp.where(lane_alive, cols[..., 25], 0.0)
+
+    ctx = _make_ctx3(st, cfg)
+    overflow = ctx.overflow
+    rel0 = ctx.rel0
+    rel = [rel0[..., d] for d in range(3)]
+
+    # ---- one P2G pass for mass, APIC momentum, internal force --------------
+    tau = sim.model.kirchhoff(Fb)
+    A_m = mban[..., None, None] * Cb
+    A_f = (-Dinv * volb)[..., None, None] * tau
+    mom0 = mban[..., None] * vb + jnp.einsum("bkij,bkj->bki", A_m, rel0)
+    f0 = jnp.einsum("bkij,bkj->bki", A_f, rel0)
+    zero = jnp.zeros_like(mban)[..., None]
+    Q0 = jnp.concatenate([mban[..., None], mom0, f0], -1)      # [B,K,7]
+    QA = [jnp.concatenate(
+        [zero, dx * A_m[..., :, d], dx * A_f[..., :, d]], -1)
+        for d in range(3)]
+    acc = _ctx_p2g(ctx, Q0, QA)                                # [nb,64,7]
+    gm = acc[..., 0]
+    gmv = acc[..., 1:4]
+    fint = acc[..., 4:7]
+
+    # ---- contact forces at t^n into the rhs --------------------------------
+    if contact is not None:
+        fc, Hc, overflow_c = contact.forces_and_hessians(xb, lane_alive)
+        overflow = overflow | overflow_c
+        fint = fint + _ctx_p2g(
+            ctx, fc, [jnp.zeros_like(fc)] * 3)                 # [nb,64,3]
+
+    # ---- predictor + Dirichlet mask -----------------------------------------
+    has_mass = gm > 0.0
+    minv = jnp.where(has_mass, 1.0 / jnp.maximum(gm, 1e-30), 0.0)
+    v_pred = (gmv + dt * fint) * minv[..., None] + \
+        dt * sim.gravity[None, None, :]
+    v_pred = jnp.where(has_mass[..., None], v_pred, 0.0)
+    node_x = _node_positions(ctx)
+    v_bc = resolve_boundaries(sim.colliders, node_x, v_pred)
+    constrained = jnp.any(jnp.abs(v_bc - v_pred) > 0.0, axis=-1)
+    free = has_mass & ~constrained
+    free_f = free.astype(jnp.float32)
+
+    def project(u):
+        return scale_trailing(free_f, u)
+
+    # ---- matrix-free (M + dt^2 K [+ dt^2 Kc]) u over [nb,64,3] -------------
+    def K_action(u):
+        s0, sx, sy, sz = _ctx_g2p(ctx, u)
+        sidx = dx * jnp.stack([sx, sy, sz], axis=-1)
+        dB = jnp.stack([
+            jnp.stack([s0[..., i] * rel[j] for j in range(3)], -1)
+            for i in range(3)], -2) + sidx
+        dC = Dinv * dB
+        dF = dt * mm(dC, Fb)
+        _, dP = jax.jvp(sim.model.first_piola, (Fb,), (dF,))
+        dtau = mm(dP, jnp.swapaxes(Fb, -1, -2))
+        A2 = scale_trailing(dt * Dinv * volb, dtau)
+        Qk = jnp.stack([
+            A2[..., i, 0] * rel[0] + A2[..., i, 1] * rel[1] +
+            A2[..., i, 2] * rel[2] for i in range(3)], -1)
+        QAk = [dx * A2[..., :, d] for d in range(3)]
+        out = _ctx_p2g(ctx, Qk, QAk)
+        if contact is not None:
+            # contact Hessian acts on particle velocity: dv_p = G2P(u),
+            # df_p = -dt^2 H_p dv_p, back through plain-weight P2G
+            # (Distance.hpp grads/Hessians consumed by the grid solve)
+            dfc = (dt * dt) * jnp.einsum("bkij,bkj->bki", Hc, s0)
+            out = out + _ctx_p2g(ctx, dfc, [jnp.zeros_like(dfc)] * 3)
+        return out
+
+    def A_op(u):
+        return scale_trailing(gm, u) + K_action(u)
+
+    def precondition(r):
+        return scale_trailing(minv, r)
+
+    rhs = project(scale_trailing(gm, v_pred))
+    res = cg(A_op, rhs, x0=project(v_pred), project=project,
+             precondition=precondition, max_iters=cg_iters, rel_tol=cg_tol)
+    gv = jnp.where(free[..., None], res.x, v_bc)
+    gv = jnp.where(has_mass[..., None], gv, 0.0)
+    max_vel = jnp.sqrt(jnp.max(jnp.sum(gv * gv, -1)))
+
+    # ---- G2P + advect --------------------------------------------------------
+    s0, sx, sy, sz = _ctx_g2p(ctx, gv)
+    v_new = s0
+    Bmat = v_new[..., :, None] * rel0[..., None, :] + \
+        dx * jnp.stack([sx, sy, sz], axis=-1)
+    C_new = Dinv * Bmat
+    eye = jnp.eye(3, dtype=Fb.dtype)
+    F_new = mm(eye + dt * C_new, Fb)
+    if sim.plasticity is not None and st.has_jp:
+        F_new, Jp_new = sim.plasticity.project(F_new, cols[..., 26])
+    x_new = xb + dt * v_new
+
+    # escape check: same contract as the explicit v2 step
+    base_new = jnp.floor((x_new - ctx.origin_w) / dx - 0.5).astype(jnp.int32)
+    off_new = base_new - ctx.borigin[:, None, :]
+    escaped = jnp.any(lane_alive[..., None] &
+                      ((off_new < 0) | (off_new > cfg.side - 3)))
+
+    ok3 = lane_alive[..., None]
+    newcols = [jnp.where(ok3, x_new, xb), jnp.where(ok3, v_new, vb),
+               jnp.where(ok3[..., None], F_new, Fb).reshape(B, K, 9),
+               jnp.where(ok3[..., None], C_new, Cb).reshape(B, K, 9),
+               mban[..., None], volb[..., None]]
+    if st.has_jp:
+        jpcol = (Jp_new if sim.plasticity is not None else cols[..., 26])
+        newcols.append(jnp.where(ok3, jpcol[..., None], cols[..., 26:27]))
+    ncols = jnp.concatenate(newcols, axis=-1).reshape(L, -1)
+
+    grid = dataclasses.replace(grid, data={"m": gm, "v": gv})
+    return dataclasses.replace(st, cols=ncols, grid=grid, max_vel=max_vel,
+                               overflow=overflow, needs_rebin=escaped)
+
+
+def implicit_step_binned2(sim: MPMSim, state, dt, cfg: BinnedConfig2,
+                          cg_iters: int = 50, cg_tol: float = 1e-3,
+                          contact=None, *, rebin: bool = True):
+    """Implicit step: MPMState -> (MPMState, overflow), or BinState ->
+    BinState when called with a BinState (rollout-internal form)."""
+    if isinstance(state, BinState):
+        st = _rebin(sim, state, cfg) if rebin else state
+        return _implicit_bin_step(sim, st, dt, cfg, cg_iters, cg_tol,
+                                  contact)
+    bst = bin_state(sim, state, cfg)
+    out = _implicit_bin_step(sim, bst, dt, cfg, cg_iters, cg_tol, contact)
+    return unbin_state(out, state), out.overflow
+
+
+def implicit_rollout_binned2(sim: MPMSim, state: MPMState, dt,
+                             cfg: BinnedConfig2, n_steps: int,
+                             cg_iters: int = 50, cg_tol: float = 1e-3,
+                             contact=None) -> Tuple[MPMState, jax.Array]:
+    """n implicit steps in bin order with adaptive rebinning."""
+    st = bin_state(sim, state, cfg)
+
+    def body(_, s):
+        s = jax.lax.cond(s.needs_rebin,
+                         lambda t: _rebin(sim, t, cfg), lambda t: t, s)
+        return _implicit_bin_step(sim, s, dt, cfg, cg_iters, cg_tol,
+                                  contact)
+
+    st = jax.lax.fori_loop(0, n_steps, body, st)
+    return unbin_state(st, state), st.overflow

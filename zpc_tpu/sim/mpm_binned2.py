@@ -71,11 +71,6 @@ class BinnedConfig2:
                                  #    to block boundaries, turning the
                                  #    spill/pull matmuls into reshapes.
 
-    kminor: bool = False         # 3-D step in minor-dim-K layouts
-                                 # ([B,side,K] stencils): avoids the
-                                 # 128-lane padding tax on [B,K,side]
-                                 # intermediates (docs/design.md)
-
     @property
     def side(self) -> int:
         assert self.slack in (0, 1)
@@ -505,34 +500,54 @@ def explicit_step_binned2(sim: MPMSim, state, dt, cfg: BinnedConfig2,
         st = _rebin(sim, st, cfg)
     if st.grid.dim == 2:
         return _step2d(sim, st, dt, cfg)
-    if cfg.kminor:
-        return _step3d_kminor(sim, st, dt, cfg)
     return _step3d(sim, st, dt, cfg)
 
 
-def _step3d(sim: MPMSim, st, dt, cfg: BinnedConfig2):
-    from ..ops.p2g_pallas import _PULL_ALL, _SPILL_ALL
+@dataclasses.dataclass
+class _Ctx3:
+    """Per-step 3-D transfer context over a :class:`BinState`.
 
+    Built once per step (or once per implicit solve — the stencils and
+    spill selection are shared by every operator application inside the
+    CG loop, the v2 analog of mpm_binned.BinWorkspace).  All members are
+    traced values; this is NOT a pytree, it lives inside one trace.
+    """
+
+    cfg: BinnedConfig2
+    table: object
+    dx: object
+    origin_w: jax.Array
+    lane_alive: jax.Array            # [B, K]
+    borigin: jax.Array               # [B, 3] window origin (node coords)
+    rel0: jax.Array                  # [B, K, 3] world offset to origin
+    wx: jax.Array                    # [B, K, side] (aliveness folded in)
+    wx_i: jax.Array
+    S0: jax.Array                    # [B, K, side^2] y⊗z plane product
+    fy_m: jax.Array                  # [side^2] node y index
+    fz_m: jax.Array                  # [side^2] node z index
+    sel: Optional[jax.Array]         # one-hot spill selection (or None)
+    tgt8: jax.Array                  # [8, B] target block slot per dir
+    use_seg: bool
+    overflow: jax.Array
+
+    @property
+    def side(self) -> int:
+        return self.cfg.side
+
+
+def _make_ctx3(st: BinState, cfg: BinnedConfig2) -> _Ctx3:
     grid = st.grid
     table = grid.table
-    nbq = cfg.bins_capacity
     nb = table.capacity
     dx = grid.dx
     origin_w = grid.transform.matrix[:3, 3]
-    B = nbq
-    L = B * K
+    B = cfg.bins_capacity
     side = cfg.side
+    sq = side * side
 
     cols = st.cols.reshape(B, K, -1)
     xb = cols[..., 0:3]
-    vb = cols[..., 3:6]
-    Fb = cols[..., 6:15].reshape(B, K, 3, 3)
-    Cb = cols[..., 15:24].reshape(B, K, 3, 3)
-    mban = cols[..., 24]
-    volb = cols[..., 25]
     lane_alive = (st.pid >= 0).reshape(B, K)
-    mban = jnp.where(lane_alive, mban, 0.0)
-    volb = jnp.where(lane_alive, volb, 0.0)
 
     # bin -> block mapping frozen at rebin time (recomputing it from a
     # lane position would break once drift slack lets particles cross a
@@ -547,96 +562,97 @@ def _step3d(sim: MPMSim, st, dt, cfg: BinnedConfig2):
     xib = (xb - origin_w) / dx
     ws, wis, rel0i = _axis_stencils(xib, borigin, side)
     wx, wy, wz = ws
-    wx_i, wy_i, wz_i = wis
     rel0 = rel0i * dx
     # dead lanes must not contribute: fold aliveness into wx
     wx = wx * lane_alive[..., None]
-    wx_i = wx_i * lane_alive[..., None]
-
-    # ---- P2G: one K-stacked einsum -----------------------------------------
-    Dinv = 4.0 / (dx * dx)
-    tau = sim.model.kirchhoff(Fb)
-    A = mban[..., None, None] * Cb - \
-        (dt * Dinv * volb)[..., None, None] * tau
-    u0 = mban[..., None] * vb + jnp.einsum("bkij,bkj->bki", A, rel0)
-    Q0 = jnp.concatenate([mban[..., None], u0], -1)           # [B,K,4]
-    zero = jnp.zeros_like(mban)[..., None]
-    QA = [jnp.concatenate([zero, dx * A[..., :, d]], -1) for d in range(3)]
-
-    # RHS channel layout: (a, c) with a = 6 planes, c = 4 channels
-    def plane_scale(w6, q):
-        # [B,K,side],[B,K,4] -> [B,K,4*side]
-        return (w6[..., :, None] * q[..., None, :]).reshape(B, K, 4 * side)
-
-    sq = side * side
-    R1 = plane_scale(wx, Q0) + plane_scale(wx_i, QA[0])
-    R2 = plane_scale(wx, QA[1])
-    R3 = plane_scale(wx, QA[2])
+    wx_i = wis[0] * lane_alive[..., None]
     S0 = (wy[:, :, :, None] * wz[:, :, None, :]).reshape(B, K, sq)
     # index-weighted stencils are diagonal rescales of S0 along the node
-    # axis (S1 = S0 * f[y], S2 = S0 * f[z]) — fold them into the einsum
-    # OUTPUT instead of materializing two more [B,K,side^2] arrays
+    # axis (S1 = S0 * f[y], S2 = S0 * f[z]) — folded into the einsum
+    # output/input instead of materializing two more [B,K,side^2] arrays
     fidx = jnp.arange(side, dtype=S0.dtype)
     fy_m = jnp.repeat(fidx, side)                           # [sq], f[y]
     fz_m = jnp.tile(fidx, side)                             # [sq], f[z]
+    sel, tgt8, use_seg = _spill_sel(table, bin_block_safe,
+                                    bin_live & ~bad_bin, nb, cfg)
+    return _Ctx3(cfg, table, dx, origin_w, lane_alive, borigin, rel0,
+                 wx, wx_i, S0, fy_m, fz_m, sel, tgt8, use_seg, overflow)
+
+
+def _ctx_p2g(ctx: _Ctx3, Q0, QA):
+    """Transfer [B,K,C] particle channels to [nb,64,C] block nodes.
+
+    node(a,y,z) += wx[a]*wy[y]*wz[z] * (Q0 + a*QA[0] + y*QA[1] + z*QA[2])
+    — the APIC/force plane decomposition shared by the explicit step and
+    every implicit operator application (ImplicitMPM.hpp's G2P2G lineage).
+    """
+    from ..ops.p2g_pallas import _SPILL_ALL
+
+    B, Kk, C = Q0.shape
+    side, sq = ctx.side, ctx.side * ctx.side
+    nb = ctx.table.capacity
+    AC = C * side
+
+    def plane_scale(w6, q):
+        # [B,K,side],[B,K,C] -> [B,K,C*side] (a-major)
+        return (w6[..., :, None] * q[..., None, :]).reshape(B, Kk, AC)
+
+    R1 = plane_scale(ctx.wx, Q0) + plane_scale(ctx.wx_i, QA[0])
+    R2 = plane_scale(ctx.wx, QA[1])
+    R3 = plane_scale(ctx.wx, QA[2])
     # ONE einsum reading S0 once: R1..R3 stack along the (free) output
     # channel axis, so the concat fuses into their elementwise producers
     # (stacking along the contracted K axis — round 2's first try —
     # forced ~280 MB of copies of the *reused* S operands instead)
-    A4 = 4 * side
-    Rcat = jnp.concatenate([R1, R2, R3], axis=-1)           # [B,K,12side]
-    outf = jnp.einsum("bkm,bkA->bmA", S0, Rcat, precision=_PREC,
-                      preferred_element_type=jnp.float32)   # [B,sq,12side]
-    out = (outf[..., :A4] + fy_m[None, :, None] * outf[..., A4:2 * A4] +
-           fz_m[None, :, None] * outf[..., 2 * A4:])
-    cube = jnp.moveaxis(out.reshape(B, sq, side, 4), 2, 1
-                        ).reshape(B, side ** 3, 4)          # [B,side^3,4]
+    Rcat = jnp.concatenate([R1, R2, R3], axis=-1)           # [B,K,3C·side]
+    outf = jnp.einsum("bkm,bkA->bmA", ctx.S0, Rcat, precision=_PREC,
+                      preferred_element_type=jnp.float32)   # [B,sq,3C·side]
+    out = (outf[..., :AC] + ctx.fy_m[None, :, None] * outf[..., AC:2 * AC]
+           + ctx.fz_m[None, :, None] * outf[..., 2 * AC:])
+    cube = jnp.moveaxis(out.reshape(B, sq, side, C), 2, 1
+                        ).reshape(B, side ** 3, C)          # [B,side^3,C]
 
-    # ---- spill + block reduction --------------------------------------------
-    sel, tgt8, use_seg = _spill_sel(table, bin_block_safe,
-                                    bin_live & ~bad_bin, nb, cfg)
+    # ---- spill + block reduction ----------------------------------------
     if side == 8:
         # the 8-node window tiles 2x2x2 blocks exactly: "spill" is a
         # transpose, not a matmul
-        spilled = cube.reshape(B, 2, 4, 2, 4, 2, 4, 4).transpose(
-            1, 3, 5, 0, 2, 4, 6, 7).reshape(8, B, 64, 4)
+        spilled = cube.reshape(B, 2, 4, 2, 4, 2, 4, C).transpose(
+            1, 3, 5, 0, 2, 4, 6, 7).reshape(8, B, 64, C)
     else:
         spill = jnp.asarray(_SPILL_ALL[:, :, :216])           # [8,64,216]
         spilled = jnp.einsum("dts,nsc->dntc", spill, cube, precision=_PREC,
                              preferred_element_type=jnp.float32)
-    if use_seg:
-        seg = jnp.where(tgt8 >= 0, tgt8, nb).reshape(-1)
+    if ctx.use_seg:
+        seg = jnp.where(ctx.tgt8 >= 0, ctx.tgt8, nb).reshape(-1)
         acc = jax.ops.segment_sum(
-            spilled.reshape(8 * B, 64 * 4), seg,
-            num_segments=nb + 1)[:nb].reshape(nb, 64, 4)
+            spilled.reshape(8 * B, 64 * C), seg,
+            num_segments=nb + 1)[:nb].reshape(nb, 64, C)
     else:
         acc = jax.lax.dot_general(
-            sel, spilled.reshape(8 * B, 64 * 4),
+            ctx.sel, spilled.reshape(8 * B, 64 * C),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_PREC,
-        ).reshape(nb, 64, 4)
-    gm = acc[..., 0]
-    gmv = acc[..., 1:]
+        ).reshape(nb, 64, C)
+    return acc
 
-    # ---- grid update ----------------------------------------------------------
-    has_mass = gm > 0.0
-    gv = jnp.where(has_mass[..., None],
-                   gmv / jnp.maximum(gm, 1e-30)[..., None], 0.0)
-    gv = gv + dt * sim.gravity[None, None, :]
-    corners = jnp.asarray(neighbor_offsets(3, 0, 3))
-    node_x = (table.active_coords[:, None, :] * 4 +
-              corners[None]).astype(gv.dtype) * dx + origin_w
-    gv = resolve_boundaries(sim.colliders, node_x, gv)
-    gv = jnp.where(has_mass[..., None], gv, 0.0)
-    max_vel = jnp.sqrt(jnp.max(jnp.sum(gv * gv, -1)))
 
-    # ---- G2P -------------------------------------------------------------------
-    if use_seg:
-        safe = jnp.clip(tgt8, 0, nb - 1)
-        Vd = jnp.where((tgt8 >= 0)[..., None, None], gv[safe], 0.0)
+def _ctx_g2p(ctx: _Ctx3, gv):
+    """Gather [nb,64,3] node values to particles.
+
+    Returns (s0, sx, sy, sz) [B,K,3]: the plain weighted sum and the
+    three index-weighted sums (for the APIC B-matrix / force gradient).
+    """
+    from ..ops.p2g_pallas import _PULL_ALL
+
+    B = ctx.cfg.bins_capacity
+    side, sq = ctx.side, ctx.side * ctx.side
+    nb = ctx.table.capacity
+    if ctx.use_seg:
+        safe = jnp.clip(ctx.tgt8, 0, nb - 1)
+        Vd = jnp.where((ctx.tgt8 >= 0)[..., None, None], gv[safe], 0.0)
     else:
         Vd = jax.lax.dot_general(
-            sel, gv.reshape(nb, 64 * 3),
+            ctx.sel, gv.reshape(nb, 64 * 3),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_PREC,
         ).reshape(8, B, 64, 3)
@@ -655,17 +671,73 @@ def _step3d(sim: MPMSim, st, dt, cfg: BinnedConfig2):
     # f*V)); stacking the three V variants along the free channel axis
     # again reads S0 ONCE instead of three times
     A3 = 3 * side
-    Vcat = jnp.concatenate([Vac, fy_m[None, :, None] * Vac,
-                            fz_m[None, :, None] * Vac], axis=-1)
-    Pcat = jnp.einsum("bkm,bmA->bkA", S0, Vcat, precision=_PREC,
+    Vcat = jnp.concatenate([Vac, ctx.fy_m[None, :, None] * Vac,
+                            ctx.fz_m[None, :, None] * Vac], axis=-1)
+    Pcat = jnp.einsum("bkm,bmA->bkA", ctx.S0, Vcat, precision=_PREC,
                       preferred_element_type=jnp.float32)   # [B,K,9side]
     P0r = Pcat[..., :A3].reshape(B, K, side, 3)
     P1r = Pcat[..., A3:2 * A3].reshape(B, K, side, 3)
     P2r = Pcat[..., 2 * A3:].reshape(B, K, side, 3)
-    s0 = jnp.einsum("bka,bkac->bkc", wx, P0r)
-    sx = jnp.einsum("bka,bkac->bkc", wx_i, P0r)
-    sy = jnp.einsum("bka,bkac->bkc", wx, P1r)
-    sz = jnp.einsum("bka,bkac->bkc", wx, P2r)
+    s0 = jnp.einsum("bka,bkac->bkc", ctx.wx, P0r)
+    sx = jnp.einsum("bka,bkac->bkc", ctx.wx_i, P0r)
+    sy = jnp.einsum("bka,bkac->bkc", ctx.wx, P1r)
+    sz = jnp.einsum("bka,bkac->bkc", ctx.wx, P2r)
+    return s0, sx, sy, sz
+
+
+def _node_positions(ctx: _Ctx3):
+    corners = jnp.asarray(neighbor_offsets(3, 0, 3))
+    return (ctx.table.active_coords[:, None, :] * 4 +
+            corners[None]).astype(jnp.float32) * ctx.dx + ctx.origin_w
+
+
+def _step3d(sim: MPMSim, st, dt, cfg: BinnedConfig2):
+    grid = st.grid
+    dx = grid.dx
+    origin_w = grid.transform.matrix[:3, 3]
+    B = cfg.bins_capacity
+    L = B * K
+    side = cfg.side
+
+    cols = st.cols.reshape(B, K, -1)
+    xb = cols[..., 0:3]
+    vb = cols[..., 3:6]
+    Fb = cols[..., 6:15].reshape(B, K, 3, 3)
+    Cb = cols[..., 15:24].reshape(B, K, 3, 3)
+    lane_alive = (st.pid >= 0).reshape(B, K)
+    mban = jnp.where(lane_alive, cols[..., 24], 0.0)
+    volb = jnp.where(lane_alive, cols[..., 25], 0.0)
+
+    ctx = _make_ctx3(st, cfg)
+    overflow = ctx.overflow
+    rel0 = ctx.rel0
+    borigin = ctx.borigin
+
+    # ---- P2G -----------------------------------------------------------------
+    Dinv = 4.0 / (dx * dx)
+    tau = sim.model.kirchhoff(Fb)
+    A = mban[..., None, None] * Cb - \
+        (dt * Dinv * volb)[..., None, None] * tau
+    u0 = mban[..., None] * vb + jnp.einsum("bkij,bkj->bki", A, rel0)
+    Q0 = jnp.concatenate([mban[..., None], u0], -1)           # [B,K,4]
+    zero = jnp.zeros_like(mban)[..., None]
+    QA = [jnp.concatenate([zero, dx * A[..., :, d]], -1) for d in range(3)]
+    acc = _ctx_p2g(ctx, Q0, QA)
+    gm = acc[..., 0]
+    gmv = acc[..., 1:]
+
+    # ---- grid update ----------------------------------------------------------
+    has_mass = gm > 0.0
+    gv = jnp.where(has_mass[..., None],
+                   gmv / jnp.maximum(gm, 1e-30)[..., None], 0.0)
+    gv = gv + dt * sim.gravity[None, None, :]
+    node_x = _node_positions(ctx)
+    gv = resolve_boundaries(sim.colliders, node_x, gv)
+    gv = jnp.where(has_mass[..., None], gv, 0.0)
+    max_vel = jnp.sqrt(jnp.max(jnp.sum(gv * gv, -1)))
+
+    # ---- G2P -------------------------------------------------------------------
+    s0, sx, sy, sz = _ctx_g2p(ctx, gv)
 
     v_new = s0
     Bmat = v_new[..., :, None] * rel0[..., None, :] + \
@@ -681,211 +753,6 @@ def _step3d(sim: MPMSim, st, dt, cfg: BinnedConfig2):
     # escape check: a particle whose new stencil base leaves its bin's
     # block [0,3] window forces a rebin before the next step (the clip in
     # _axis_stencils would otherwise silently corrupt weights)
-    base_new = jnp.floor((x_new - origin_w) / dx - 0.5).astype(jnp.int32)
-    off_new = base_new - borigin[:, None, :]
-    escaped = jnp.any(lane_alive[..., None] &
-                      ((off_new < 0) | (off_new > side - 3)))
-
-    ok3 = lane_alive[..., None]
-    newcols = [jnp.where(ok3, x_new, xb), jnp.where(ok3, v_new, vb),
-               jnp.where(ok3[..., None], F_new, Fb).reshape(B, K, 9),
-               jnp.where(ok3[..., None], C_new, Cb).reshape(B, K, 9),
-               mban[..., None], volb[..., None]]
-    if st.has_jp:
-        jpcol = (Jp_new if sim.plasticity is not None
-                 else cols[..., 26])
-        newcols.append(jnp.where(ok3, jpcol[..., None],
-                                 cols[..., 26:27]))
-    ncols = jnp.concatenate(newcols, axis=-1).reshape(L, -1)
-
-    grid = dataclasses.replace(grid, data={"m": gm, "v": gv})
-    return dataclasses.replace(st, cols=ncols, grid=grid, max_vel=max_vel,
-                               overflow=overflow, needs_rebin=escaped)
-
-
-def _axis_stencils_kminor(xib, borigin, side):
-    """Axis one-hots in [B, side, K] (minor-dim-K) layout.
-
-    Returns (w [dim][B,side,K], w_i [dim][B,side,K], rel0 [B,K,dim])."""
-    B, Kk, dim = xib.shape
-    base, wt, _ = bspline_weights(xib.reshape(B * Kk, dim), 2)
-    base = base.reshape(B, Kk, dim)
-    wt = wt.reshape(B, Kk, dim, 3)
-    off = jnp.clip(base - borigin[:, None, :], 0, side - 3)
-    sidx = jnp.arange(side, dtype=jnp.int32)
-    ws, wis = [], []
-    fidx = sidx.astype(xib.dtype)[:, None]
-    for d in range(dim):
-        w_axis = jnp.zeros((B, side, Kk), xib.dtype)
-        offd = off[..., d]                        # [B, K]
-        for j in range(3):
-            hit = sidx[None, :, None] == (offd + j)[:, None, :]
-            w_axis = w_axis + jnp.where(hit, wt[:, :, d, j][:, None, :],
-                                        0.0)
-        ws.append(w_axis)
-        wis.append(w_axis * fidx[None])
-    rel0 = (borigin[:, None, :].astype(xib.dtype) - xib)
-    return ws, wis, rel0
-
-
-def _step3d_kminor(sim: MPMSim, st, dt, cfg: BinnedConfig2):
-    """3-D step in minor-dim-K layouts (see BinnedConfig2.kminor).
-
-    Physics-identical to _step3d; every materialized stencil/channel
-    array keeps K (=128) as its minor dimension so nothing lane-pads."""
-    grid = st.grid
-    table = grid.table
-    nb = table.capacity
-    dx = grid.dx
-    origin_w = grid.transform.matrix[:3, 3]
-    B = cfg.bins_capacity
-    L = B * K
-    side = cfg.side
-    sq = side * side
-
-    cols = st.cols.reshape(B, K, -1)
-    xb = cols[..., 0:3]
-    vb = cols[..., 3:6]
-    Fb = cols[..., 6:15].reshape(B, K, 3, 3)
-    Cb = cols[..., 15:24].reshape(B, K, 3, 3)
-    mban = cols[..., 24]
-    volb = cols[..., 25]
-    lane_alive = (st.pid >= 0).reshape(B, K)
-    mban = jnp.where(lane_alive, mban, 0.0)
-    volb = jnp.where(lane_alive, volb, 0.0)
-
-    bin_live = jnp.any(lane_alive, axis=1)
-    bin_block = jnp.where(bin_live, st.bin_block, -1)
-    bad_bin = bin_live & (bin_block < 0)
-    overflow = st.overflow | jnp.any(bad_bin)
-    bin_block_safe = jnp.clip(bin_block, 0, nb - 1)
-    borigin = table.active_coords[bin_block_safe] * 4
-
-    xib = (xb - origin_w) / dx
-    ws, wis, rel0i = _axis_stencils_kminor(xib, borigin, side)
-    wx, wy, wz = ws                               # [B, side, K]
-    wx_i, wy_i, wz_i = wis
-    rel0 = rel0i * dx
-    alive_k = lane_alive[:, None, :]
-    wx = wx * alive_k
-    wx_i = wx_i * alive_k
-
-    # ---- P2G ---------------------------------------------------------------
-    Dinv = 4.0 / (dx * dx)
-    tau = sim.model.kirchhoff(Fb)
-    A = mban[..., None, None] * Cb - \
-        (dt * Dinv * volb)[..., None, None] * tau
-    u0 = mban[..., None] * vb + jnp.einsum("bkij,bkj->bki", A, rel0)
-    # channel stacks transposed: [B, 4, K]
-    Q0t = jnp.concatenate([mban[:, None, :],
-                           jnp.moveaxis(u0, 1, 2)], axis=1)
-    QAt = [jnp.concatenate([jnp.zeros((B, 1, K), A.dtype),
-                            dx * jnp.moveaxis(A[..., :, d], 1, 2)], axis=1)
-           for d in range(3)]
-
-    def plane_scale_t(w_t, q_t):
-        # [B,side,K],[B,4,K] -> [B, 4*side, K]
-        return (w_t[:, :, None, :] * q_t[:, None, :, :]).reshape(
-            B, 4 * side, K)
-
-    R1t = plane_scale_t(wx, Q0t) + plane_scale_t(wx_i, QAt[0])
-    R2t = plane_scale_t(wx, QAt[1])
-    R3t = plane_scale_t(wx, QAt[2])
-    S0t = (wy[:, :, None, :] * wz[:, None, :, :]).reshape(B, sq, K)
-    S1t = (wy_i[:, :, None, :] * wz[:, None, :, :]).reshape(B, sq, K)
-    S2t = (wy[:, :, None, :] * wz_i[:, None, :, :]).reshape(B, sq, K)
-    Sstack = jnp.concatenate([S0t, S1t, S2t], axis=2)       # [B,sq,3K]
-    Rstack = jnp.concatenate([R1t, R2t, R3t], axis=2)       # [B,4side,3K]
-    out = jnp.einsum("bmk,bAk->bmA", Sstack, Rstack, precision=_PREC,
-                     preferred_element_type=jnp.float32)  # [B,sq,4side]
-    cube = jnp.moveaxis(out.reshape(B, sq, side, 4), 2, 1
-                        ).reshape(B, side ** 3, 4)
-
-    sel, tgt8, use_seg = _spill_sel(table, bin_block_safe,
-                                    bin_live & ~bad_bin, nb, cfg)
-    if side == 8:
-        spilled = cube.reshape(B, 2, 4, 2, 4, 2, 4, 4).transpose(
-            1, 3, 5, 0, 2, 4, 6, 7).reshape(8, B, 64, 4)
-    else:
-        from ..ops.p2g_pallas import _SPILL_ALL
-        spill = jnp.asarray(_SPILL_ALL[:, :, :216])
-        spilled = jnp.einsum("dts,nsc->dntc", spill, cube, precision=_PREC,
-                             preferred_element_type=jnp.float32)
-    if use_seg:
-        seg = jnp.where(tgt8 >= 0, tgt8, nb).reshape(-1)
-        acc = jax.ops.segment_sum(
-            spilled.reshape(8 * B, 64 * 4), seg,
-            num_segments=nb + 1)[:nb].reshape(nb, 64, 4)
-    else:
-        acc = jax.lax.dot_general(
-            sel, spilled.reshape(8 * B, 64 * 4),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_PREC).reshape(nb, 64, 4)
-    gm = acc[..., 0]
-    gmv = acc[..., 1:]
-
-    # ---- grid update --------------------------------------------------------
-    has_mass = gm > 0.0
-    gv = jnp.where(has_mass[..., None],
-                   gmv / jnp.maximum(gm, 1e-30)[..., None], 0.0)
-    gv = gv + dt * sim.gravity[None, None, :]
-    corners = jnp.asarray(neighbor_offsets(3, 0, 3))
-    node_x = (table.active_coords[:, None, :] * 4 +
-              corners[None]).astype(gv.dtype) * dx + origin_w
-    gv = resolve_boundaries(sim.colliders, node_x, gv)
-    gv = jnp.where(has_mass[..., None], gv, 0.0)
-    max_vel = jnp.sqrt(jnp.max(jnp.sum(gv * gv, -1)))
-
-    # ---- G2P ----------------------------------------------------------------
-    if use_seg:
-        safe = jnp.clip(tgt8, 0, nb - 1)
-        Vd = jnp.where((tgt8 >= 0)[..., None, None], gv[safe], 0.0)
-    else:
-        Vd = jax.lax.dot_general(
-            sel, gv.reshape(nb, 64 * 3),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_PREC).reshape(8, B, 64, 3)
-    if side == 8:
-        Vbin = Vd.reshape(2, 2, 2, B, 4, 4, 4, 3).transpose(
-            3, 0, 4, 1, 5, 2, 6, 7).reshape(B, 512, 3)
-    else:
-        from ..ops.p2g_pallas import _PULL_ALL
-        pull = jnp.asarray(_PULL_ALL[:, :, :64])
-        Vbin = jnp.einsum("dst,dnte->nse", pull, Vd, precision=_PREC,
-                          preferred_element_type=jnp.float32)
-    Vac = jnp.moveaxis(Vbin.reshape(B, side, sq, 3), 1, 2
-                       ).reshape(B, sq, 3 * side)
-    # P*_t: [B, 3*side, K] — contraction over sq, minor stays K
-    P0t = jnp.einsum("bmk,bmA->bAk", S0t, Vac, precision=_PREC,
-                     preferred_element_type=jnp.float32)
-    P1t = jnp.einsum("bmk,bmA->bAk", S1t, Vac, precision=_PREC,
-                     preferred_element_type=jnp.float32)
-    P2t = jnp.einsum("bmk,bmA->bAk", S2t, Vac, precision=_PREC,
-                     preferred_element_type=jnp.float32)
-    P0r = P0t.reshape(B, side, 3, K)
-    P1r = P1t.reshape(B, side, 3, K)
-    P2r = P2t.reshape(B, side, 3, K)
-    s0t = jnp.einsum("bak,back->bck", wx, P0r)              # [B,3,K]
-    sxt = jnp.einsum("bak,back->bck", wx_i, P0r)
-    syt = jnp.einsum("bak,back->bck", wx, P1r)
-    szt = jnp.einsum("bak,back->bck", wx, P2r)
-
-    v_new = jnp.moveaxis(s0t, 1, 2)                          # [B,K,3]
-    sx = jnp.moveaxis(sxt, 1, 2)
-    sy = jnp.moveaxis(syt, 1, 2)
-    sz = jnp.moveaxis(szt, 1, 2)
-    Bmat = v_new[..., :, None] * rel0[..., None, :] + \
-        dx * jnp.stack([sx, sy, sz], axis=-1)
-    C_new = Dinv * Bmat
-    eye = jnp.eye(3, dtype=Fb.dtype)
-    F_new = mm(eye + dt * C_new, Fb)
-    if sim.plasticity is not None and st.has_jp:
-        Jpb = cols[..., 26]
-        F_new, Jp_new = sim.plasticity.project(F_new, Jpb)
-    x_new = xb + dt * v_new
-
     base_new = jnp.floor((x_new - origin_w) / dx - 0.5).astype(jnp.int32)
     off_new = base_new - borigin[:, None, :]
     escaped = jnp.any(lane_alive[..., None] &
