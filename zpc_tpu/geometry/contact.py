@@ -116,6 +116,16 @@ def barrier_grad(d2, dhat2, kappa=1.0):
     return jnp.where(inside, g, 0.0)
 
 
+def barrier_hess(d2, dhat2, kappa=1.0):
+    """d^2 b / d(d^2)^2 (analytic; +inf-trending as d2 -> 0, 0 at dhat)."""
+    d2 = jnp.asarray(d2)
+    inside = (d2 < dhat2) & (d2 > 0)
+    s = jnp.where(inside, d2, dhat2)
+    h = -kappa * (2.0 * jnp.log(s / dhat2) + 2.0 * (s - dhat2) / s
+                  + (s - dhat2) * (s + dhat2) / (s * s))
+    return jnp.where(inside, h, 0.0)
+
+
 # -- edge-edge mollifier (parallel-edge degeneracy) ---------------------------
 
 def edge_edge_mollifier(p0, p1, q0, q1, rest_e0, rest_e1, thresh=1e-3):

@@ -79,8 +79,9 @@ def _implicit_bin_step(sim: MPMSim, st: BinState, dt, cfg: BinnedConfig2,
 
     # ---- contact forces at t^n into the rhs --------------------------------
     if contact is not None:
-        fc, Hc, overflow_c = contact.forces_and_hessians(xb, lane_alive)
-        overflow = overflow | overflow_c
+        cset = contact.broad_phase(ctx, lane_alive)
+        overflow = overflow | cset.overflow
+        fc, Hc = contact.forces_and_hessians(cset, xb, lane_alive)
         fint = fint + _ctx_p2g(
             ctx, fc, [jnp.zeros_like(fc)] * 3)                 # [nb,64,3]
 
@@ -148,6 +149,11 @@ def _implicit_bin_step(sim: MPMSim, st: BinState, dt, cfg: BinnedConfig2,
     if sim.plasticity is not None and st.has_jp:
         F_new, Jp_new = sim.plasticity.project(F_new, cols[..., 26])
     x_new = xb + dt * v_new
+    if contact is not None and getattr(contact, "use_ccd", False):
+        # conservative-advancement step limiting against the candidate
+        # set (ccd_tight lineage): clamp advection, never the solve
+        alpha = contact.toi(cset, xb, dt * v_new, lane_alive)
+        x_new = xb + alpha[..., None] * (dt * v_new)
 
     # escape check: same contract as the explicit v2 step
     base_new = jnp.floor((x_new - ctx.origin_w) / dx - 0.5).astype(jnp.int32)
