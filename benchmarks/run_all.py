@@ -231,35 +231,106 @@ def bench_bvh(n=1_048_576, quick=False):
     return rows
 
 
+def _terrain_mesh(res=32, y0=0.56, amp=0.02, lo=0.0, hi=1.0):
+    """res x res heightfield -> 2*res^2 triangles (contact broad-phase
+    has real LBVH work, peaks graze the particle cube's underside)."""
+    xs = np.linspace(lo, hi, res + 1)
+    X, Z = np.meshgrid(xs, xs, indexing="ij")
+    Y = y0 + amp * np.sin(6.2832 * X) * np.cos(6.2832 * Z)
+    V = np.stack([X, Y, Z], -1).astype(np.float32)
+    a = V[:-1, :-1].reshape(-1, 3)
+    b = V[1:, :-1].reshape(-1, 3)
+    c = V[1:, 1:].reshape(-1, 3)
+    d = V[:-1, 1:].reshape(-1, 3)
+    return jnp.asarray(np.concatenate(
+        [np.stack([a, b, c], 1), np.stack([a, c, d], 1)]))
+
+
 def bench_implicit(n=1_000_000, quick=False):
-    """Config 5: implicit MPM step, PCG on the binned operator."""
+    """Config 5: implicit MPM step on the v2 bin-ordered operator, plus
+    the LBVH-contact-coupled variant (BASELINE config 5 as specified)."""
     from examples.mpm_block import build
-    from zpc_tpu.sim.implicit_binned import implicit_step_binned
-    from zpc_tpu.sim.mpm_binned import BinnedConfig
+    from zpc_tpu.sim.contact_implicit import MeshContact
+    from zpc_tpu.sim.implicit_binned2 import implicit_step_binned2
+    from zpc_tpu.sim.mpm_binned2 import BinnedConfig2, bin_state
 
     if quick:
         n = 262144
+    big = n > 500_000
     sim, st, dt = build(n, dx=1.0 / 128,
-                        block_capacity=8192 if n > 500_000 else 4096)
-    cfg = BinnedConfig(bins_capacity=max(2048, n // 128 * 2)
-                       if n <= 500_000 else 9216)
+                        block_capacity=8192 if big else 4096)
+    cfg = BinnedConfig2(bins_capacity=9216 if big else 2560,
+                        block_capacity=8192 if big else 2048)
+    bst = jax.block_until_ready(
+        jax.jit(lambda s: bin_state(sim, s, cfg))(st))
+    rows = []
 
-    def step(i, c):
-        s, ov = c
-        s2, ov2 = implicit_step_binned(sim, s, jnp.float32(5e-4), cfg,
-                                       cg_iters=20)
-        return s2, ov | ov2
-    ms = chained_ms(step, (st, jnp.bool_(False)), iters=1, reps=2)
-    return [(f"implicit MPM {n // 1000}k (20 CG iters)",
-             f"{ms:.0f} ms/step",
-             f"{n / (ms / 1e3) / 1e6:.2f} M particles/s")]
+    def step(_, s):
+        return implicit_step_binned2(sim, s, jnp.float32(5e-4), cfg,
+                                     cg_iters=20)
+    ms = chained_ms(step, bst, iters=2, reps=2)
+    rows.append((f"implicit MPM v2 {n // 1000}k (20 CG iters)",
+                 f"{ms:.0f} ms/step",
+                 f"{n / (ms / 1e3) / 1e6:.2f} M particles/s"))
+
+    mesh = _terrain_mesh()
+    mc = MeshContact.build(mesh, dhat=0.01, kappa=10.0, max_tris=8)
+
+    def stepc(_, s):
+        return implicit_step_binned2(sim, s, jnp.float32(5e-4), cfg,
+                                     cg_iters=20, contact=mc)
+    ms = chained_ms(stepc, bst, iters=2, reps=2)
+    rows.append((f"implicit MPM v2 + LBVH contact {n // 1000}k "
+                 f"({mesh.shape[0]} tris, 20 CG iters)",
+                 f"{ms:.0f} ms/step",
+                 f"{n / (ms / 1e3) / 1e6:.2f} M particles/s"))
+    return rows
+
+
+def bench_fluid(n=262144, quick=False):
+    """EOS weakly-compressible dam break on the fluid binned2 fast path."""
+    from zpc_tpu.models.constitutive import EquationOfState
+    from zpc_tpu.sim.fluid import make_fluid_state
+    from zpc_tpu.sim.fluid_binned2 import (bin_fluid_state, _rebin,
+                                           explicit_fluid_step_binned2)
+    from zpc_tpu.sim.mpm_binned2 import BinnedConfig2
+    from zpc_tpu.geometry.collider import Collider, ColliderType
+    from zpc_tpu.geometry.levelset import ComplementLevelSet, Cuboid
+    from zpc_tpu.sim.mpm import MPMSim
+
+    rng = np.random.default_rng(11)
+    # dam: fluid column filling the left quarter of the unit tank
+    x = np.stack([rng.uniform(0.05, 0.30, n), rng.uniform(0.05, 0.80, n),
+                  rng.uniform(0.05, 0.95, n)], -1).astype(np.float32)
+    st = make_fluid_state(jnp.asarray(x), dx=1.0 / 128, rho=1e3,
+                          block_capacity=4096)
+    tank = Collider(ComplementLevelSet(Cuboid(jnp.full(3, 0.02),
+                                              jnp.full(3, 0.98))),
+                    ColliderType.slip)
+    sim = MPMSim(model=EquationOfState(mu=jnp.float32(0.0),
+                                       lam=jnp.float32(8e4),
+                                       gamma=jnp.float32(7.0)),
+                 gravity=jnp.asarray([0.0, -9.8, 0.0]), colliders=(tank,))
+    cfg = BinnedConfig2(bins_capacity=3072, block_capacity=4096)
+    bst = jax.block_until_ready(
+        jax.jit(lambda s: bin_fluid_state(sim, s, cfg))(st))
+    dtj = jnp.float32(2e-4)
+
+    def stepf(_, s):
+        s = jax.lax.cond(s.needs_rebin,
+                         lambda t: _rebin(sim, t, cfg), lambda t: t, s)
+        return explicit_fluid_step_binned2(sim, s, dtj, cfg, rebin=False)
+    ms = chained_ms(stepf, bst, iters=5 if quick else 10)
+    return [(f"fluid dam break {n // 1000}k (binned2 adaptive)",
+             f"{ms:.1f} ms/step",
+             f"{n / (ms / 1e3) / 1e6:.2f} M particle-steps/s")]
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--only", default="",
-                    help="comma list: prim,poisson,mpm,bvh,implicit")
+                    help="comma list: prim,poisson,mpm,bvh,implicit,fluid")
     ap.add_argument("--out", default="BENCHMARKS.md")
     args = ap.parse_args()
     only = set(args.only.split(",")) if args.only else None
@@ -288,8 +359,11 @@ def main():
     if not only or "bvh" in only:
         add_section("LBVH (config 4)", lambda: bench_bvh(quick=args.quick))
     if not only or "implicit" in only:
-        add_section("Implicit MPM (config 5)",
+        add_section("Implicit MPM + contact (config 5)",
                     lambda: bench_implicit(quick=args.quick))
+    if not only or "fluid" in only:
+        add_section("Fluid dam break (EOS)",
+                    lambda: bench_fluid(quick=args.quick))
     lines = [f"# BENCHMARKS — measured on {dev.device_kind} "
              f"({time.strftime('%Y-%m-%d')})",
              "",

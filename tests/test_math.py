@@ -344,3 +344,62 @@ class TestBits:
         x = jnp.asarray([1, 2, 3, 5, 17, 1024, 1025], jnp.int32)
         got = np.asarray(zm.next_pow2(x))
         np.testing.assert_array_equal(got, [1, 2, 4, 8, 32, 1024, 2048])
+
+
+class TestSpGEMM:
+    def _dense(self, C):
+        import numpy as np
+        D = np.zeros((C.nrows, C.ncols), np.float32)
+        cols = np.asarray(C.cols)
+        vals = np.asarray(C.vals)
+        rid = np.asarray(C.row_ids)
+        for r, c, v in zip(rid, cols, vals):
+            if r < C.nrows and c >= 0:
+                D[r, c] += v
+        return D
+
+    def test_matches_dense_oracle(self, rng):
+        from zpc_tpu.math.sparse import csr_from_coo, spgemm
+        n = 24
+        DA = (rng.random((n, n)) < 0.15) * rng.standard_normal((n, n))
+        DB = (rng.random((n, n)) < 0.15) * rng.standard_normal((n, n))
+        def to_csr(D, cap):
+            r, c = np.nonzero(D)
+            pad = cap - r.size
+            rows = jnp.asarray(np.concatenate([r, np.zeros(pad, int)]),
+                               jnp.int32)
+            cols = jnp.asarray(np.concatenate([c, np.zeros(pad, int)]),
+                               jnp.int32)
+            vals = jnp.asarray(np.concatenate(
+                [D[r, c], np.zeros(pad)]), jnp.float32)
+            valid = jnp.arange(cap) < r.size
+            return csr_from_coo(rows, cols, vals, n, n, valid=valid)
+        A = to_csr(DA, 160)
+        B = to_csr(DB, 160)
+        C, ovf = spgemm(A, B, max_row_nnz_b=16)
+        assert not bool(ovf)
+        np.testing.assert_allclose(self._dense(C),
+                                   (DA @ DB).astype(np.float32),
+                                   atol=1e-5)
+
+    def test_overflow_flagged_on_truncation(self, rng):
+        from zpc_tpu.math.sparse import csr_from_coo, spgemm
+        n = 8
+        # B row 0 has 6 nonzeros; bound of 4 must flag
+        DB = np.zeros((n, n)); DB[0, :6] = 1.0
+        DA = np.zeros((n, n)); DA[2, 0] = 3.0
+        def to_csr(D, cap=32):
+            r, c = np.nonzero(D)
+            pad = cap - r.size
+            rows = jnp.asarray(np.concatenate([r, np.zeros(pad, int)]),
+                               jnp.int32)
+            cols = jnp.asarray(np.concatenate([c, np.zeros(pad, int)]),
+                               jnp.int32)
+            vals = jnp.asarray(np.concatenate(
+                [D[r, c], np.zeros(pad)]), jnp.float32)
+            valid = jnp.arange(cap) < r.size
+            return csr_from_coo(rows, cols, vals, n, n, valid=valid)
+        _, ovf = spgemm(to_csr(DA), to_csr(DB), max_row_nnz_b=4)
+        assert bool(ovf)
+        _, ok = spgemm(to_csr(DA), to_csr(DB), max_row_nnz_b=6)
+        assert not bool(ok)

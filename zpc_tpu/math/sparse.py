@@ -199,14 +199,16 @@ def spmv_mask(A: CSRMatrix, x: jax.Array, mask: jax.Array,
 
 
 def spgemm(A: CSRMatrix, B: CSRMatrix, max_row_nnz_b: int,
-           semiring="plus_times") -> CSRMatrix:
+           semiring="plus_times"):
     """Sparse-sparse matmul C = A (x) B (``spgemm_classic``,
-    SparseMatrixOperations.hpp:100).
+    SparseMatrixOperations.hpp:100).  Returns ``(C, overflow)``.
 
     XLA needs static shapes, so the expansion is bounded by
-    ``max_row_nnz_b`` — the max nonzeros in any row of B (pad capacity;
-    exceeding rows are truncated, mirroring the fixed-capacity idiom used
-    throughout).  Each A-entry (i, k, v) fans out against B's row k; the
+    ``max_row_nnz_b`` — the max nonzeros in any row of B (pad capacity).
+    A row of B exceeding it is truncated AND flagged through the returned
+    overflow bool, the framework-wide capacity contract
+    (``BlockTable.build_overflowed`` idiom): the host re-traces with a
+    larger bound.  Each A-entry (i, k, v) fans out against B's row k; the
     resulting COO triples merge through :func:`csr_from_coo`.
     """
     reduce_op, map_op, _ = SEMIRINGS[semiring] \
@@ -218,6 +220,7 @@ def spgemm(A: CSRMatrix, B: CSRMatrix, max_row_nnz_b: int,
     # B row ranges
     startB = B.indptr[jnp.clip(colA, 0, B.nrows - 1)]
     endB = B.indptr[jnp.clip(colA + 1, 0, B.nrows)]
+    overflow = jnp.any(validA & (endB - startB > max_row_nnz_b))
     lane = jnp.arange(max_row_nnz_b, dtype=jnp.int32)
     pos = startB[:, None] + lane[None, :]
     ok = validA[:, None] & (pos < endB[:, None])
@@ -226,8 +229,9 @@ def spgemm(A: CSRMatrix, B: CSRMatrix, max_row_nnz_b: int,
     valsC = map_op(A.vals[:, None], B.vals[safe])
     rowsC = jnp.broadcast_to(ridA[:, None], ok.shape)
     combine = "add" if reduce_op is jnp.add else "max"
-    return csr_from_coo(jnp.where(ok, rowsC, 0).reshape(-1),
-                        jnp.where(ok, colsC, 0).reshape(-1),
-                        jnp.where(ok, valsC, 0).reshape(-1),
-                        A.nrows, B.ncols,
-                        valid=ok.reshape(-1), combine=combine)
+    C = csr_from_coo(jnp.where(ok, rowsC, 0).reshape(-1),
+                     jnp.where(ok, colsC, 0).reshape(-1),
+                     jnp.where(ok, valsC, 0).reshape(-1),
+                     A.nrows, B.ncols,
+                     valid=ok.reshape(-1), combine=combine)
+    return C, overflow
