@@ -34,7 +34,8 @@ import numpy as np
 from ..containers.block_table import BlockTable, build_block_table
 from ..math.transform import Transform, scaling, translation
 
-__all__ = ["AdaptiveGrid", "adaptive_grid_from_leaves"]
+__all__ = ["AdaptiveGrid", "adaptive_grid_from_leaves",
+           "AdaptiveGridLevelSet", "adaptive_from_sdf"]
 
 
 @jax.tree_util.register_dataclass
@@ -116,7 +117,6 @@ class AdaptiveGrid:
         out = None
         from .sparse_grid import neighbor_offsets
 
-        dxw = self.transform.matrix[0, 0]
         for c in neighbor_offsets(self.dim, 0, 1):
             corner_ix = base + jnp.asarray(c, xi.dtype) + 0.5
             p = self.transform.apply(corner_ix)
@@ -126,6 +126,120 @@ class AdaptiveGrid:
             v = self.probe(p)
             out = w * v if out is None else out + w * v
         return out
+
+    def sample_gradient(self, x_world: jax.Array) -> jax.Array:
+        """Gradient of the trilinearly-sampled field (autodiff through the
+        probe gathers, the same policy as SparseGrid.sample_gradient)."""
+        def f(p):
+            return jnp.sum(self.sample(p[None]))
+        g = jax.vmap(jax.grad(f))(x_world.reshape(-1, self.dim))
+        return g.reshape(x_world.shape)
+
+    def sample_staggered(self, x_world: jax.Array) -> jax.Array:
+        """MAC sampling (SparseGrid.hpp:418-498 staggered convention): the
+        d-th output component samples the field on faces offset -dx/2
+        along d — for AdaptiveGrid the payload is scalar, so this returns
+        the per-face-component interpolation of that scalar field."""
+        dxw = self.transform.matrix[0, 0]
+        comps = []
+        for d in range(self.dim):
+            shift = jnp.zeros((self.dim,), x_world.dtype).at[d].set(
+                0.5 * dxw)
+            comps.append(self.sample(x_world + shift))
+        return jnp.stack(comps, axis=-1)
+
+    # -- writes / re-activation (AdaptiveGrid.hpp value-write accessor +
+    # topology activation, :1035-1130) ------------------------------------
+    def update_leaf_values(self, leaf_cells: jax.Array,
+                           leaf_values: jax.Array):
+        """Topology-preserving value write into existing leaf cells.
+
+        Returns (grid, overflow); overflow fires when a written cell's
+        leaf block is not active (re-activate first via
+        :meth:`activate_leaves`)."""
+        lev = self.levels[0]
+        bs = self.block_sizes[0]
+        dim = self.dim
+        block = jnp.floor_divide(leaf_cells, bs)
+        local = leaf_cells - block * bs
+        lin = jnp.zeros(local.shape[:-1], jnp.int32)
+        for d in range(dim):
+            lin = lin * bs + local[..., d]
+        slot = lev.table.query(block)
+        overflow = jnp.any(slot < 0)
+        ncell = bs ** dim
+        flat_idx = jnp.where(slot >= 0, slot * ncell + lin,
+                             lev.capacity * ncell)
+        buf = jnp.concatenate(
+            [lev.value.reshape(-1), jnp.zeros((1,), lev.value.dtype)])
+        value = buf.at[flat_idx].set(leaf_values)[:-1].reshape(
+            lev.capacity, ncell)
+        levels = (dataclasses.replace(lev, value=value),) + self.levels[1:]
+        return dataclasses.replace(self, levels=levels), overflow
+
+    def activate_leaves(self, leaf_cells: jax.Array):
+        """Re-activation: extend the leaf topology (block granularity)
+        with the blocks covering ``leaf_cells``, preserving every stored
+        value, and rebuild the coarser child masks.  Returns
+        (grid, overflow) — overflow when a level's capacity is exceeded.
+        """
+        lev0 = self.levels[0]
+        bs0 = self.block_sizes[0]
+        dim = self.dim
+        cap0 = lev0.capacity
+        new_blocks = jnp.floor_divide(leaf_cells, bs0)
+        old_coords = lev0.table.active_coords           # [cap0, d]
+        old_valid = lev0.table.mask
+        cat = jnp.concatenate([old_coords, new_blocks])
+        catmask = jnp.concatenate(
+            [old_valid, jnp.ones(new_blocks.shape[:-1], bool)])
+        table, _ = build_block_table(cat, cap0, valid=catmask, dim=dim)
+        overflow = table.count > cap0
+        # move old payload rows to their new slots
+        ncell = bs0 ** dim
+        dst = table.query(old_coords)                   # [cap0]
+        dst = jnp.where(old_valid & (dst >= 0), dst, cap0)
+        value = jnp.full((cap0 + 1, ncell), self.background,
+                         lev0.value.dtype).at[dst].set(lev0.value)[:cap0]
+        child = jnp.zeros((cap0 + 1, ncell), bool
+                          ).at[dst].set(lev0.child)[:cap0]
+        levels = [AdaptiveLevel(table, value, child)]
+        # rebuild coarser child masks from the (new) finer block keys
+        span = bs0
+        fine_cells = table.active_coords * bs0          # block origin cells
+        fine_valid = table.mask
+        for l in range(1, len(self.levels)):
+            lev = self.levels[l]
+            bs = self.block_sizes[l]
+            cap = lev.capacity
+            cell_l = jnp.floor_divide(fine_cells, span)
+            block_l = jnp.floor_divide(cell_l, bs)
+            tbl, inv = build_block_table(block_l, cap, valid=fine_valid,
+                                         dim=dim)
+            overflow = overflow | (tbl.count > cap)
+            local = cell_l - block_l * bs
+            lin = jnp.zeros(local.shape[:-1], jnp.int32)
+            for d in range(dim):
+                lin = lin * bs + local[..., d]
+            nc = bs ** dim
+            flat = jnp.where((inv >= 0) & fine_valid, inv * nc + lin,
+                             cap * nc)
+            child = jnp.zeros((cap * nc + 1,), bool).at[flat].set(
+                True)[:-1].reshape(cap, nc)
+            # carry coarse values over by key (constant-tile payloads)
+            vdst = tbl.query(lev.table.active_coords)
+            vdst = jnp.where(lev.table.mask & (vdst >= 0), vdst, cap)
+            value = jnp.full((cap + 1, nc), self.background,
+                             lev.value.dtype).at[vdst].set(
+                                 lev.value)[:cap]
+            levels.append(AdaptiveLevel(tbl, value, child))
+            span *= bs
+            # next level's "fine" keys are THIS level's blocks, expressed
+            # as their leaf-cell origins (block b covers leaf cells from
+            # b * bs * span_l = b * span)
+            fine_cells = tbl.active_coords * span
+            fine_valid = tbl.mask
+        return dataclasses.replace(self, levels=tuple(levels)), overflow
 
 
 def adaptive_grid_from_leaves(leaf_cells: jax.Array, leaf_values: jax.Array,
@@ -178,3 +292,57 @@ def adaptive_grid_from_leaves(leaf_cells: jax.Array, leaf_values: jax.Array,
         tr = translation(origin).compose(tr)
     return AdaptiveGrid(tuple(levels), tr, tuple(block_sizes), dim,
                         background)
+
+
+def adaptive_from_sdf(levelset, *, dx: float, lo, hi, band: float,
+                      block_sizes: Sequence[int] = (8, 4, 4),
+                      capacities: Optional[Sequence[int]] = None,
+                      origin=None) -> "AdaptiveGrid":
+    """Sample an analytic/level-set SDF into an adaptive narrow-band grid:
+    leaf cells only inside ``|sdf| < band``, coarse constant tiles carry
+    the (clamped) far-field sign — the coarse-fine collision-SDF pattern
+    (VdbLevelSet mesh->SDF conversion analog, dependency-free)."""
+    lo = np.asarray(lo, np.float32)
+    hi = np.asarray(hi, np.float32)
+    org = lo if origin is None else np.asarray(origin, np.float32)
+    res = np.maximum(((hi - lo) / dx).astype(np.int64), 1)
+    dim = lo.shape[0]
+    axes = [np.arange(int(r)) for r in res]
+    cells = np.stack(np.meshgrid(*axes, indexing="ij"),
+                     -1).reshape(-1, dim)
+    centers = (cells + 0.5) * dx + org
+    vals = np.asarray(levelset.sdf(jnp.asarray(centers, jnp.float32)))
+    keep = np.abs(vals) < band
+    leaf_cells = jnp.asarray(cells[keep], jnp.int32)
+    leaf_vals = jnp.asarray(vals[keep], jnp.float32)
+    if capacities is None:
+        nblk = max(64, int(np.unique(
+            cells[keep] // block_sizes[0], axis=0).shape[0] * 2))
+        capacities = [nblk, max(64, nblk // 8), 64]
+    return adaptive_grid_from_leaves(
+        leaf_cells, leaf_vals, dx=dx, block_sizes=block_sizes,
+        capacities=capacities, background=float(band), origin=org)
+
+
+class AdaptiveGridLevelSet:
+    """LevelSet adapter over a scalar AdaptiveGrid SDF — the grid's sim
+    consumer: plug into :class:`~zpc_tpu.geometry.collider.Collider` as a
+    boundary for MPM steps (grid-backed collision SDF, the role
+    ``SparseLevelSet`` + ``Collider`` play in the reference)."""
+
+    def __init__(self, grid: AdaptiveGrid):
+        self.grid = grid
+
+    def sdf(self, x: jax.Array) -> jax.Array:
+        return self.grid.sample(x)
+
+    def normal(self, x: jax.Array) -> jax.Array:
+        g = self.grid.sample_gradient(x)
+        return g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True),
+                               1e-12)
+
+    def velocity(self, x: jax.Array) -> jax.Array:
+        return jnp.zeros_like(x)
+
+    def inside(self, x: jax.Array) -> jax.Array:
+        return self.sdf(x) < 0.0

@@ -123,3 +123,52 @@ def load_vdb_grids(path: str, *, block_capacity: Optional[int] = None):
     return {vg.name: vdb_grid_to_sparse_grid(
         vg, vg.name.split(".")[0] or "v", block_capacity=block_capacity)
         for vg in read_vdb(path)}
+
+
+# -- AdaptiveGrid <-> VDB (AdaptiveGrid_Conversion.cpp:173-231 analog) -----
+
+def adaptive_to_vdb_grid(ag, *, name: str = "adaptive",
+                         grid_class: str = "unknown") -> VdbGrid:
+    """AdaptiveGrid -> VdbGrid (leaf level; requires leaf bs=8 = VDB leaf).
+
+    Coarse constant tiles are NOT emitted: the vdb-lite writer has no
+    tile stream (utils/vdb.py writes `tiles 0`), so the round trip
+    preserves leaf topology/values and rebuilds coarse child masks on
+    read — documented deviation from AdaptiveGrid_Conversion.cpp, which
+    emits interior tiles.
+    """
+    if ag.block_sizes[0] != 8 or ag.dim != 3:
+        raise ValueError("adaptive_to_vdb_grid needs dim=3, leaf bs=8")
+    from ..geometry.adaptive_grid import AdaptiveGrid  # noqa: F401
+    lev = ag.levels[0]
+    count = int(lev.table.count)
+    coords = np.asarray(lev.table.active_coords[:count])
+    vals = np.asarray(lev.value[:count]).reshape(count, 8, 8, 8)
+    leaves = {tuple(int(c) * 8 for c in coords[i]): vals[i]
+              for i in range(count)}
+    tr = np.asarray(ag.transform.matrix)
+    return VdbGrid(name, leaves,
+                   voxel_size=float(np.linalg.norm(tr[:3, 0])),
+                   translation=tuple(float(t) for t in tr[:3, 3]),
+                   background=ag.background, grid_class=grid_class)
+
+
+def vdb_grid_to_adaptive(vg: VdbGrid, *, block_sizes=(8, 4, 4),
+                         capacities=None):
+    """VdbGrid -> AdaptiveGrid: leaves become level-0 blocks; coarser
+    levels get child masks (values = background constant tiles)."""
+    from ..geometry.adaptive_grid import adaptive_grid_from_leaves
+    origins = np.asarray(sorted(vg.leaves), np.int64)
+    nl = len(origins)
+    off = np.stack(np.meshgrid(*([np.arange(8)] * 3), indexing="ij"),
+                   -1).reshape(-1, 3)
+    cells = (origins[:, None, :] + off[None]).reshape(-1, 3)
+    vals = np.stack([vg.leaves[tuple(o)] for o in origins]).reshape(-1)
+    if capacities is None:
+        cap0 = max(64, 1 << int(np.ceil(np.log2(max(nl, 1)))))
+        capacities = [cap0, max(64, cap0 // 4), 64]
+    return adaptive_grid_from_leaves(
+        jnp.asarray(cells, jnp.int32), jnp.asarray(vals, jnp.float32),
+        dx=vg.voxel_size, block_sizes=block_sizes, capacities=capacities,
+        background=vg.background,
+        origin=jnp.asarray(vg.translation, jnp.float32))
