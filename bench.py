@@ -34,7 +34,10 @@ def main():
     sim, st, dt = build(n, dx=1.0 / 128)
     dtj = jnp.float32(dt)
     cfg = BinnedConfig2(bins_capacity=2560, block_capacity=2048)
-    chain = 20
+    # long chains amortize the fixed per-dispatch overhead of the remote
+    # TPU path (~35 ms/call measured in benchmarks/probe_r3_tax.py —
+    # 20-step chains under-reported the sustained rate by ~35%%)
+    chain = 120
 
     bst = jax.jit(lambda s: bin_state(sim, s, cfg))(st)
 

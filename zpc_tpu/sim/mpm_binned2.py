@@ -484,7 +484,12 @@ def _spill_sel(table, bin_block, bin_live, nbq, cfg):
     B = bin_block.shape[0]
     use_seg = cfg.use_segments
     if use_seg is None:
-        use_seg = nbq * 8 * B > (1 << 27)
+        # measured on v5e at 256k (benchmarks/probe_r3_tax.py): the
+        # segment_sum reduction beats the one-hot selection matmul once
+        # the sel matrix stops being tiny (2.4 vs 3.2 ms/step) — the
+        # [nb, 8B] one-hot build+reads dominate.  Keep one-hot only for
+        # small problems where the matmul is exact-fp32 cheap.
+        use_seg = nbq * 8 * B > (1 << 22)
     if use_seg:
         return None, tgt, True
     sel = (tgt.reshape(-1)[None, :] ==
