@@ -120,3 +120,72 @@ class TestDomainDecomposition:
         n = got["x"].shape[0]
         np.testing.assert_allclose(got["v"], np.asarray(ref.particles["v"])[:n],
                                    atol=2e-4)
+
+
+class TestDDScale:
+    """VERDICT round-2 item 7: realistic load + adversarial distributions
+    on the 8-device mesh; the capacity-overflow contract fires and the
+    host-side re-trace recovery path works end to end."""
+
+    def test_100k_particles_skewed(self, rng):
+        # clustered + uniform mix: morton ranges are strongly skewed
+        n_a, n_b = 80_000, 24_000
+        a = rng.uniform(0.05, 0.25, (n_a, 3))          # dense cluster
+        b = rng.uniform(0.05, 0.95, (n_b, 3))          # sparse filler
+        x = jnp.asarray(np.concatenate([a, b]), jnp.float32)
+        st = make_mpm_state(x, dx=0.01, block_capacity=8192)
+        sim = MPMSim(model=FixedCorotated.from_young_poisson(1e4, 0.3),
+                     gravity=jnp.asarray([0.0, -9.8, 0.0]))
+        mesh = make_mesh(8)
+        dds = make_dd_state(st, mesh)
+        step = jax.jit(lambda s: explicit_step_dd(
+            sim, s, jnp.float32(2e-4), mesh, grid_template=st.grid,
+            nb_local=8192, mig_cap=4096))
+        ov_any = False
+        for _ in range(3):
+            dds, ov = step(dds)
+            ov_any = ov_any or bool(ov)
+        assert not ov_any
+        got = gather_dd_particles(dds, n_a + n_b)
+        assert np.isfinite(got["x"]).all()
+        assert np.isfinite(got["v"]).all()
+        # mass conservation proxy: every particle accounted for exactly once
+        assert got["x"].shape[0] == n_a + n_b
+
+    def test_migration_cap_overflow_fires_and_recovers(self, rng):
+        # extreme velocities push many particles across morton splits in
+        # one step; a tiny mig_cap must flag, and re-tracing with a larger
+        # cap (the host recovery contract) must produce the oracle result
+        n = 2048
+        sim, st = _setup(rng, n=n, spread=(0.3, 0.7), dx=0.05,
+                         vel_scale=40.0)
+        mesh = make_mesh(8)
+        dt = jnp.float32(2e-3)
+
+        dds = make_dd_state(st, mesh)
+        step_small = jax.jit(lambda s: explicit_step_dd(
+            sim, s, dt, mesh, grid_template=st.grid, nb_local=512,
+            mig_cap=2))
+        _, ov = step_small(dds)
+        assert bool(ov), "tiny mig_cap must overflow with fast particles"
+
+        # host recovery: re-trace with a bigger cap from the SAME input
+        step_big = jax.jit(lambda s: explicit_step_dd(
+            sim, s, dt, mesh, grid_template=st.grid, nb_local=512,
+            mig_cap=1024))
+        dds2, ov2 = step_big(dds)
+        assert not bool(ov2)
+        ref = explicit_step(sim, st, dt)
+        got = gather_dd_particles(dds2, n)
+        np.testing.assert_allclose(got["x"], np.asarray(ref.particles["x"]),
+                                   atol=1e-5)
+
+    def test_block_table_overflow_fires(self, rng):
+        sim, st = _setup(rng, n=1024, spread=(0.05, 0.95), dx=0.02)
+        mesh = make_mesh(8)
+        dds = make_dd_state(st, mesh)
+        step = jax.jit(lambda s: explicit_step_dd(
+            sim, s, jnp.float32(1e-4), mesh, grid_template=st.grid,
+            nb_local=16, mig_cap=256))
+        _, ov = step(dds)
+        assert bool(ov), "nb_local far below touched blocks must overflow"
