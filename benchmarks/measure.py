@@ -43,29 +43,49 @@ def _sync(tree):
     return tree
 
 
-def chained_ms(body, x0, iters=20, reps=4, const=None, label=None):
+def chained_ms(body, x0, iters=20, reps=4, const=None, label=None,
+               marginal=False):
     """Median wall-ms of one ``body`` application, amortized over a
     data-dependent fori_loop chain; compile + warmup excluded.
 
     ``body(i, carry[, const])`` -> carry.  ``const`` rides as a jit
     argument so large workspaces aren't baked into the HLO (the remote
     compiler 413s above ~100 MB).
+
+    ``marginal=True``: the remote dispatch path costs ~35 ms per CALL
+    regardless of work (benchmarks/probe_r3_tax.py), which swamps cheap
+    bodies at small ``iters``.  Marginal mode times chains of ``iters``
+    and ``2*iters`` through ONE compiled program (traced trip count) and
+    reports the difference / iters — the true on-chip amortized cost.
     """
     if const is None:
-        f = jax.jit(lambda x: jax.lax.fori_loop(0, iters, body, x))
-        call = lambda x: f(x)
+        f = jax.jit(lambda n, x: jax.lax.fori_loop(0, n, body, x))
+        call = lambda n, x: f(n, x)
     else:
-        f = jax.jit(lambda c, x: jax.lax.fori_loop(
-            0, iters, lambda i, xx: body(i, xx, c), x))
-        call = lambda x: f(const, x)
-    x = _sync(call(x0))                      # compile + warm
-    x = _sync(call(x))                       # flush pipeline effects
-    times = []
-    for _ in range(reps):
+        f = jax.jit(lambda n, c, x: jax.lax.fori_loop(
+            0, n, lambda i, xx: body(i, xx, c), x))
+        call = lambda n, x: f(n, const, x)
+
+    def timed(n, x):
         t0 = time.perf_counter()
-        x = _sync(call(x))
-        times.append((time.perf_counter() - t0) / iters)
-    ms = float(np.median(times)) * 1e3
+        x = _sync(call(n, x))
+        return time.perf_counter() - t0, x
+
+    x = _sync(call(iters, x0))               # compile + warm
+    x = _sync(call(iters, x))                # flush pipeline effects
+    if marginal:
+        times = []
+        for _ in range(reps):
+            t1, x = timed(iters, x)
+            t2, x = timed(2 * iters, x)
+            times.append((t2 - t1) / iters)
+        ms = max(float(np.median(times)), 1e-6) * 1e3
+    else:
+        times = []
+        for _ in range(reps):
+            t, x = timed(iters, x)
+            times.append(t / iters)
+        ms = float(np.median(times)) * 1e3
     if label:
-        print(f"{label:46s} {ms:8.2f} ms", flush=True)
+        print(f"{label:46s} {ms:8.3f} ms", flush=True)
     return ms

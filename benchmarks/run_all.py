@@ -40,21 +40,21 @@ def bench_primitives(n=1_000_000):
     def red(i, c):
         s, = c
         return (s + jnp.sum(jnp.abs(xf + s * 1e-37)),)
-    ms = chained_ms(red, (jnp.float32(0),), iters=40)
+    ms = chained_ms(red, (jnp.float32(0),), iters=40, marginal=True)
     rows.append(("reduce 1M f32", f"{ms:.3f} ms",
                  f"{bytes_gb(n * 4 / (ms / 1e3)):.0f} GB/s"))
 
     def scan(i, c):
         x, = c
         return (x + jnp.cumsum(x) * 1e-37,)
-    ms = chained_ms(scan, (xf,), iters=20)
+    ms = chained_ms(scan, (xf,), iters=20, marginal=True)
     rows.append(("inclusive-scan 1M f32", f"{ms:.3f} ms",
                  f"{bytes_gb(2 * n * 4 / (ms / 1e3)):.0f} GB/s"))
 
     def srt(i, c):
         k, = c
         return (jax.lax.sort(jnp.roll(k, 1) ^ i),)
-    ms = chained_ms(srt, (xi,), iters=8)
+    ms = chained_ms(srt, (xi,), iters=8, marginal=True)
     rows.append(("sort 1M i32", f"{ms:.2f} ms",
                  f"{n / (ms / 1e3) / 1e6:.0f} Mkeys/s"))
 
@@ -63,7 +63,7 @@ def bench_primitives(n=1_000_000):
     def sp(i, c):
         k, v = c
         return jax.lax.sort((jnp.roll(k, 1) ^ i, v), num_keys=1)
-    ms = chained_ms(sp, (xi, vals), iters=8)
+    ms = chained_ms(sp, (xi, vals), iters=8, marginal=True)
     rows.append(("radix_sort_pair 1M i32", f"{ms:.2f} ms",
                  f"{n / (ms / 1e3) / 1e6:.0f} Mpairs/s"))
     return rows
@@ -92,7 +92,7 @@ def bench_poisson(n=128):
         res = cg(laplace, bb, max_iters=iters, rel_tol=0.0)
         return (bb + 1e-30 * jnp.abs(res.x),)
 
-    ms = chained_ms(solve_chain, (b,), iters=1, reps=3)
+    ms = chained_ms(solve_chain, (b,), iters=1, reps=3, marginal=True)
     it_s = iters / (ms / 1e3)
     bw = bytes_gb(iters * 8 * n ** 3 * 4 / (ms / 1e3))
     return [(f"CG Poisson {n}^3 (100 iters)",
@@ -126,13 +126,13 @@ def bench_mpm(n=262144, quick=False):
         s = jax.lax.cond(s.needs_rebin,
                          lambda t: _rebin(sim, t, cfg2), lambda t: t, s)
         return explicit_step_binned2(sim, s, dtj, cfg2, rebin=False)
-    add("binned2 adaptive", chained_ms(v2, bst, iters=iters))
+    add("binned2 adaptive", chained_ms(v2, bst, iters=iters, marginal=True))
 
     def v1(_, c):
         s, ov = c
         s2, ov2 = explicit_step_binned(sim, s, dtj, cfg)
         return s2, ov | ov2
-    add("binned", chained_ms(v1, (st0, jnp.bool_(False)), iters=iters))
+    add("binned", chained_ms(v1, (st0, jnp.bool_(False)), iters=iters, marginal=True))
 
     if not quick:
         try:
@@ -141,13 +141,13 @@ def bench_mpm(n=262144, quick=False):
                 s2, ov2 = explicit_step_pallas(sim, s, dtj, cfg)
                 return s2, ov | ov2
             add("pallas", chained_ms(vp, (st0, jnp.bool_(False)),
-                                     iters=iters))
+                                     iters=iters, marginal=True))
         except Exception as e:     # Mosaic tunnel outages
             rows.append(("MPM 256k pallas", "n/a", str(e)[:60]))
 
         def vb(_, s):
             return explicit_step(sim, s, dtj)
-        add("baseline", chained_ms(vb, st0, iters=3, reps=2))
+        add("baseline", chained_ms(vb, st0, iters=3, reps=2, marginal=True))
     return rows
 
 
@@ -171,7 +171,7 @@ def bench_bvh(n=1_048_576, quick=False):
         eps = dep_scalar(bvh.lo)
         return l + eps, h2 + eps
 
-    ms = chained_ms(build_body, (lo, hi), iters=4, reps=3)
+    ms = chained_ms(build_body, (lo, hi), iters=4, reps=3, marginal=True)
     rows = [(f"LBVH build (Karras) {n // 1000}k", f"{ms:.1f} ms",
              f"{n / (ms / 1e3) / 1e6:.1f} Mprims/s")]
 
@@ -181,7 +181,7 @@ def bench_bvh(n=1_048_576, quick=False):
         eps = dep_scalar(bvh.lo)
         return l + eps, h2 + eps
 
-    ms = chained_ms(build_body2, (lo, hi), iters=6, reps=3)
+    ms = chained_ms(build_body2, (lo, hi), iters=6, reps=3, marginal=True)
     rows.append((f"LBVH build (complete tree) {n // 1000}k", f"{ms:.1f} ms",
                  f"{n / (ms / 1e3) / 1e6:.1f} Mprims/s"))
 
@@ -199,7 +199,7 @@ def bench_bvh(n=1_048_576, quick=False):
         eps = dep_scalar(cnt) + dep_scalar(hits[:, 0])
         return ql + eps, qh + eps
 
-    ms = chained_ms(q_sorted, (qlo, qhi), iters=3, const=(bvh,))
+    ms = chained_ms(q_sorted, (qlo, qhi), iters=3, const=(bvh,), marginal=True)
     rows.append((f"AABB query (banded join, 16 hits) {nq // 1000}k",
                  f"{ms:.1f} ms", f"{nq / (ms / 1e3) / 1e6:.2f} Mq/s"))
 
@@ -212,7 +212,7 @@ def bench_bvh(n=1_048_576, quick=False):
         eps = dep_scalar(cnt)
         return ql + eps, qh + eps
 
-    ms = chained_ms(q_counts, (qlo, qhi), iters=3, const=(bvh,))
+    ms = chained_ms(q_counts, (qlo, qhi), iters=3, const=(bvh,), marginal=True)
     rows.append((f"AABB query (counts only) {nq // 1000}k",
                  f"{ms:.1f} ms", f"{nq / (ms / 1e3) / 1e6:.2f} Mq/s"))
 
@@ -225,7 +225,7 @@ def bench_bvh(n=1_048_576, quick=False):
         return ql + dep_scalar(cnt), qh + dep_scalar(cnt)
 
     ms = chained_ms(q_rope, (qlo[:nq2], qhi[:nq2]), iters=2, reps=2,
-                    const=(bvh,))
+                    const=(bvh,), marginal=True)
     rows.append((f"AABB query (rope walk) {nq2 // 1000}k",
                  f"{ms:.1f} ms", f"{nq2 / (ms / 1e3) / 1e6:.3f} Mq/s"))
     return rows
@@ -268,7 +268,7 @@ def bench_implicit(n=1_000_000, quick=False):
     def step(_, s):
         return implicit_step_binned2(sim, s, jnp.float32(5e-4), cfg,
                                      cg_iters=20)
-    ms = chained_ms(step, bst, iters=2, reps=2)
+    ms = chained_ms(step, bst, iters=2, reps=2, marginal=True)
     rows.append((f"implicit MPM v2 {n // 1000}k (20 CG iters)",
                  f"{ms:.0f} ms/step",
                  f"{n / (ms / 1e3) / 1e6:.2f} M particles/s"))
@@ -279,7 +279,7 @@ def bench_implicit(n=1_000_000, quick=False):
     def stepc(_, s):
         return implicit_step_binned2(sim, s, jnp.float32(5e-4), cfg,
                                      cg_iters=20, contact=mc)
-    ms = chained_ms(stepc, bst, iters=2, reps=2)
+    ms = chained_ms(stepc, bst, iters=2, reps=2, marginal=True)
     rows.append((f"implicit MPM v2 + LBVH contact {n // 1000}k "
                  f"({mesh.shape[0]} tris, 20 CG iters)",
                  f"{ms:.0f} ms/step",
@@ -320,7 +320,7 @@ def bench_fluid(n=262144, quick=False):
         s = jax.lax.cond(s.needs_rebin,
                          lambda t: _rebin(sim, t, cfg), lambda t: t, s)
         return explicit_fluid_step_binned2(sim, s, dtj, cfg, rebin=False)
-    ms = chained_ms(stepf, bst, iters=5 if quick else 10)
+    ms = chained_ms(stepf, bst, iters=5 if quick else 10, marginal=True)
     return [(f"fluid dam break {n // 1000}k (binned2 adaptive)",
              f"{ms:.1f} ms/step",
              f"{n / (ms / 1e3) / 1e6:.2f} M particle-steps/s")]
@@ -367,9 +367,12 @@ def main():
     lines = [f"# BENCHMARKS — measured on {dev.device_kind} "
              f"({time.strftime('%Y-%m-%d')})",
              "",
-             "All timings from data-dependent chained iterations inside one",
-             "compiled program, synchronized by host transfers (see",
-             "benchmarks/measure.py for why).", ""]
+             "All timings are MARGINAL costs of data-dependent chained",
+             "iterations inside one compiled program (chains of N and 2N",
+             "iterations, difference over N): the remote dispatch path",
+             "costs ~35 ms per call regardless of work, which plain wall",
+             "timings smear over the chain (benchmarks/measure.py,",
+             "probe_r3_tax.py).", ""]
     for title, rows in sections:
         lines.append(f"## {title}\n")
         lines.append("| case | time | throughput |")
