@@ -120,3 +120,103 @@ class TestSparseGridBridge:
         save_vdb(path, g, ["v"])
         out = read_vdb(path)
         assert sorted(o.name for o in out) == ["v.0", "v.1", "v.2"]
+
+
+class TestGoldenStream:
+    """Byte-level regression pins for the codec.
+
+    A genuine OpenVDB-written golden file is unobtainable in this
+    environment (no openvdb build, no network); instead (a) a minimal
+    version-218 stream is hand-assembled here byte by byte from the
+    published file-format layout — exercising the reader against bytes
+    the writer never produced (different file version, ScaleMap-only
+    transform, zero-length uuid-era fields) — and (b) the writer's exact
+    output for a fixed grid is pinned by digest so silent reader/writer
+    co-drift cannot pass.
+    """
+
+    def _handmade_stream(self):
+        import struct
+        import numpy as np
+        b = bytearray()
+
+        def w(fmt, *v):
+            b.extend(struct.pack(fmt, *v))
+
+        def ws(s):
+            w("<I", len(s))
+            b.extend(s.encode())
+
+        def wmask(flat):
+            b.extend(np.packbits(flat, bitorder="little").tobytes())
+
+        w("<q", 0x56444220)                 # magic
+        w("<I", 218)                        # file version (boost-uuid era)
+        w("<II", 6, 2)                      # library version
+        w("<b", 0)                          # NO grid offsets
+        # (no compression byte: that field only exists in v>=220 streams)
+        b.extend(b"x" * 36)                 # printed uuid
+        w("<I", 0)                          # file metadata: none
+        w("<I", 1)                          # one grid
+        ws("handmade")                      # grid name
+        ws("Tree_float_5_4_3")              # tree type
+        ws("")                              # instance parent (v>=216)
+        # no offsets block (has_offsets = 0)
+        w("<I", 0)                          # grid metadata: none
+        ws("UniformScaleMap")               # transform WITHOUT translation
+        s = 0.25
+        w("<3d", s, s, s)                   # scale
+        w("<3d", s, s, s)                   # voxel size
+        w("<3d", 4.0, 4.0, 4.0)             # scale inverse
+        w("<3d", 16.0, 16.0, 16.0)          # inv scale^2
+        w("<3d", 2.0, 2.0, 2.0)             # inv twice scale
+        # tree: 1 buffer, background, 0 tiles, 1 child
+        w("<I", 1)
+        w("<f", -9.0)                       # background
+        w("<I", 0)                          # tiles
+        w("<I", 1)                          # root children
+        w("<3i", 0, 0, 0)                   # Internal2 origin
+        cmask2 = np.zeros(32768, bool)
+        cmask2[0] = True                    # one Internal1 at offset 0
+        wmask(cmask2)
+        wmask(np.zeros(32768, bool))        # value mask
+        b.extend(np.full(32768, -9.0, np.float32).tobytes())
+        cmask1 = np.zeros(4096, bool)
+        # leaf at local offset (1,2,3): ((1*16)+2)*16+3 = 291
+        cmask1[291] = True
+        wmask(cmask1)
+        wmask(np.zeros(4096, bool))
+        b.extend(np.full(4096, -9.0, np.float32).tobytes())
+        wmask(np.ones(512, bool))           # leaf value mask
+        leaf = np.arange(512, dtype=np.float32)
+        b.extend(leaf.tobytes())            # leaf buffer
+        return bytes(b), leaf
+
+    def test_reader_parses_handmade_v218_stream(self, tmp_path):
+        from zpc_tpu.utils.vdb import read_vdb
+        raw, leaf = self._handmade_stream()
+        p = tmp_path / "handmade.vdb"
+        p.write_bytes(raw)
+        (g,) = read_vdb(str(p))
+        assert g.name == "handmade"
+        assert g.voxel_size == 0.25
+        assert g.translation == (0.0, 0.0, 0.0)
+        assert abs(g.background + 9.0) < 1e-7
+        # leaf origin: Internal1 at (0,0,0), leaf offset 291 -> (8,16,24)
+        assert set(g.leaves) == {(8, 16, 24)}
+        np.testing.assert_array_equal(
+            g.leaves[(8, 16, 24)].reshape(-1), leaf)
+
+    def test_writer_digest_pinned(self, tmp_path):
+        """Writer bytes for a fixed grid are frozen: any codec change
+        must consciously update this digest."""
+        import hashlib
+        from zpc_tpu.utils.vdb import VdbGrid, write_vdb
+        leaf = np.arange(512, dtype=np.float32).reshape(8, 8, 8)
+        g = VdbGrid("pin", {(0, 0, 0): leaf, (8, 0, 0): leaf * 2},
+                    voxel_size=0.5, translation=(1.0, 2.0, 3.0),
+                    background=0.0, grid_class="level set")
+        p = tmp_path / "pin.vdb"
+        write_vdb(str(p), [g])
+        digest = hashlib.sha256(p.read_bytes()).hexdigest()
+        assert digest == "a3ae9d1c8262c0a78b0493c8eec64cc3a8c8be9ffe8957588052d67a213dc4f5", digest
