@@ -1,0 +1,84 @@
+"""Locate the chain-structure overhead precisely.
+
+probe_r3_chain2: floor (bare fori 240) = 3.00 ms/step; chunked-16 while =
+3.59; adaptive two-level while = 3.77.  Variants here:
+
+F: fori(15 chunks) x fori(16 steps), no cond       -> chunking cost alone
+E: fori(15) x [fori(16) + cond(rebin)]             -> + cond cost
+R: E but carrying a rebin counter                  -> how many rebins fire
+"""
+
+import sys
+import time
+
+import numpy as np
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+import jax.numpy as jnp
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from examples.mpm_block import build
+from zpc_tpu.sim.mpm_binned2 import (BinnedConfig2, _rebin, bin_state,
+                                     explicit_step_binned2)
+
+
+def main():
+    n = 262144
+    sim, st0, dt = build(n, dx=1.0 / 128)
+    dtj = jnp.float32(dt)
+    cfg = BinnedConfig2(bins_capacity=2560, block_capacity=2048)
+    bst = jax.block_until_ready(jax.jit(lambda s: bin_state(sim, s, cfg))(st0))
+    chain = 240
+
+    def stepf(t):
+        return explicit_step_binned2(sim, t, dtj, cfg, rebin=False)
+
+    def timed(label, fn, s0, extra=False):
+        f = jax.jit(fn)
+        out = f(s0)
+        jax.block_until_ready(jax.device_get(
+            (out[0] if extra else out).cols.reshape(-1)[0]))
+        best, s = float("inf"), out
+        for _ in range(3):
+            t0 = time.perf_counter()
+            s = f(s[0] if extra else s)
+            got = jax.device_get(
+                ((s[0] if extra else s).cols.reshape(-1)[0],
+                 s[1] if extra else jnp.int32(0)))
+            best = min(best, time.perf_counter() - t0)
+        print(f"{label}: {best*1e3/chain:.3f} ms/step  "
+              f"{n*chain/best/1e6:.1f} M pps  extra={int(got[1])}",
+              flush=True)
+
+    def F(s):
+        return jax.lax.fori_loop(
+            0, 15, lambda _, t: jax.lax.fori_loop(
+                0, 16, lambda __, u: stepf(u), t), s)
+
+    def E(s):
+        def chunk(_, t):
+            t = jax.lax.fori_loop(0, 16, lambda __, u: stepf(u), t)
+            return jax.lax.cond(t.needs_rebin,
+                                lambda u: _rebin(sim, u, cfg), lambda u: u, t)
+        return jax.lax.fori_loop(0, 15, chunk, s)
+
+    def R(c):
+        s, k = c
+        def chunk(_, ck):
+            t, cnt = ck
+            t = jax.lax.fori_loop(0, 16, lambda __, u: stepf(u), t)
+            cnt = cnt + t.needs_rebin.astype(jnp.int32)
+            t = jax.lax.cond(t.needs_rebin,
+                             lambda u: _rebin(sim, u, cfg), lambda u: u, t)
+            return t, cnt
+        return jax.lax.fori_loop(0, 15, chunk, (s, k))
+
+    timed("F chunked fori, no cond", F, bst)
+    timed("E chunked fori + cond", E, bst)
+    timed("R counting", lambda c: R(c), (bst, jnp.int32(0)), extra=True)
+
+
+if __name__ == "__main__":
+    main()

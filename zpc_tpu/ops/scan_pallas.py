@@ -1,0 +1,109 @@
+"""Pallas TPU kernel for 1-D prefix sums (cub::DeviceScan analog).
+
+Why: XLA's ``associative_scan`` on TPU materializes the log-depth
+up/down-sweep tree through HBM — measured 26 GB/s effective at 16M f32 on
+v5e, ~30x below memory speed-of-light.  A scan is one read + one write of
+the array; the TPU Pallas grid executes **sequentially** on a core, so a
+single-pass chunked scan with a carry in VMEM scratch needs no decoupled
+lookback (the GPU trick cub uses — cuda/execution/ExecutionPolicy.cuh:
+560-650 reference lineage): each grid step scans its chunk in-register and
+adds the running carry.
+
+Within a chunk ``[R, 128]`` (row-major flat order) the scan is:
+
+* 7 roll-and-masked-add steps along lanes (Hillis-Steele in-register),
+* a row-totals column scanned down sublanes the same way (log2(R) steps),
+* carry add + carry update (one scalar, VMEM scratch persists across the
+  sequential grid).
+
+All steps are full-width VPU ops: no gathers, no scatters, no HBM
+round-trips beyond the streaming block pipeline.
+
+Reference: ``zs::inclusive_scan/exclusive_scan`` (ExecutionPolicy.hpp:
+247-266); this kernel backs the TPU fast path in
+:mod:`zpc_tpu.parallel.primitives`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["scan_pallas", "scan_supported"]
+
+LANES = 128
+ROWS = 1024           # chunk = ROWS*LANES = 131072 elements (512 KB f32)
+CHUNK = ROWS * LANES
+
+
+def _lane_scan(x):
+    """Inclusive Hillis-Steele scan along the lane (minor) axis."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    for sh in (1, 2, 4, 8, 16, 32, 64):
+        shifted = pltpu.roll(x, shift=sh, axis=x.ndim - 1)
+        x = x + jnp.where(lane >= sh, shifted, jnp.zeros_like(x))
+    return x
+
+
+def _row_scan(col):
+    """Inclusive scan down the sublane axis of a ``[R, 1]`` column."""
+    row = jax.lax.broadcasted_iota(jnp.int32, col.shape, 0)
+    sh = 1
+    while sh < col.shape[0]:
+        shifted = pltpu.roll(col, shift=sh, axis=0)
+        col = col + jnp.where(row >= sh, shifted, jnp.zeros_like(col))
+        sh *= 2
+    return col
+
+
+def _scan_kernel(x_ref, o_ref, carry_ref, *, exclusive: bool):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        carry_ref[0, 0] = jnp.zeros((), x_ref.dtype)
+
+    x = x_ref[...]
+    lanes_inc = _lane_scan(x)                       # [R, 128] per-row inclusive
+    totals = lanes_inc[:, LANES - 1:LANES]          # [R, 1] row totals
+    rows_inc = _row_scan(totals)                    # [R, 1]
+    row_off = rows_inc - totals                     # exclusive row offsets
+    carry = carry_ref[0, 0]
+    if exclusive:
+        body = lanes_inc - x                        # exact for ints; fp ok
+    else:
+        body = lanes_inc
+    o_ref[...] = body + row_off + carry
+    carry_ref[0, 0] = carry + rows_inc[ROWS - 1, 0]
+
+
+def scan_supported(x) -> bool:
+    return (x.ndim == 1 and x.dtype in (jnp.float32, jnp.int32, jnp.uint32)
+            and x.shape[0] >= CHUNK)
+
+
+@functools.partial(jax.jit, static_argnames=("exclusive", "interpret"))
+def scan_pallas(x, exclusive: bool = False, interpret: bool = False):
+    """Inclusive (or exclusive, zero-init) prefix sum of a 1-D array."""
+    n = x.shape[0]
+    npad = -n % CHUNK
+    xp = jnp.concatenate([x, jnp.zeros((npad,), x.dtype)]) if npad else x
+    grid = xp.shape[0] // CHUNK
+    xp = xp.reshape(grid * ROWS, LANES)
+    out = pl.pallas_call(
+        functools.partial(_scan_kernel, exclusive=exclusive),
+        out_shape=jax.ShapeDtypeStruct(xp.shape, x.dtype),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((1, 1), x.dtype)],
+        interpret=interpret,
+    )(xp)
+    return out.reshape(-1)[:n]

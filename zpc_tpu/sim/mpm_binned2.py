@@ -948,21 +948,53 @@ def _step2d(sim: MPMSim, st, dt, cfg: BinnedConfig2):
                                overflow=overflow, needs_rebin=escaped)
 
 
+def adaptive_chain(step_fn, rebin_fn, st, n_steps: int):
+    """Run ``n_steps`` of ``step_fn`` with rebins only when flagged, as a
+    two-level while loop: the inner loop advances cond-free until
+    ``needs_rebin`` fires; the outer loop rebins between inner runs.
+
+    This structure exists because a ``lax.cond(needs_rebin, rebin, id)``
+    INSIDE the per-step body costs ~2.4 ms/step on TPU even when the
+    branch is never taken (measured, benchmarks/probe_r3_cond.py — the
+    live branch poisons the loop body's schedule/aliasing), while rebins
+    actually fire about once per 120 steps at CFL-limited drift.  Hoisting
+    the cond to the outer loop amortizes both the cond overhead and the
+    rebin itself to noise without giving up exactness: the inner loop
+    stops on the very step that set the flag.
+    """
+    def inner_cond(c):
+        s, i = c
+        return (i < n_steps) & ~s.needs_rebin
+
+    def inner_body(c):
+        s, i = c
+        return step_fn(s), i + 1
+
+    def outer_cond(c):
+        s, i = c
+        return i < n_steps
+
+    def outer_body(c):
+        s, i = c
+        s, i = jax.lax.while_loop(inner_cond, inner_body, (s, i))
+        s = jax.lax.cond(s.needs_rebin, rebin_fn, lambda t: t, s)
+        return s, i
+
+    st, _ = jax.lax.while_loop(outer_cond, outer_body,
+                               (st, jnp.int32(0)))
+    return st
+
+
 def rollout_binned2(sim: MPMSim, state: MPMState, dt, cfg: BinnedConfig2,
                     n_steps: int) -> Tuple[MPMState, jax.Array]:
     """n steps in bin order; original order restored once at the end.
 
-    Returns (state, overflow).  Jit the whole call.
+    Returns (state, overflow).  Jit the whole call.  Adaptive rebinning
+    (cross-step G2P2G fusion, G2P2G.hpp lineage) rides the two-level
+    :func:`adaptive_chain` structure.
     """
     st = bin_state(sim, state, cfg)
-
-    def body(_, s):
-        # adaptive rebin (cross-step G2P2G fusion, G2P2G.hpp lineage):
-        # skip the sort+table rebuild while every particle stays inside
-        # its bin's block window; the step sets needs_rebin otherwise
-        s = jax.lax.cond(s.needs_rebin,
-                         lambda t: _rebin(sim, t, cfg), lambda t: t, s)
-        return explicit_step_binned2(sim, s, dt, cfg, rebin=False)
-
-    st = jax.lax.fori_loop(0, n_steps, body, st)
+    st = adaptive_chain(
+        lambda s: explicit_step_binned2(sim, s, dt, cfg, rebin=False),
+        lambda s: _rebin(sim, s, cfg), st, n_steps)
     return unbin_state(st, state), st.overflow
