@@ -27,8 +27,9 @@ A100_PARTICLE_STEPS_PER_SEC = 100e6  # parity anchor (claymore-class MPM)
 
 def main():
     from examples.mpm_block import build
-    from zpc_tpu.sim.mpm_binned2 import (BinnedConfig2, _rebin, bin_state,
-                                         explicit_step_binned2)
+    from zpc_tpu.sim.mpm_binned2 import (BinnedConfig2, adaptive_chain,
+                                         bin_state, explicit_step_binned2,
+                                         rebin_adaptive)
 
     n = 262144
     sim, st, dt = build(n, dx=1.0 / 128)
@@ -37,19 +38,20 @@ def main():
     # long chains amortize the fixed per-dispatch overhead of the remote
     # TPU path (~35 ms/call measured in benchmarks/probe_r3_tax.py —
     # 20-step chains under-reported the sustained rate by ~35%%)
-    chain = 120
+    chain = 240
 
     bst = jax.jit(lambda s: bin_state(sim, s, cfg))(st)
 
     def chained(s):
-        # adaptive rebinning rides inside the chain; overflow OR-reduces
-        # through the carry so a mid-rollout bin overflow surfaces
-        # instead of silently corrupting the measured physics
-        def body(_, t):
-            t = jax.lax.cond(t.needs_rebin,
-                             lambda u: _rebin(sim, u, cfg), lambda u: u, t)
-            return explicit_step_binned2(sim, t, dtj, cfg, rebin=False)
-        return jax.lax.fori_loop(0, chain, body, s)
+        # two-level adaptive chain: the rebin cond is hoisted out of the
+        # per-step loop (a live in-body cond costs ~2.4 ms/step even when
+        # never taken — probe_r3_cond), and Galilean recentering keeps
+        # bulk translation rebin-free; overflow OR-reduces through the
+        # carry so a mid-rollout bin overflow surfaces instead of
+        # silently corrupting the measured physics
+        return adaptive_chain(
+            lambda t: explicit_step_binned2(sim, t, dtj, cfg, rebin=False),
+            lambda t: rebin_adaptive(sim, t, cfg), s, chain)
 
     step = jax.jit(chained)
     bst = step(bst)                               # compile + warm

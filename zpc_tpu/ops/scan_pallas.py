@@ -62,24 +62,26 @@ def _row_scan(col):
 
 
 def _scan_kernel(x_ref, o_ref, carry_ref, *, exclusive: bool):
+    # the carry lives as a [1, 1] VMEM vector: Mosaic forbids scalar
+    # stores to VMEM, and a [1,1] broadcasts cleanly over the block
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
-        carry_ref[0, 0] = jnp.zeros((), x_ref.dtype)
+        carry_ref[...] = jnp.zeros((1, 1), x_ref.dtype)
 
     x = x_ref[...]
     lanes_inc = _lane_scan(x)                       # [R, 128] per-row inclusive
     totals = lanes_inc[:, LANES - 1:LANES]          # [R, 1] row totals
     rows_inc = _row_scan(totals)                    # [R, 1]
     row_off = rows_inc - totals                     # exclusive row offsets
-    carry = carry_ref[0, 0]
+    carry = carry_ref[...]                          # [1, 1]
     if exclusive:
         body = lanes_inc - x                        # exact for ints; fp ok
     else:
         body = lanes_inc
     o_ref[...] = body + row_off + carry
-    carry_ref[0, 0] = carry + rows_inc[ROWS - 1, 0]
+    carry_ref[...] = carry + rows_inc[ROWS - 1:ROWS, :]
 
 
 def scan_supported(x) -> bool:
