@@ -39,7 +39,7 @@ def main():
         best, s = float("inf"), out
         for _ in range(3):
             t0 = time.perf_counter()
-            s = f(s[0])
+            s = f((s[0], s[1]))
             got = jax.device_get((s[0].cols.reshape(-1)[0], s[1]))
             best = min(best, time.perf_counter() - t0)
         print(f"{label}: {best*1e3/chain:.3f} ms/step  "

@@ -100,7 +100,7 @@ def main():
                                 ).reshape(B, SIDE ** 3, 4)
             if stage == "p2g":
                 return _fold(st, dep_scalar(cube))
-            from zpc_tpu.ops.p2g_pallas import _PULL_ALL, _SPILL_ALL
+            from zpc_tpu.ops.spill_tables import _PULL_ALL, _SPILL_ALL
             sel, tgt8, use_seg = _spill_sel(table, bin_block_safe,
                                             bin_live, nb, cfg)
             spill = jnp.asarray(_SPILL_ALL[:, :, :216])

@@ -105,8 +105,8 @@ def bench_mpm(n=262144, quick=False):
     from zpc_tpu.sim.mpm import explicit_step
     from zpc_tpu.sim.mpm_binned import BinnedConfig, explicit_step_binned
     from zpc_tpu.sim.mpm_binned2 import (BinnedConfig2, _rebin, bin_state,
-                                         explicit_step_binned2)
-    from zpc_tpu.sim.mpm_pallas import explicit_step_pallas
+                                         explicit_step_binned2,
+                                         rebin_adaptive)
 
     sim, st0, dt = build(n, dx=1.0 / 128)
     dtj = jnp.float32(dt)
@@ -124,9 +124,15 @@ def bench_mpm(n=262144, quick=False):
 
     def v2(_, s):
         s = jax.lax.cond(s.needs_rebin,
-                         lambda t: _rebin(sim, t, cfg2), lambda t: t, s)
+                         lambda t: rebin_adaptive(sim, t, cfg2),
+                         lambda t: t, s)
         return explicit_step_binned2(sim, s, dtj, cfg2, rebin=False)
     add("binned2 adaptive", chained_ms(v2, bst, iters=iters, marginal=True))
+
+    def v2bare(_, s):
+        return explicit_step_binned2(sim, s, dtj, cfg2, rebin=False)
+    add("binned2 bare step", chained_ms(v2bare, bst, iters=iters,
+                                        marginal=True))
 
     def v1(_, c):
         s, ov = c
@@ -135,15 +141,8 @@ def bench_mpm(n=262144, quick=False):
     add("binned", chained_ms(v1, (st0, jnp.bool_(False)), iters=iters, marginal=True))
 
     if not quick:
-        try:
-            def vp(_, c):
-                s, ov = c
-                s2, ov2 = explicit_step_pallas(sim, s, dtj, cfg)
-                return s2, ov | ov2
-            add("pallas", chained_ms(vp, (st0, jnp.bool_(False)),
-                                     iters=iters, marginal=True))
-        except Exception as e:     # Mosaic tunnel outages
-            rows.append(("MPM 256k pallas", "n/a", str(e)[:60]))
+        # (the per-bin Pallas transfer path was retired in round 3 —
+        # 83 ms/step vs ~3 ms for the XLA binned2 step; docs/design.md)
 
         def vb(_, s):
             return explicit_step(sim, s, dtj)

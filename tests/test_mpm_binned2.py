@@ -193,3 +193,159 @@ class TestDriftSlack:
             _compare(_sim(), st, jnp.float32(1e-4),
                      BinnedConfig2(bins_capacity=64, slack=slack),
                      steps=3)
+
+
+class TestIncrementalRebin:
+    """rebin_adaptive: escapee migration into free lanes (no resort)."""
+
+    def _shifted(self, rng, shift_cells, migrate=512, reserve=1):
+        """Displace the binned cloud so particles leave their windows.
+
+        A *contraction* toward the cloud center keeps every destination
+        block populated (a bulk translation pushes the leading face into
+        fresh blocks — the structural case that must fall back).
+        """
+        import dataclasses
+        from zpc_tpu.sim.mpm_binned2 import bin_state
+        x = jnp.asarray(rng.uniform(0.3, 0.7, (768, 3)), jnp.float32)
+        st = make_mpm_state(x, dx=0.05, block_capacity=256)
+        sim = _sim()
+        cfg = BinnedConfig2(bins_capacity=96, migrate_capacity=migrate,
+                            reserve_bins=reserve)
+        bst = bin_state(sim, st, cfg)
+        alive = bst.pid >= 0
+        if shift_cells < 4:
+            # contract axis 0 so the edges (±4 cells out) move inward by
+            # shift_cells while the center stays put
+            factor = 1.0 - shift_cells / 4.0
+            x0 = bst.cols[:, 0]
+            newx0 = jnp.where(alive, 0.5 + factor * (x0 - 0.5), x0)
+            cols = bst.cols.at[:, 0].set(newx0)
+        else:
+            cols = bst.cols.at[:, 0].add(
+                jnp.where(alive, shift_cells * 0.05, 0.0))
+        return sim, st, cfg, dataclasses.replace(bst, cols=cols)
+
+    def test_migration_matches_full_rebin(self, rng):
+        from zpc_tpu.sim.mpm_binned2 import (_rebin, _rebin_incremental,
+                                             explicit_step_binned2,
+                                             unbin_state)
+        sim, st, cfg, bst = self._shifted(rng, 1.2)
+        mig, ok = _rebin_incremental(sim, bst, cfg, cfg.migrate_capacity)
+        assert bool(ok)
+        # live rows preserved: pid -> row content identical
+        for s_ in (bst, mig):
+            assert int(jnp.sum((s_.pid >= 0))) == 768
+        order_a = np.argsort(np.asarray(bst.pid))
+        order_b = np.argsort(np.asarray(mig.pid))
+        np.testing.assert_array_equal(
+            np.asarray(bst.pid)[order_a], np.asarray(mig.pid)[order_b])
+        np.testing.assert_allclose(
+            np.asarray(bst.cols)[order_a][-768:],
+            np.asarray(mig.cols)[order_b][-768:], atol=0)
+        # guard restored: a second incremental pass moves nothing
+        mig2, ok2 = _rebin_incremental(sim, mig, cfg, cfg.migrate_capacity)
+        assert bool(ok2)
+        np.testing.assert_array_equal(np.asarray(mig.pid),
+                                      np.asarray(mig2.pid))
+        # physics after migration == physics after a full rebin
+        dt = jnp.float32(1e-4)
+        a = explicit_step_binned2(sim, mig, dt, cfg, rebin=False)
+        b = explicit_step_binned2(sim, _rebin(sim, bst, cfg), dt, cfg,
+                                  rebin=False)
+        ua, ub = unbin_state(a, st), unbin_state(b, st)
+        assert not bool(a.overflow) and not bool(b.overflow)
+        for prop in ("x", "v", "F"):
+            np.testing.assert_allclose(np.asarray(ua.particles[prop]),
+                                       np.asarray(ub.particles[prop]),
+                                       atol=2e-5)
+
+    def test_fallback_on_capacity(self, rng):
+        from zpc_tpu.sim.mpm_binned2 import _rebin_incremental
+        sim, st, cfg, bst = self._shifted(rng, 1.2)
+        _, ok = _rebin_incremental(sim, bst, cfg, 4)   # m_cap too small
+        assert not bool(ok)
+
+    def test_fallback_on_missing_block(self, rng):
+        from zpc_tpu.sim.mpm_binned2 import _rebin_incremental
+        # 6-cell shift jumps past the dilated (+-1 block) table
+        sim, st, cfg, bst = self._shifted(rng, 6.0)
+        _, ok = _rebin_incremental(sim, bst, cfg, cfg.migrate_capacity)
+        assert not bool(ok)
+
+    def test_rollout_with_migration_matches_oracle(self, rng):
+        x = jnp.asarray(rng.uniform(0.3, 0.7, (768, 3)), jnp.float32)
+        st = make_mpm_state(x, dx=0.05, block_capacity=256)
+        _compare(_sim(), st, jnp.float32(1e-4),
+                 BinnedConfig2(bins_capacity=96, migrate_capacity=512,
+                               reserve_bins=1), steps=3)
+
+    def test_reserve_bins_inventory(self, rng):
+        from zpc_tpu.sim.mpm_binned2 import K, bin_state
+        x = jnp.asarray(rng.uniform(0.3, 0.7, (768, 3)), jnp.float32)
+        st = make_mpm_state(x, dx=0.05, block_capacity=256)
+        sim = _sim()
+        bst = bin_state(sim, st, BinnedConfig2(bins_capacity=96,
+                                               reserve_bins=1))
+        # every active block must own >= K free (dummy) lanes
+        slots = np.asarray(bst.bin_block)
+        dead = np.asarray(bst.pid < 0).reshape(-1, K)
+        free_per_block = {}
+        for b, s in enumerate(slots):
+            if s >= 0:
+                free_per_block[s] = free_per_block.get(s, 0) + dead[b].sum()
+        assert free_per_block and all(v >= K for v in free_per_block.values())
+
+
+class TestGalileanRecenter:
+    def test_translation_needs_no_rebin(self, rng):
+        """Bulk translation: the origin follows the drift, so no window
+        is ever escaped — and the physics stays exact."""
+        from zpc_tpu.sim.mpm_binned2 import bin_state, explicit_step_binned2
+        x = jnp.asarray(rng.uniform(0.3, 0.7, (512, 3)), jnp.float32)
+        v0 = jnp.broadcast_to(jnp.asarray([2.0, 0.0, 0.0]), (512, 3))
+        st = make_mpm_state(x, dx=0.05, block_capacity=256, velocity=v0)
+        sim = MPMSim(model=FixedCorotated.from_young_poisson(1e4, 0.3),
+                     gravity=jnp.zeros((3,)))
+        cfg = BinnedConfig2(bins_capacity=64, recenter=True)
+        bst = bin_state(sim, st, cfg)
+        dt = jnp.float32(1e-3)
+        step = jax.jit(lambda s: explicit_step_binned2(
+            sim, s, dt, cfg, rebin=False))
+        rebins = 0
+        for _ in range(60):                  # 2.4 cells of bulk drift
+            assert not bool(bst.needs_rebin) or rebins == 0
+            rebins += int(bool(bst.needs_rebin))
+            bst = step(bst)
+        assert rebins == 0
+        assert not bool(bst.overflow)
+        # frame followed the bulk: origin moved ~ 2.4 cells in x
+        ox = float(bst.grid.transform.matrix[0, 3])
+        assert 1.5 * 0.05 < ox < 3.5 * 0.05
+        # uniform-velocity translation is exact in MPM: x = x0 + v t
+        from zpc_tpu.sim.mpm_binned2 import unbin_state
+        out = unbin_state(bst, st)
+        np.testing.assert_allclose(np.asarray(out.particles["x"]),
+                                   np.asarray(x) +
+                                   np.asarray([2.0, 0, 0]) * 60e-3,
+                                   atol=5e-4)
+
+    def test_recenter_off_forces_rebin(self, rng):
+        from zpc_tpu.sim.mpm_binned2 import bin_state, explicit_step_binned2
+        x = jnp.asarray(rng.uniform(0.3, 0.7, (512, 3)), jnp.float32)
+        v0 = jnp.broadcast_to(jnp.asarray([2.0, 0.0, 0.0]), (512, 3))
+        st = make_mpm_state(x, dx=0.05, block_capacity=256, velocity=v0)
+        sim = MPMSim(model=FixedCorotated.from_young_poisson(1e4, 0.3),
+                     gravity=jnp.zeros((3,)))
+        cfg = BinnedConfig2(bins_capacity=64, recenter=False)
+        bst = bin_state(sim, st, cfg)
+        dt = jnp.float32(1e-3)
+        step = jax.jit(lambda s: explicit_step_binned2(
+            sim, s, dt, cfg, rebin=False))
+        fired = False
+        for _ in range(60):
+            bst = step(bst)
+            fired = fired or bool(bst.needs_rebin)
+            if fired:
+                break
+        assert fired

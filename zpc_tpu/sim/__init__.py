@@ -2,7 +2,8 @@
 
 from .mpm import MPMSim, MPMState, make_mpm_state, explicit_step
 from .mpm_binned import BinnedConfig, explicit_step_binned
-from .mpm_pallas import explicit_step_pallas
+from .mpm_binned2 import (BinnedConfig2, rollout_binned2,
+                          explicit_step_binned2)
 from .implicit import implicit_step
 from .fluid import make_fluid_state, explicit_fluid_step
 from .fluid_binned2 import (bin_fluid_state, explicit_fluid_step_binned2,

@@ -181,7 +181,7 @@ def explicit_fluid_step_binned2(sim: MPMSim, state: BinState, dt,
         spilled = cube.reshape(B, 2, 4, 2, 4, 2, 4, 4).transpose(
             1, 3, 5, 0, 2, 4, 6, 7).reshape(8, B, 64, 4)
     else:
-        from ..ops.p2g_pallas import _SPILL_ALL
+        from ..ops.spill_tables import _SPILL_ALL
         spill = jnp.asarray(_SPILL_ALL[:, :, :216])
         spilled = jnp.einsum("dts,nsc->dntc", spill, cube, precision=_PREC,
                              preferred_element_type=jnp.float32)
@@ -225,7 +225,7 @@ def explicit_fluid_step_binned2(sim: MPMSim, state: BinState, dt,
         Vbin = Vd.reshape(2, 2, 2, B, 4, 4, 4, 3).transpose(
             3, 0, 4, 1, 5, 2, 6, 7).reshape(B, 512, 3)
     else:
-        from ..ops.p2g_pallas import _PULL_ALL
+        from ..ops.spill_tables import _PULL_ALL
         pull = jnp.asarray(_PULL_ALL[:, :, :64])
         Vbin = jnp.einsum("dst,dnte->nse", pull, Vd, precision=_PREC,
                           preferred_element_type=jnp.float32)

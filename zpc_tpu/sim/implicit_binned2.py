@@ -27,8 +27,8 @@ from ..math.solvers import cg
 from ..math.vecmat import mm, scale_trailing
 from .mpm import MPMSim, MPMState
 from .mpm_binned2 import (BinnedConfig2, BinState, K, _ctx_g2p, _ctx_p2g,
-                          _make_ctx3, _node_positions, _rebin, bin_state,
-                          unbin_state)
+                          _make_ctx3, _node_positions, _rebin, adaptive_chain,
+                          bin_state, rebin_adaptive, unbin_state)
 
 __all__ = ["implicit_step_binned2", "implicit_rollout_binned2"]
 
@@ -155,9 +155,21 @@ def _implicit_bin_step(sim: MPMSim, st: BinState, dt, cfg: BinnedConfig2,
         alpha = contact.toi(cset, xb, dt * v_new, lane_alive)
         x_new = xb + alpha[..., None] * (dt * v_new)
 
-    # escape check: same contract as the explicit v2 step
+    # escape check + Galilean recentering: same contract as the explicit
+    # v2 step (mpm_binned2._step3d)
     base_new = jnp.floor((x_new - ctx.origin_w) / dx - 0.5).astype(jnp.int32)
     off_new = base_new - ctx.borigin[:, None, :]
+    if cfg.recenter:
+        asum = jnp.maximum(jnp.sum(lane_alive.astype(jnp.int32)), 1)
+        mean_off = (jnp.sum(jnp.where(lane_alive[..., None], off_new, 0),
+                            axis=(0, 1)).astype(jnp.float32) / asum)
+        shift = jnp.clip(jnp.round(mean_off - 0.5 * (cfg.side - 3)),
+                         -1.0, 1.0).astype(jnp.int32)
+        off_new = off_new - shift[None, None, :]
+        tm = grid.transform.matrix.at[:3, 3].add(
+            shift.astype(jnp.float32) * dx)
+        grid = dataclasses.replace(
+            grid, transform=dataclasses.replace(grid.transform, matrix=tm))
     escaped = jnp.any(lane_alive[..., None] &
                       ((off_new < 0) | (off_new > cfg.side - 3)))
 
@@ -194,14 +206,11 @@ def implicit_rollout_binned2(sim: MPMSim, state: MPMState, dt,
                              cfg: BinnedConfig2, n_steps: int,
                              cg_iters: int = 50, cg_tol: float = 1e-3,
                              contact=None) -> Tuple[MPMState, jax.Array]:
-    """n implicit steps in bin order with adaptive rebinning."""
+    """n implicit steps in bin order with adaptive rebinning (same
+    two-level cond-hoisted structure as the explicit rollout)."""
     st = bin_state(sim, state, cfg)
-
-    def body(_, s):
-        s = jax.lax.cond(s.needs_rebin,
-                         lambda t: _rebin(sim, t, cfg), lambda t: t, s)
-        return _implicit_bin_step(sim, s, dt, cfg, cg_iters, cg_tol,
-                                  contact)
-
-    st = jax.lax.fori_loop(0, n_steps, body, st)
+    st = adaptive_chain(
+        lambda s: _implicit_bin_step(sim, s, dt, cfg, cg_iters, cg_tol,
+                                     contact),
+        lambda s: rebin_adaptive(sim, s, cfg), st, n_steps)
     return unbin_state(st, state), st.overflow

@@ -143,7 +143,7 @@ class BinWorkspace:
             cube_a = cube_a + _einsum_nk(self.S2, scale_trailing(wa, QA[2]))
             out = out.at[:, a].set(cube_a)
         out = out.reshape(nbins, 216, C)
-        from ..ops.p2g_pallas import _SPILL_ALL
+        from ..ops.spill_tables import _SPILL_ALL
 
         spill = jnp.asarray(_SPILL_ALL[:, :, :216])     # [8, 64, 216]
         spilled = jnp.einsum("dts,nsc->dntc", spill, out, precision=_PREC,
@@ -182,7 +182,7 @@ class BinWorkspace:
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=_PREC,
             ).reshape(8, nbins, 64, C)
-        from ..ops.p2g_pallas import _PULL_ALL
+        from ..ops.spill_tables import _PULL_ALL
 
         pull = jnp.asarray(_PULL_ALL[:, :, :64])        # [8, 216, 64]
         Vbin = jnp.einsum("dst,dnte->nse", pull, Vd, precision=_PREC,

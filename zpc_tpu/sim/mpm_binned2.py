@@ -44,7 +44,8 @@ from ..math.vecmat import mm
 from .mpm import MPMSim, MPMState
 
 __all__ = ["explicit_step_binned2", "rollout_binned2", "BinnedConfig2",
-           "BinState", "bin_state", "unbin_state"]
+           "BinState", "bin_state", "unbin_state", "rebin_adaptive",
+           "adaptive_chain"]
 
 K = 128                      # particles per bin
 SIDE = 6                     # 4-cell block + 2-cell halo window
@@ -70,6 +71,28 @@ class BinnedConfig2:
                                  #    rebin, and the 8-node window aligns
                                  #    to block boundaries, turning the
                                  #    spill/pull matmuls into reshapes.
+    migrate_capacity: int = 0    # >0 enables the incremental rebin: up to
+                                 # this many escapees migrate into free
+                                 # lanes of their destination block's
+                                 # existing bins (table/bins frozen),
+                                 # falling back to the full sort-based
+                                 # rebin when the move needs structure.
+                                 # Requires slack=1.
+    reserve_bins: int = 0        # extra all-dummy bins per block at full
+                                 # rebin time: free-lane headroom for the
+                                 # incremental path.  Costs nothing in the
+                                 # step (transfers run over the static
+                                 # bins_capacity either way) but consumes
+                                 # bins_capacity budget.
+    recenter: bool = True        # Galilean frame shift: move the grid
+                                 # origin by the bulk integer cell drift
+                                 # each step so pure translation never
+                                 # forces a rebin.  The MPM grid is
+                                 # scratch (rebuilt by P2G every step),
+                                 # so shifting its origin between steps
+                                 # is physically free; colliders are
+                                 # evaluated at world node positions and
+                                 # stay exact.
 
     @property
     def side(self) -> int:
@@ -98,6 +121,13 @@ class BinState:
                                  # drift slack the lane-0 position may
                                  # cross a cell boundary mid-interval, so
                                  # the mapping cannot be recomputed.
+    nbr8: jax.Array              # [nb, 2^dim] spill-target slots (own +
+                                 # +1-per-axis neighbors) per table slot,
+                                 # frozen with the table: the 7 neighbor
+                                 # queries cost ~77 sequential searchsorted
+                                 # passes — latency, not bandwidth — so
+                                 # they are cached at rebin time instead
+                                 # of rebuilt every step.
 
     @property
     def has_jp(self) -> bool:
@@ -188,7 +218,8 @@ def _sort_into_bins(keys: jax.Array, cols: jax.Array, pid: jax.Array,
         jnp.full((nbq + 1,), KEY_SENTINEL, jnp.int32).at[
             jnp.clip(jnp.where(neq, rank, nbq), 0, nbq)].set(skey)[:nbq],
         KEY_SENTINEL)
-    pads = jnp.where(gvalid, (-counts) % K, 0)
+    pads = jnp.where(gvalid,
+                     (-counts) % K + cfg.reserve_bins * K, 0)
     total = jnp.sum(counts + pads)
 
     # dummy lanes: j-th dummy belongs to the group whose cum-pad covers j
@@ -235,8 +266,21 @@ def _sort_into_bins(keys: jax.Array, cols: jax.Array, pid: jax.Array,
             "v": jnp.zeros((nb, ncell, dim), jnp.float32)}
     grid = SparseGrid(table, data, None, 4, dim)  # transform set by caller
     return BinState(scols, spid, grid, jnp.float32(0.0), overflow,
-                    jnp.bool_(False), bin_block)
+                    jnp.bool_(False), bin_block, _neighbor_slots(table, dim))
 
+
+
+def _neighbor_slots(table, dim):
+    """[nb, 2^dim] spill-target table slots: own + positive neighbors
+    (-1 where absent).  Depends only on the table — cached on BinState."""
+    dirs = [d for d in neighbor_offsets(dim, 0, 1).tolist() if any(d)]
+    coords = table.active_coords
+    dirs_j = jnp.asarray(dirs, jnp.int32)
+    nbr_pos = jax.vmap(
+        lambda d: table.query(coords + d[None, :]), out_axes=1)(dirs_j)
+    own_ids = jnp.arange(table.capacity, dtype=jnp.int32)[:, None]
+    nbr = jnp.concatenate([own_ids, nbr_pos], axis=1)
+    return jnp.where(table.mask[:, None], nbr, -1)
 
 
 def _dummy_keys_by_rank(gkeys, gvalid, pads, padcum, size):
@@ -333,7 +377,8 @@ def _sort_into_bins_from_lanes(keys, cols, pid, cfg: BinnedConfig2,
     gkeys = jnp.full((nbq + 1,), KEY_SENTINEL, jnp.int32).at[dst].set(
         skey)[:nbq]
     gkeys = jnp.where(gvalid, gkeys, KEY_SENTINEL)
-    pads = jnp.where(gvalid, (-counts) % K, 0)
+    pads = jnp.where(gvalid,
+                     (-counts) % K + cfg.reserve_bins * K, 0)
     overflow = (jnp.sum(counts + pads) > L) | (n_groups > nbq)
 
     # re-key DEAD lanes as padding dummies.  dead lanes: keys == SENTINEL.
@@ -370,7 +415,119 @@ def _sort_into_bins_from_lanes(keys, cols, pid, cfg: BinnedConfig2,
             "v": jnp.zeros((nb, ncell, dim), jnp.float32)}
     grid = SparseGrid(table, data, None, 4, dim)
     return BinState(scols, spid, grid, jnp.float32(0.0), overflow,
-                    jnp.bool_(False), bin_block)
+                    jnp.bool_(False), bin_block, _neighbor_slots(table, dim))
+
+
+def _rebin_incremental(sim: MPMSim, st: BinState, cfg: BinnedConfig2,
+                       m_cap: int):
+    """Escapee migration: move up to ``m_cap`` particles that left their
+    bin's block window into free (dead/dummy) lanes of their destination
+    block's existing bins, leaving bins, table and grid untouched.
+
+    Returns ``(new_state, ok)``.  ``ok`` is False when the move needs a
+    structural rebuild — destination block absent from the (dilated)
+    table, its bins out of free lanes, or more than ``m_cap`` escapees —
+    and the caller must fall back to the full sort-based :func:`_rebin`.
+
+    Why: the full rebin costs ~11 ms at 256k (dominated by the [L, W] row
+    gather and the dummy-key/table machinery) and fires every handful of
+    steps under bulk motion; an escape moves a particle to an *adjacent*
+    block, which usually already has bins with spare lanes (per-block
+    K-padding leaves (-count) % K of them).  Reference analog: the
+    rebuild-on-overflow idiom of ``container/Bht.hpp:163-175`` inverted —
+    reuse the structure until it genuinely no longer fits.
+    """
+    grid = st.grid
+    dim = grid.dim
+    table = grid.table
+    nb = table.capacity
+    nbq = cfg.bins_capacity
+    L = st.cols.shape[0]
+    origin_w = grid.transform.matrix[:dim, dim]
+    lanes = jnp.arange(L, dtype=jnp.int32)
+    BIG = jnp.int32(np.int32(2**31 - 1))
+
+    x = st.cols[:, 0:dim]
+    alive = st.pid >= 0
+    xi = (x - origin_w) / grid.dx
+    base, _, _ = bspline_weights(xi, sim.order)
+    keys = jnp.where(alive,
+                     pack_coords(jnp.floor_divide(base - cfg.slack, 4)),
+                     KEY_SENTINEL)
+
+    # guard-band criterion: migrate every particle within one cell of its
+    # bin's window edge (off outside [1, side-4]), re-keyed to its proper
+    # block.  Migrating only *actual* escapees would leave the trailing
+    # cohort one sub-cell from the edge — the flag would re-fire almost
+    # every step under bulk motion; migrating on key-change alone would
+    # move ~half the particles (the key flips a full cell before the
+    # window is left).  The band restores >= 1 cell of slack for every
+    # particle, matching the full rebin's refresh interval to first order.
+    valid_bin = st.bin_block >= 0
+    slot_per_bin = jnp.where(valid_bin, st.bin_block, 0)
+    borigin = table.active_coords[slot_per_bin] * 4          # [nbq, dim]
+    home_origin = jnp.broadcast_to(
+        borigin[:, None, :], (nbq, K, dim)).reshape(L, dim)
+    off = base - home_origin
+    moved = alive & jnp.any((off < 1) | (off > cfg.side - 4), axis=-1)
+    n_moved = jnp.sum(moved.astype(jnp.int32))
+
+    # free-lane inventory in lane order (== grouped by block, since bins
+    # of a block are consecutive and blocks are key-sorted); dead-bin
+    # lanes are excluded — they belong to no block
+    lane_slot = jnp.broadcast_to(
+        jnp.where(valid_bin, st.bin_block, nb)[:, None], (nbq, K)
+    ).reshape(L)
+    free = ~alive & (lane_slot < nb)
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+    free_list = jnp.zeros((L,), jnp.int32).at[
+        jnp.where(free, free_rank, L)].set(lanes, mode="drop")
+    free_cnt = jnp.zeros((nb + 1,), jnp.int32).at[
+        jnp.where(free, lane_slot, nb)].add(1)[:nb]
+    free_start = jnp.cumsum(free_cnt) - free_cnt
+
+    # compact escapees sorted by destination key; ranks within key runs
+    skey, slane = jax.lax.sort(
+        (jnp.where(moved, keys, BIG), lanes), num_keys=1, is_stable=True)
+    skey_c = skey[:m_cap]
+    slane_c = slane[:m_cap]
+    valid_c = skey_c != BIG
+    dst_slot = table.query_keys(jnp.where(valid_c, skey_c, KEY_SENTINEL))
+    miss = jnp.any(valid_c & (dst_slot < 0))
+    idx_c = jnp.arange(m_cap, dtype=jnp.int32)
+    neq = jnp.concatenate([jnp.ones((1,), bool), skey_c[1:] != skey_c[:-1]])
+    seg_start = jax.lax.cummax(jnp.where(neq, idx_c, 0))
+    rank = idx_c - seg_start
+    slot_safe = jnp.maximum(dst_slot, 0)
+    short = jnp.any(valid_c & (rank >= free_cnt[slot_safe]))
+    ok = (~miss) & (~short) & (n_moved <= m_cap)
+
+    free_pos = jnp.clip(free_start[slot_safe] + rank, 0, L - 1)
+    dst_lane = free_list[free_pos]
+
+    # apply: dst lanes are free (pid < 0), src lanes alive -> disjoint
+    src_rows = st.cols[slane_c]                              # [m_cap, W]
+    src_pid = st.pid[slane_c]
+    dst = jnp.where(valid_c, dst_lane, L)
+    src = jnp.where(valid_c, slane_c, L)
+    cols2 = st.cols.at[dst].set(src_rows, mode="drop")
+    cols2 = cols2.at[src].set(jnp.zeros_like(src_rows), mode="drop")
+    pid2 = st.pid.at[dst].set(src_pid, mode="drop")
+    pid2 = pid2.at[src].set(-1, mode="drop")
+
+    nst = dataclasses.replace(st, cols=cols2, pid=pid2,
+                              needs_rebin=jnp.bool_(False))
+    return nst, ok
+
+
+def rebin_adaptive(sim: MPMSim, st: BinState, cfg: BinnedConfig2) -> BinState:
+    """Incremental escapee migration when enabled and sufficient; full
+    sort-based :func:`_rebin` otherwise."""
+    if cfg.migrate_capacity <= 0 or cfg.slack != 1:
+        return _rebin(sim, st, cfg)
+    nst, ok = _rebin_incremental(sim, st, cfg, cfg.migrate_capacity)
+    return jax.lax.cond(ok, lambda _: nst,
+                        lambda _: _rebin(sim, st, cfg), None)
 
 
 def unbin_state(st: BinState, template: MPMState) -> MPMState:
@@ -469,16 +626,13 @@ _SPILL2 = np.stack([_spill2(d) for d in _DIRS2])
 _PULL2 = np.stack([_pull2(d) for d in _DIRS2])
 
 
-def _spill_sel(table, bin_block, bin_live, nbq, cfg):
-    """Concatenated one-hot (own + 7 spill dirs) -> blocks, or segment ids."""
-    dirs = [d for d in neighbor_offsets(3, 0, 1).tolist() if any(d)]
-    coords = table.active_coords
-    dirs_j = jnp.asarray(dirs, jnp.int32)
-    nbr_pos = jax.vmap(
-        lambda d: table.query(coords + d[None, :]), out_axes=1)(dirs_j)
-    own_ids = jnp.arange(nbq, dtype=jnp.int32)[:, None]
-    nbr8 = jnp.concatenate([own_ids, nbr_pos], axis=1)
-    nbr8 = jnp.where(table.mask[:, None], nbr8, -1)
+def _spill_sel(nbr8, bin_block, bin_live, nbq, cfg):
+    """Concatenated one-hot (own + 7 spill dirs) -> blocks, or segment ids.
+
+    ``nbr8`` is the table-frozen [nb, 8] spill-target cache carried on
+    the BinState (the neighbor queries are latency-bound searchsorted
+    chains — rebuilding them per step cost a measurable slice of the
+    step's non-transfer time)."""
     tgt = nbr8[bin_block].T                       # [8, B]
     tgt = jnp.where(bin_live[None, :], tgt, -1)
     B = bin_block.shape[0]
@@ -578,7 +732,7 @@ def _make_ctx3(st: BinState, cfg: BinnedConfig2) -> _Ctx3:
     fidx = jnp.arange(side, dtype=S0.dtype)
     fy_m = jnp.repeat(fidx, side)                           # [sq], f[y]
     fz_m = jnp.tile(fidx, side)                             # [sq], f[z]
-    sel, tgt8, use_seg = _spill_sel(table, bin_block_safe,
+    sel, tgt8, use_seg = _spill_sel(st.nbr8, bin_block_safe,
                                     bin_live & ~bad_bin, nb, cfg)
     return _Ctx3(cfg, table, dx, origin_w, lane_alive, borigin, rel0,
                  wx, wx_i, S0, fy_m, fz_m, sel, tgt8, use_seg, overflow)
@@ -591,7 +745,7 @@ def _ctx_p2g(ctx: _Ctx3, Q0, QA):
     — the APIC/force plane decomposition shared by the explicit step and
     every implicit operator application (ImplicitMPM.hpp's G2P2G lineage).
     """
-    from ..ops.p2g_pallas import _SPILL_ALL
+    from ..ops.spill_tables import _SPILL_ALL
 
     B, Kk, C = Q0.shape
     side, sq = ctx.side, ctx.side * ctx.side
@@ -647,7 +801,7 @@ def _ctx_g2p(ctx: _Ctx3, gv):
     Returns (s0, sx, sy, sz) [B,K,3]: the plain weighted sum and the
     three index-weighted sums (for the APIC B-matrix / force gradient).
     """
-    from ..ops.p2g_pallas import _PULL_ALL
+    from ..ops.spill_tables import _PULL_ALL
 
     B = ctx.cfg.bins_capacity
     side, sq = ctx.side, ctx.side * ctx.side
@@ -760,6 +914,21 @@ def _step3d(sim: MPMSim, st, dt, cfg: BinnedConfig2):
     # _axis_stencils would otherwise silently corrupt weights)
     base_new = jnp.floor((x_new - origin_w) / dx - 0.5).astype(jnp.int32)
     off_new = base_new - borigin[:, None, :]
+    if cfg.recenter:
+        # Galilean recentering (see BinnedConfig2.recenter): follow the
+        # bulk integer drift with the grid origin so the next step's
+        # bases stay centered in the frozen windows.  int32 sums are
+        # exact on TPU (parallel/primitives.py routing note).
+        asum = jnp.maximum(jnp.sum(lane_alive.astype(jnp.int32)), 1)
+        mean_off = (jnp.sum(jnp.where(lane_alive[..., None], off_new, 0),
+                            axis=(0, 1)).astype(jnp.float32) / asum)
+        shift = jnp.clip(jnp.round(mean_off - 0.5 * (side - 3)),
+                         -1.0, 1.0).astype(jnp.int32)
+        off_new = off_new - shift[None, None, :]
+        tm = grid.transform.matrix.at[:3, 3].add(
+            shift.astype(jnp.float32) * dx)
+        grid = dataclasses.replace(
+            grid, transform=dataclasses.replace(grid.transform, matrix=tm))
     escaped = jnp.any(lane_alive[..., None] &
                       ((off_new < 0) | (off_new > side - 3)))
 
@@ -840,14 +1009,7 @@ def _step2d(sim: MPMSim, st, dt, cfg: BinnedConfig2):
                         ).reshape(B, side * side, 3)         # [(a,y)]
 
     # ---- spill + block reduction -----------------------------------------------
-    dirs = [d for d in _DIRS2 if any(d)]
-    coords = table.active_coords
-    dirs_j = jnp.asarray(dirs, jnp.int32)
-    nbr_pos = jax.vmap(
-        lambda d: table.query(coords + d[None, :]), out_axes=1)(dirs_j)
-    own_ids = jnp.arange(nb, dtype=jnp.int32)[:, None]
-    nbr4 = jnp.concatenate([own_ids, nbr_pos], axis=1)
-    nbr4 = jnp.where(table.mask[:, None], nbr4, -1)
+    nbr4 = st.nbr8                         # [nb, 4] (table-frozen cache)
     tgt = nbr4[bin_block_safe].T                              # [4, B]
     tgt = jnp.where((bin_live & ~bad_bin)[None, :], tgt, -1)
     if side == 8:
@@ -883,7 +1045,7 @@ def _step2d(sim: MPMSim, st, dt, cfg: BinnedConfig2):
                    gmv / jnp.maximum(gm, 1e-30)[..., None], 0.0)
     gv = gv + dt * sim.gravity[None, None, :]
     corners = jnp.asarray(neighbor_offsets(2, 0, 3))
-    node_x = (coords[:, None, :] * 4 +
+    node_x = (table.active_coords[:, None, :] * 4 +
               corners[None]).astype(gv.dtype) * dx + origin_w
     gv = resolve_boundaries(sim.colliders, node_x, gv)
     gv = jnp.where(has_mass[..., None], gv, 0.0)
@@ -930,6 +1092,18 @@ def _step2d(sim: MPMSim, st, dt, cfg: BinnedConfig2):
 
     base_new = jnp.floor((x_new - origin_w) / dx - 0.5).astype(jnp.int32)
     off_new = base_new - borigin[:, None, :]
+    if cfg.recenter:
+        # Galilean recentering — see the 3-D step / BinnedConfig2.recenter
+        asum = jnp.maximum(jnp.sum(lane_alive.astype(jnp.int32)), 1)
+        mean_off = (jnp.sum(jnp.where(lane_alive[..., None], off_new, 0),
+                            axis=(0, 1)).astype(jnp.float32) / asum)
+        shift = jnp.clip(jnp.round(mean_off - 0.5 * (side - 3)),
+                         -1.0, 1.0).astype(jnp.int32)
+        off_new = off_new - shift[None, None, :]
+        tm = grid.transform.matrix.at[:2, 2].add(
+            shift.astype(jnp.float32) * dx)
+        grid = dataclasses.replace(
+            grid, transform=dataclasses.replace(grid.transform, matrix=tm))
     escaped = jnp.any(lane_alive[..., None] &
                       ((off_new < 0) | (off_new > side - 3)))
 
@@ -996,5 +1170,5 @@ def rollout_binned2(sim: MPMSim, state: MPMState, dt, cfg: BinnedConfig2,
     st = bin_state(sim, state, cfg)
     st = adaptive_chain(
         lambda s: explicit_step_binned2(sim, s, dt, cfg, rebin=False),
-        lambda s: _rebin(sim, s, cfg), st, n_steps)
+        lambda s: rebin_adaptive(sim, s, cfg), st, n_steps)
     return unbin_state(st, state), st.overflow

@@ -18,7 +18,7 @@ from ..models.cfl import timestep_velocity
 from ..utils.io import AsyncIO, save_state, write_bgeo
 from .mpm import MPMSim, MPMState, explicit_step
 from .mpm_binned import BinnedConfig, explicit_step_binned
-from .mpm_pallas import explicit_step_pallas
+from .mpm_binned2 import BinnedConfig2, rollout_binned2
 
 __all__ = ["simulate"]
 
@@ -31,21 +31,33 @@ def simulate(sim: MPMSim, state: MPMState, *, dt: float, steps: int,
              on_frame: Optional[Callable] = None) -> MPMState:
     """Run ``steps`` explicit MPM steps.
 
-    ``path``: "baseline" | "binned" | "pallas" | "auto" (pallas on TPU,
-    binned elsewhere).  Frames are written as bgeo through the background IO
-    worker so exports overlap device compute.
+    ``path``: "baseline" | "binned" | "binned2" | "auto".  "binned2" (the
+    auto choice without dt adaptation) runs whole frame segments as one
+    jitted bin-ordered rollout — the fast path on every backend (the
+    per-bin Pallas transfer kernels were retired in round 3: 83 ms/step
+    vs 3 ms for the XLA binned2 step, docs/design.md).  Frames are
+    written as bgeo through the background IO worker so exports overlap
+    device compute.
     """
     if path == "auto":
-        path = ("pallas" if jax.devices()[0].platform not in ("cpu",)
-                else "binned")
+        path = "binned" if adapt_dt else "binned2"
     cfg = BinnedConfig(bins_capacity=bins_capacity or
                        max(64, state.particles.capacity // 128 * 2))
+    if path == "binned2":
+        if adapt_dt:
+            raise ValueError("binned2 rollouts use a fixed dt; "
+                             "use path='binned' with adapt_dt")
+        return _simulate_binned2(sim, state, dt=dt, steps=steps,
+                                 bins_capacity=bins_capacity,
+                                 frame_every=frame_every,
+                                 frame_prefix=frame_prefix,
+                                 checkpoint_every=checkpoint_every,
+                                 checkpoint_path=checkpoint_path,
+                                 on_frame=on_frame)
     if path == "baseline":
         step = jax.jit(lambda s, d: explicit_step(sim, s, d))
     elif path == "binned":
         step = jax.jit(lambda s, d: explicit_step_binned(sim, s, d, cfg)[0])
-    elif path == "pallas":
-        step = jax.jit(lambda s, d: explicit_step_pallas(sim, s, d, cfg)[0])
     else:
         raise ValueError(path)
 
@@ -67,6 +79,40 @@ def simulate(sim: MPMSim, state: MPMState, *, dt: float, steps: int,
             if on_frame is not None:
                 on_frame(i + 1, state)
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            save_state(checkpoint_path, state)
+    io.wait()
+    return state
+
+
+def _simulate_binned2(sim, state, *, dt, steps, bins_capacity, frame_every,
+                      frame_prefix, checkpoint_every, checkpoint_path,
+                      on_frame):
+    """Frame-segmented bin-ordered rollouts (one jit per segment length)."""
+    io = AsyncIO.instance()
+    cap = state.particles.capacity
+    cfg = BinnedConfig2(bins_capacity=bins_capacity or
+                        max(64, cap // 128 + cap // 512 + 8))
+    seg = min(x for x in (frame_every or steps, checkpoint_every or steps,
+                          steps) if x > 0)
+    roll = jax.jit(lambda s, n_: rollout_binned2(sim, s, jnp.float32(dt),
+                                                 cfg, n_),
+                   static_argnums=1)
+    done = 0
+    while done < steps:
+        n_ = min(seg, steps - done)
+        state, overflow = roll(state, n_)
+        done += n_
+        if bool(overflow):
+            raise RuntimeError("binned2 overflow: grow bins_capacity")
+        if frame_every and done % frame_every == 0:
+            n = state.particles.size
+            x = np.asarray(state.particles["x"][:n])
+            v = np.asarray(state.particles["v"][:n])
+            io.submit(write_bgeo, f"{frame_prefix}.{done:05d}.bgeo", x,
+                      {"v": v})
+            if on_frame is not None:
+                on_frame(done, state)
+        if checkpoint_every and done % checkpoint_every == 0:
             save_state(checkpoint_path, state)
     io.wait()
     return state
