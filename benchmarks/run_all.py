@@ -251,7 +251,8 @@ def bench_implicit(n=1_000_000, quick=False):
     from examples.mpm_block import build
     from zpc_tpu.sim.contact_implicit import MeshContact
     from zpc_tpu.sim.implicit_binned2 import implicit_step_binned2
-    from zpc_tpu.sim.mpm_binned2 import BinnedConfig2, bin_state
+    from zpc_tpu.sim.mpm_binned2 import (BinnedConfig2, bin_state,
+                                         rebin_adaptive)
 
     if quick:
         n = 262144
@@ -265,8 +266,13 @@ def bench_implicit(n=1_000_000, quick=False):
     rows = []
 
     def step(_, s):
+        # adaptive rebinning, same contract as the explicit chain (the
+        # old form re-sorted all lanes every step inside the timing)
+        s = jax.lax.cond(s.needs_rebin,
+                         lambda t: rebin_adaptive(sim, t, cfg),
+                         lambda t: t, s)
         return implicit_step_binned2(sim, s, jnp.float32(5e-4), cfg,
-                                     cg_iters=20)
+                                     cg_iters=20, rebin=False)
     ms = chained_ms(step, bst, iters=2, reps=2, marginal=True)
     rows.append((f"implicit MPM v2 {n // 1000}k (20 CG iters)",
                  f"{ms:.0f} ms/step",
@@ -276,8 +282,11 @@ def bench_implicit(n=1_000_000, quick=False):
     mc = MeshContact.build(mesh, dhat=0.01, kappa=10.0, max_tris=8)
 
     def stepc(_, s):
+        s = jax.lax.cond(s.needs_rebin,
+                         lambda t: rebin_adaptive(sim, t, cfg),
+                         lambda t: t, s)
         return implicit_step_binned2(sim, s, jnp.float32(5e-4), cfg,
-                                     cg_iters=20, contact=mc)
+                                     cg_iters=20, contact=mc, rebin=False)
     ms = chained_ms(stepc, bst, iters=2, reps=2, marginal=True)
     rows.append((f"implicit MPM v2 + LBVH contact {n // 1000}k "
                  f"({mesh.shape[0]} tris, 20 CG iters)",

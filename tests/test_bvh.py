@@ -347,3 +347,27 @@ class TestExtractVariants:
                                       np.asarray(r_topk[1]))
         np.testing.assert_array_equal(np.asarray(r_peel[2]),
                                       np.asarray(r_topk[2]))
+
+    def test_peel_wide_tile_sentinel(self, rng):
+        """Regression: peel's composite key must fit int32.  With
+        tile=256 here the leaf window is 3TL=3072 lanes and the old
+        fixed lane<<21 shift wrapped negative, silently scrambling
+        hit order (and the old 2^30 sentinel dropped high lanes)."""
+        from zpc_tpu.containers.bvh import (build_lbvh,
+                                            query_overlaps_sorted)
+        n = 2048
+        c = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+        h = np.full((n, 3), 0.01, np.float32)
+        lo = jnp.asarray(c - h)
+        hi = jnp.asarray(c + h)
+        bvh = build_lbvh(lo, hi)
+        qlo = lo[:512] - 0.02
+        qhi = hi[:512] + 0.02
+        r_peel = query_overlaps_sorted(bvh, qlo, qhi, 32, tile=256,
+                                       extract="peel")
+        r_topk = query_overlaps_sorted(bvh, qlo, qhi, 32, tile=256,
+                                       extract="topk")
+        np.testing.assert_array_equal(np.asarray(r_peel[1]),
+                                      np.asarray(r_topk[1]))
+        np.testing.assert_array_equal(np.asarray(r_peel[2]),
+                                      np.asarray(r_topk[2]))

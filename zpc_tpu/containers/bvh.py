@@ -477,20 +477,30 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
         if extract == "none":
             hits = jnp.full(ov.shape[:2] + (max_hits,), -1, jnp.int32)
         elif extract == "peel":
-            # argmin peeling on a composite (lane << 21 | prim) key:
-            # max_hits rounds of min-reduce + clear — no per-row sort
-            # (top_k) and no scatters.  Caps prim ids at 2^21 (2M prims);
-            # larger trees should use extract="topk".
-            big_c = jnp.int32(2 ** 30)
+            # argmin peeling on a composite (lane << prim_bits | prim)
+            # key: max_hits rounds of min-reduce + clear — no per-row
+            # sort (top_k) and no scatters.  The key is sized from the
+            # static n and window width so it can never overflow int32
+            # (a fixed 21-bit shift wrapped negative for 3TL > 1024,
+            # silently scrambling hit order at wide tiles).
+            prim_bits = max(1, int(n - 1).bit_length())
+            lane_bits = int(3 * TL - 1).bit_length()
+            if prim_bits + lane_bits > 31:
+                raise ValueError(
+                    f"peel extract: {n} prims x {3 * TL}-lane window "
+                    f"exceeds the 31-bit composite key; use "
+                    f"extract='topk' or a smaller tile")
+            big_c = jnp.int32(2 ** 31 - 1)
             comp0 = jnp.where(
-                ov, (lane_ids[None, None, :] << 21) |
+                ov, (lane_ids[None, None, :] << prim_bits) |
                 jnp.maximum(wp, 0)[:, None, :], big_c)
             comp = comp0
             cols_out = []
             for _ in range(max_hits):
                 m = jnp.min(comp, axis=-1)                 # [G, T]
                 cols_out.append(jnp.where(m < big_c,
-                                          m & ((1 << 21) - 1), -1))
+                                          m & ((1 << prim_bits) - 1),
+                                          -1))
                 comp = jnp.where(comp == m[..., None], big_c, comp)
             hits = jnp.stack(cols_out, axis=-1)
         elif extract == "scan":
