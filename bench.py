@@ -54,15 +54,18 @@ def main():
             lambda t: rebin_adaptive(sim, t, cfg), s, chain)
 
     step = jax.jit(chained)
-    bst = step(bst)                               # compile + warm
-    np.asarray(jax.device_get(bst.cols.reshape(-1)[0]))   # reliable sync
+    out = step(bst)                               # compile + warm
+    np.asarray(jax.device_get(out.cols.reshape(-1)[0]))   # reliable sync
     best = float("inf")
     for _ in range(3):
+        # measure the SAME trajectory window each rep (steps [0, chain)
+        # from the binned initial state): carrying state across reps made
+        # the number depend on where impact fell in the rep sequence
         t0 = time.perf_counter()
-        bst = step(bst)
-        np.asarray(jax.device_get(bst.cols.reshape(-1)[0]))
+        out = step(bst)
+        np.asarray(jax.device_get(out.cols.reshape(-1)[0]))
         best = min(best, time.perf_counter() - t0)
-    if bool(bst.overflow):
+    if bool(out.overflow):
         raise RuntimeError("bin overflow mid-rollout: grow bins_capacity")
     pps = n * chain / best
     print(json.dumps({

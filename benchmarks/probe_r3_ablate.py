@@ -94,8 +94,9 @@ def main():
             gv = jnp.where(has_mass[..., None],
                            gmv / jnp.maximum(gm, 1e-30)[..., None], 0.0)
             gv = gv + dtj * sim.gravity[None, None, :]
-            gv = resolve_boundaries(sim.colliders, _node_positions(ctx),
-                                    gv)
+            if mode != "no_collider":
+                gv = resolve_boundaries(sim.colliders,
+                                        _node_positions(ctx), gv)
             gv = jnp.where(has_mass[..., None], gv, 0.0)
             max_vel = jnp.sqrt(jnp.max(jnp.sum(gv * gv, -1)))
             if mode == "no_g2p":
@@ -110,7 +111,10 @@ def main():
             C_new = Dinv * Bmat
             eye = jnp.eye(3, dtype=Fb.dtype)
             from zpc_tpu.math.vecmat import mm
-            F_new = mm(eye + dtj * C_new, Fb)
+            if mode == "no_fupdate":
+                F_new = Fb * tr
+            else:
+                F_new = mm(eye + dtj * C_new, Fb)
             x_new = xb + dtj * v_new
             base_new = jnp.floor((x_new - ctx.origin_w) / dx - 0.5
                                  ).astype(jnp.int32)
@@ -135,7 +139,8 @@ def main():
 
     full = chained_ms(step_variant("full"), bst, iters=10,
                       label="step full (ablation copy)")
-    for mode in ["no_p2g", "no_g2p", "const_stencils"]:
+    for mode in ["no_p2g", "no_g2p", "const_stencils", "no_collider",
+                 "no_fupdate"]:
         ms = chained_ms(step_variant(mode), bst, iters=10,
                         label=f"step {mode}")
         print(f"    -> {mode} saves {full - ms:+.2f} ms", flush=True)

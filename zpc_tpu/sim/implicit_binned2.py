@@ -35,7 +35,7 @@ __all__ = ["implicit_step_binned2", "implicit_rollout_binned2"]
 
 def _implicit_bin_step(sim: MPMSim, st: BinState, dt, cfg: BinnedConfig2,
                        cg_iters: int, cg_tol: float,
-                       contact=None) -> BinState:
+                       contact=None, with_stats: bool = False) -> BinState:
     """One implicit step on a BinState (bin order in/out).
 
     ``contact``: optional :class:`~zpc_tpu.sim.contact_implicit.
@@ -67,11 +67,11 @@ def _implicit_bin_step(sim: MPMSim, st: BinState, dt, cfg: BinnedConfig2,
     A_f = (-Dinv * volb)[..., None, None] * tau
     mom0 = mban[..., None] * vb + jnp.einsum("bkij,bkj->bki", A_m, rel0)
     f0 = jnp.einsum("bkij,bkj->bki", A_f, rel0)
-    zero = jnp.zeros_like(mban)[..., None]
     Q0 = jnp.concatenate([mban[..., None], mom0, f0], -1)      # [B,K,7]
-    QA = [jnp.concatenate(
-        [zero, dx * A_m[..., :, d], dx * A_f[..., :, d]], -1)
-        for d in range(3)]
+    # mass plane of the index-weighted transfer is structurally zero —
+    # pass the 6 live channels, _ctx_p2g pads
+    QA = [jnp.concatenate([dx * A_m[..., :, d], dx * A_f[..., :, d]], -1)
+          for d in range(3)]
     acc = _ctx_p2g(ctx, Q0, QA)                                # [nb,64,7]
     gm = acc[..., 0]
     gmv = acc[..., 1:4]
@@ -82,8 +82,7 @@ def _implicit_bin_step(sim: MPMSim, st: BinState, dt, cfg: BinnedConfig2,
         cset = contact.broad_phase(ctx, lane_alive)
         overflow = overflow | cset.overflow
         fc, Hc = contact.forces_and_hessians(cset, xb, lane_alive)
-        fint = fint + _ctx_p2g(
-            ctx, fc, [jnp.zeros_like(fc)] * 3)                 # [nb,64,3]
+        fint = fint + _ctx_p2g(ctx, fc)     # plain weights: [nb,64,3]
 
     # ---- predictor + Dirichlet mask -----------------------------------------
     has_mass = gm > 0.0
@@ -122,12 +121,20 @@ def _implicit_bin_step(sim: MPMSim, st: BinState, dt, cfg: BinnedConfig2,
             # df_p = -dt^2 H_p dv_p, back through plain-weight P2G
             # (Distance.hpp grads/Hessians consumed by the grid solve)
             dfc = (dt * dt) * jnp.einsum("bkij,bkj->bki", Hc, s0)
-            out = out + _ctx_p2g(ctx, dfc, [jnp.zeros_like(dfc)] * 3)
+            out = out + _ctx_p2g(ctx, dfc)
         return out
 
     def A_op(u):
         return scale_trailing(gm, u) + K_action(u)
 
+    # Mass-only Jacobi (ImplicitMPM.hpp precondition()).  A scalar
+    # diag(M + dt^2 K) estimate via a squared-weight P2G of
+    # c0*dt^2*Dinv*vol*(2mu+lam) was tried and MEASURABLY HURTS
+    # (benchmarks/probe_precond.py: 7 -> 11-15 iters at stiff dt for
+    # c0 in [4,16]) — the stiffness row norm does not capture K's
+    # near-null bending modes, and distorting the mass balance slows
+    # exactly those.  Mass-only converges in <= 7 iters at rel_tol 1e-3
+    # across the probe regimes; the solver stops on tolerance.
     def precondition(r):
         return scale_trailing(minv, r)
 
@@ -184,19 +191,25 @@ def _implicit_bin_step(sim: MPMSim, st: BinState, dt, cfg: BinnedConfig2,
     ncols = jnp.concatenate(newcols, axis=-1).reshape(L, -1)
 
     grid = dataclasses.replace(grid, data={"m": gm, "v": gv})
-    return dataclasses.replace(st, cols=ncols, grid=grid, max_vel=max_vel,
-                               overflow=overflow, needs_rebin=escaped)
+    out = dataclasses.replace(st, cols=ncols, grid=grid, max_vel=max_vel,
+                              overflow=overflow, needs_rebin=escaped)
+    if with_stats:
+        return out, res.iters
+    return out
 
 
 def implicit_step_binned2(sim: MPMSim, state, dt, cfg: BinnedConfig2,
                           cg_iters: int = 50, cg_tol: float = 1e-3,
-                          contact=None, *, rebin: bool = True):
+                          contact=None, *, rebin: bool = True,
+                          with_stats: bool = False):
     """Implicit step: MPMState -> (MPMState, overflow), or BinState ->
-    BinState when called with a BinState (rollout-internal form)."""
+    BinState when called with a BinState (rollout-internal form).
+    ``with_stats=True`` (BinState form) also returns the CG iteration
+    count the solve actually used (tol-based early exit)."""
     if isinstance(state, BinState):
         st = _rebin(sim, state, cfg) if rebin else state
         return _implicit_bin_step(sim, st, dt, cfg, cg_iters, cg_tol,
-                                  contact)
+                                  contact, with_stats=with_stats)
     bst = bin_state(sim, state, cfg)
     out = _implicit_bin_step(sim, bst, dt, cfg, cg_iters, cg_tol, contact)
     return unbin_state(out, state), out.overflow

@@ -738,12 +738,25 @@ def _make_ctx3(st: BinState, cfg: BinnedConfig2) -> _Ctx3:
                  wx, wx_i, S0, fy_m, fz_m, sel, tgt8, use_seg, overflow)
 
 
-def _ctx_p2g(ctx: _Ctx3, Q0, QA):
+def _ctx_p2g(ctx: _Ctx3, Q0, QA=None, squared=False):
     """Transfer [B,K,C] particle channels to [nb,64,C] block nodes.
 
     node(a,y,z) += wx[a]*wy[y]*wz[z] * (Q0 + a*QA[0] + y*QA[1] + z*QA[2])
     — the APIC/force plane decomposition shared by the explicit step and
     every implicit operator application (ImplicitMPM.hpp's G2P2G lineage).
+
+    ``QA=None`` is the plain-weight transfer (no affine planes): the
+    einsum shrinks to one C·side-wide plane — the contact-force path
+    rides this at 1/3 the cost.  Per-component ``QA`` entries may also
+    be narrower than C (aligned to the LAST channels; the leading ones
+    are implicitly zero): callers
+    whose index-weighted planes have structurally-zero channels (the
+    mass channel of the APIC momentum transfer) pass only the live ones
+    instead of shipping zeros through the [B,K,·] contraction.
+
+    ``squared=True`` transfers with w^2 instead of w (QA must be None):
+    node_i = sum_p w_ip^2 Q0_p — the row norms a Jacobi preconditioner
+    of the P2G∘H∘G2P stiffness needs (diag(M + dt^2 K) estimation).
     """
     from ..ops.spill_tables import _SPILL_ALL
 
@@ -753,23 +766,45 @@ def _ctx_p2g(ctx: _Ctx3, Q0, QA):
     AC = C * side
 
     def plane_scale(w6, q):
-        # [B,K,side],[B,K,C] -> [B,K,C*side] (a-major)
-        return (w6[..., :, None] * q[..., None, :]).reshape(B, Kk, AC)
+        # [B,K,side],[B,K,Cq] -> [B,K,Cq*side] (a-major)
+        return (w6[..., :, None] * q[..., None, :]).reshape(
+            B, Kk, q.shape[-1] * side)
 
-    R1 = plane_scale(ctx.wx, Q0) + plane_scale(ctx.wx_i, QA[0])
-    R2 = plane_scale(ctx.wx, QA[1])
-    R3 = plane_scale(ctx.wx, QA[2])
-    # ONE einsum reading S0 once: R1..R3 stack along the (free) output
-    # channel axis, so the concat fuses into their elementwise producers
-    # (stacking along the contracted K axis — round 2's first try —
-    # forced ~280 MB of copies of the *reused* S operands instead)
-    Rcat = jnp.concatenate([R1, R2, R3], axis=-1)           # [B,K,3C·side]
-    outf = jnp.einsum("bkm,bkA->bmA", ctx.S0, Rcat, precision=_PREC,
-                      preferred_element_type=jnp.float32)   # [B,sq,3C·side]
-    out = (outf[..., :AC] + ctx.fy_m[None, :, None] * outf[..., AC:2 * AC]
-           + ctx.fz_m[None, :, None] * outf[..., 2 * AC:])
-    cube = jnp.moveaxis(out.reshape(B, sq, side, C), 2, 1
-                        ).reshape(B, side ** 3, C)          # [B,side^3,C]
+    S0 = ctx.S0
+    wx = ctx.wx
+    if squared:
+        assert QA is None
+        S0 = S0 * S0
+        wx = wx * wx
+
+    R1 = plane_scale(wx, Q0)
+    if QA is not None:
+        qa0 = QA[0]
+        if qa0.shape[-1] < C:     # leading channels implicitly zero
+            qa0 = jnp.pad(qa0, [(0, 0)] * 2 + [(C - qa0.shape[-1], 0)])
+        R1 = R1 + plane_scale(ctx.wx_i, qa0)
+        # ONE einsum reading S0 once: the planes stack along the (free)
+        # output channel axis, so the concat fuses into their elementwise
+        # producers (stacking along the contracted K axis — round 2's
+        # first try — forced ~280 MB of copies of the reused S operands)
+        C1, C2 = QA[1].shape[-1], QA[2].shape[-1]
+        Rcat = jnp.concatenate(
+            [R1, plane_scale(ctx.wx, QA[1]), plane_scale(ctx.wx, QA[2])],
+            axis=-1)                             # [B,K,(C+C1+C2)·side]
+    else:
+        C1 = C2 = 0
+        Rcat = R1
+    outf = jnp.einsum("bkm,bkA->bmA", S0, Rcat, precision=_PREC,
+                      preferred_element_type=jnp.float32)
+    out = outf[..., :AC].reshape(B, sq, side, C)
+    if QA is not None:
+        o1 = outf[..., AC:AC + C1 * side].reshape(B, sq, side, C1)
+        o2 = outf[..., AC + C1 * side:].reshape(B, sq, side, C2)
+        pady = [(0, 0)] * 3 + [(C - C1, 0)]
+        padz = [(0, 0)] * 3 + [(C - C2, 0)]
+        out = (out + ctx.fy_m[None, :, None, None] * jnp.pad(o1, pady)
+               + ctx.fz_m[None, :, None, None] * jnp.pad(o2, padz))
+    cube = jnp.moveaxis(out, 2, 1).reshape(B, side ** 3, C)
 
     # ---- spill + block reduction ----------------------------------------
     if side == 8:
@@ -834,13 +869,12 @@ def _ctx_g2p(ctx: _Ctx3, gv):
                             ctx.fz_m[None, :, None] * Vac], axis=-1)
     Pcat = jnp.einsum("bkm,bmA->bkA", ctx.S0, Vcat, precision=_PREC,
                       preferred_element_type=jnp.float32)   # [B,K,9side]
-    P0r = Pcat[..., :A3].reshape(B, K, side, 3)
-    P1r = Pcat[..., A3:2 * A3].reshape(B, K, side, 3)
-    P2r = Pcat[..., 2 * A3:].reshape(B, K, side, 3)
-    s0 = jnp.einsum("bka,bkac->bkc", ctx.wx, P0r)
-    sx = jnp.einsum("bka,bkac->bkc", ctx.wx_i, P0r)
-    sy = jnp.einsum("bka,bkac->bkc", ctx.wx, P1r)
-    sz = jnp.einsum("bka,bkac->bkc", ctx.wx, P2r)
+    # one a-contraction reads Pcat ONCE for (s0, sy, sz); only sx
+    # (the wx_i variant) re-reads the first third
+    Pv = Pcat.reshape(B, K, 3, side, 3)         # [variant, a, c]
+    svc = jnp.einsum("bka,bkvac->bkvc", ctx.wx, Pv)
+    s0, sy, sz = svc[..., 0, :], svc[..., 1, :], svc[..., 2, :]
+    sx = jnp.einsum("bka,bkac->bkc", ctx.wx_i, Pv[..., 0, :, :])
     return s0, sx, sy, sz
 
 
@@ -879,8 +913,9 @@ def _step3d(sim: MPMSim, st, dt, cfg: BinnedConfig2):
         (dt * Dinv * volb)[..., None, None] * tau
     u0 = mban[..., None] * vb + jnp.einsum("bkij,bkj->bki", A, rel0)
     Q0 = jnp.concatenate([mban[..., None], u0], -1)           # [B,K,4]
-    zero = jnp.zeros_like(mban)[..., None]
-    QA = [jnp.concatenate([zero, dx * A[..., :, d]], -1) for d in range(3)]
+    # index-weighted planes carry only the momentum channels (the mass
+    # plane is structurally zero — _ctx_p2g pads, saving 2/12 of Rcat)
+    QA = [dx * A[..., :, d] for d in range(3)]
     acc = _ctx_p2g(ctx, Q0, QA)
     gm = acc[..., 0]
     gmv = acc[..., 1:]
