@@ -37,8 +37,11 @@ def main():
     cfg = BinnedConfig2(bins_capacity=2560, block_capacity=2048)
     # long chains amortize the fixed per-dispatch overhead of the remote
     # TPU path (~35 ms/call measured in benchmarks/probe_r3_tax.py —
-    # 20-step chains under-reported the sustained rate by ~35%%)
-    chain = 240
+    # 20-step chains under-reported the sustained rate by ~35%%).
+    # 720 steps stay inside the scene's free-fall phase (impact at
+    # ~740 steps for this drop height/dt), so every rep measures the
+    # same recentering-stabilized regime
+    chain = 720
 
     bst = jax.jit(lambda s: bin_state(sim, s, cfg))(st)
 

@@ -805,8 +805,22 @@ def _ctx_p2g(ctx: _Ctx3, Q0, QA=None, squared=False):
         out = (out + ctx.fy_m[None, :, None, None] * jnp.pad(o1, pady)
                + ctx.fz_m[None, :, None, None] * jnp.pad(o2, padz))
     cube = jnp.moveaxis(out, 2, 1).reshape(B, side ** 3, C)
+    return _spill_reduce(ctx, cube, C)
 
-    # ---- spill + block reduction ----------------------------------------
+
+def _spill_reduce(ctx: _Ctx3, cube, C):
+    """[B, side^3, C] window cubes -> [nb, 64, C] block accumulation.
+
+    The spill stage shared by the XLA and Pallas P2G front-ends: route
+    each window's 8 octants to their target blocks (transpose for the
+    exactly-tiling side=8 window, one-hot slab matmul otherwise) and
+    reduce bins -> blocks by segment_sum or exact-fp32 selection matmul.
+    """
+    from ..ops.spill_tables import _SPILL_ALL
+
+    B = cube.shape[0]
+    side = ctx.side
+    nb = ctx.table.capacity
     if side == 8:
         # the 8-node window tiles 2x2x2 blocks exactly: "spill" is a
         # transpose, not a matmul
@@ -858,6 +872,7 @@ def _ctx_g2p(ctx: _Ctx3, gv):
         pull = jnp.asarray(_PULL_ALL[:, :, :64])              # [8,216,64]
         Vbin = jnp.einsum("dst,dnte->nse", pull, Vd, precision=_PREC,
                           preferred_element_type=jnp.float32)  # [B,216,3]
+
     # V as [B, side^2, (a,c)]
     Vac = jnp.moveaxis(Vbin.reshape(B, side, sq, 3), 1, 2
                        ).reshape(B, sq, 3 * side)
