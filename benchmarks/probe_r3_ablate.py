@@ -75,7 +75,13 @@ def main():
                     wx=jnp.full((B, K, cfg.side), 0.125) * tr,
                     wx_i=jnp.full((B, K, cfg.side), 0.125) * tr)
             Dinv = 4.0 / (dx * dx)
-            tau = sim.model.kirchhoff(Fb)
+            if mode == "no_tau":
+                tau = Fb * tr
+            elif mode == "polar_tau":
+                from benchmarks.probe_polar import kirchhoff_polar
+                tau = kirchhoff_polar(sim.model, Fb, 4)
+            else:
+                tau = sim.model.kirchhoff(Fb)
             A = mban[..., None, None] * Cb - \
                 (dtj * Dinv * volb)[..., None, None] * tau
             u0 = mban[..., None] * vb + jnp.einsum("bkij,bkj->bki", A,
@@ -138,11 +144,11 @@ def main():
         return body
 
     full = chained_ms(step_variant("full"), bst, iters=10,
-                      label="step full (ablation copy)")
+                      label="step full (ablation copy)", marginal=True)
     for mode in ["no_p2g", "no_g2p", "const_stencils", "no_collider",
-                 "no_fupdate"]:
+                 "no_fupdate", "no_tau", "polar_tau"]:
         ms = chained_ms(step_variant(mode), bst, iters=10,
-                        label=f"step {mode}")
+                        label=f"step {mode}", marginal=True)
         print(f"    -> {mode} saves {full - ms:+.2f} ms", flush=True)
 
 

@@ -60,3 +60,24 @@ def test_anisotropic_arap_piola_matches_fd(rng):
                   float(m.psi(jnp.asarray(Fm[None], jnp.float32))[0])) / \
                 (2 * eps)
             assert abs(P[i, j] - fd) < 0.15, (i, j, P[i, j], fd)
+
+
+def test_fixed_corotated_kirchhoff_newton_matches_svd(rng):
+    """FixedCorotated.kirchhoff (Newton polar fast path) agrees with the
+    SVD-based P F^T to fp32 tolerance in the det>0 regime, including
+    per-particle (hardened) Lame parameters."""
+    from zpc_tpu.math.vecmat import mm
+    from zpc_tpu.models.constitutive import FixedCorotated
+
+    F = (np.eye(3) + 0.2 * rng.standard_normal((256, 3, 3))
+         ).astype(np.float32)
+    F = F[np.linalg.det(F) > 0.05]
+    n = F.shape[0]
+    mu = jnp.asarray(1e3 * (1.0 + rng.random(n)), jnp.float32)
+    lam = jnp.asarray(5e3 * (1.0 + rng.random(n)), jnp.float32)
+    model = FixedCorotated(mu, lam)
+    Fj = jnp.asarray(F)
+    tau = np.asarray(model.kirchhoff(Fj))
+    ref = np.asarray(mm(model.first_piola(Fj), jnp.swapaxes(Fj, -1, -2)))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(tau, ref, atol=2e-5 * scale)

@@ -100,6 +100,25 @@ class TestSVD:
         np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-4)
         np.testing.assert_allclose(S, np.swapaxes(S, -1, -2), atol=1e-5)
 
+    def test_polar_newton(self, rng):
+        """Newton polar factor matches the SVD polar factor (det > 0) and
+        stays finite for degenerate/inverted inputs."""
+        A = rng.standard_normal((64, 3, 3)).astype(np.float32) * 0.2
+        A += np.eye(3)                       # MPM regime: F near identity
+        A = A[np.linalg.det(A) > 0.05]
+        R = np.asarray(zm.polar_newton3x3(jnp.asarray(A)))
+        Rref, _ = zm.polar_decomposition(jnp.asarray(A))
+        np.testing.assert_allclose(R, np.asarray(Rref), atol=2e-5)
+        np.testing.assert_allclose(R @ np.swapaxes(R, -1, -2),
+                                   np.broadcast_to(np.eye(3), R.shape),
+                                   atol=1e-5)
+        # degenerate + inverted: finite orthogonal output, no NaN
+        bad = np.stack([np.zeros((3, 3), np.float32),
+                        np.diag([-1.0, 1.0, 1.0]).astype(np.float32)])
+        Rb = np.asarray(zm.polar_newton3x3(jnp.asarray(bad), iters=8))
+        assert np.all(np.isfinite(Rb))
+        np.testing.assert_allclose(Rb[1] @ Rb[1].T, np.eye(3), atol=1e-5)
+
     def test_eigh3x3(self, rng):
         A = rng.standard_normal((32, 3, 3)).astype(np.float32)
         A = 0.5 * (A + np.swapaxes(A, -1, -2))

@@ -1,6 +1,7 @@
 """Math layer (reference layer 5, SURVEY §2.5)."""
 
-from .svd import svd2x2, svd3x3, polar_decomposition, eigh3x3, qr3x3
+from .svd import (svd2x2, svd3x3, polar_decomposition,
+                  polar_newton3x3, eigh3x3, qr3x3)
 from .interpolation import (bspline_weights, linear_bspline_weights,
                             quadratic_bspline_weights, cubic_bspline_weights,
                             stencil_size, base_node)
@@ -17,7 +18,8 @@ from .bits import (morton3d, morton2d, clz32, common_prefix_length,
 from .bigint import BigInt, bigint, bigint_gcd, RationalW, rational_w
 
 __all__ = [
-    "svd2x2", "svd3x3", "polar_decomposition", "eigh3x3", "qr3x3",
+    "svd2x2", "svd3x3", "polar_decomposition", "polar_newton3x3",
+    "eigh3x3", "qr3x3",
     "bspline_weights", "linear_bspline_weights", "quadratic_bspline_weights",
     "cubic_bspline_weights", "stencil_size", "base_node",
     "CSRMatrix", "csr_from_coo", "csr_transpose", "spmv", "spmv_semiring",

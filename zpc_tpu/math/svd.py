@@ -31,6 +31,7 @@ __all__ = [
     "svd2x2",
     "svd3x3",
     "polar_decomposition",
+    "polar_newton3x3",
     "eigh3x3",
     "qr3x3",
 ]
@@ -323,6 +324,43 @@ def polar_decomposition(A, sweeps: int = 6):
         for i in range(3)], -2)
     S = mm(V, sVt)
     return R, S
+
+
+def _cof3(F):
+    """Cofactor matrix via column cross products (valid for singular F)."""
+    c0 = jnp.cross(F[..., :, 1], F[..., :, 2], axis=-1)
+    c1 = jnp.cross(F[..., :, 2], F[..., :, 0], axis=-1)
+    c2 = jnp.cross(F[..., :, 0], F[..., :, 1], axis=-1)
+    return jnp.stack([c0, c1, c2], axis=-1)
+
+
+def polar_newton3x3(F, iters: int = 4, eps: float = 1e-6):
+    """Orthogonal polar factor by determinant-scaled Newton iteration,
+    batched & branch-free: ``X <- (g X + (1/g) X^-T) / 2``,
+    ``g = |det X|^(-1/3)`` (Higham scaling).
+
+    Quadratic convergence for the MPM regime (F near a rotation): 4
+    iterations reach 6e-7 relative agreement with the SVD polar factor
+    at 15% strain, at ~3.6x lower VPU cost than ``svd3x3`` (measured,
+    benchmarks/probe_polar.py).  ``det`` is clamped away from 0 so
+    degenerate F stays finite.
+
+    Inversion caveat: for ``det F < 0`` this converges to the *improper*
+    orthogonal factor (det = -1), not the Irving-convention proper
+    rotation (flip on the smallest singular direction) that
+    ``polar_decomposition`` returns — callers needing inversion-robust
+    corotated response must use the SVD path (QRSVD.hpp lineage).
+    """
+    X = F
+    for _ in range(iters):
+        cof = _cof3(X)
+        det = jnp.sum(X[..., :, 0] * cof[..., :, 0], -1)
+        det = jnp.where(jnp.abs(det) < eps,
+                        jnp.where(det < 0, -eps, eps), det)
+        inv_t = cof / det[..., None, None]
+        g = jnp.abs(det) ** (-1.0 / 3.0)
+        X = 0.5 * (g[..., None, None] * X + inv_t / g[..., None, None])
+    return X
 
 
 def qr3x3(A):

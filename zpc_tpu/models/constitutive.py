@@ -163,6 +163,30 @@ class FixedCorotated(ElasticModel):
         return scale_trailing(2.0 * mu * jnp.ones_like(J), F - R) + \
             scale_trailing(lam * (J - 1.0), _cof(F))
 
+    def kirchhoff(self, F):
+        """tau = P F^T with R from the Newton polar iteration (3-D).
+
+        The corotated stress needs only R = polar(F), J and cof(F) — no
+        singular values — so the explicit hot path skips the Jacobi SVD:
+        0.258 -> 0.072 ms at 327k particles on v5e, 6e-7 relative
+        agreement at 15% strain (benchmarks/probe_polar.py).  For
+        inverted elements (det F < 0, outside the explicit stable-dt
+        regime) the Newton factor is the improper orthogonal one; the
+        SVD path (``first_piola``, 2-D, implicit linearization) keeps the
+        Irving-convention handling.
+        """
+        if F.shape[-1] != 3:
+            return super().kirchhoff(F)
+        from ..math.svd import polar_newton3x3
+        R = polar_newton3x3(F)
+        cof = _cof(F)
+        J = jnp.sum(F[..., :, 0] * cof[..., :, 0], -1)
+        mu = bcast_scalar(self.mu, J)
+        lam = bcast_scalar(self.lam, J)
+        P = scale_trailing(2.0 * mu * jnp.ones_like(J), F - R) + \
+            scale_trailing(lam * (J - 1.0), cof)
+        return mm(P, jnp.swapaxes(F, -1, -2))
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)

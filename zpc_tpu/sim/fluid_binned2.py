@@ -175,7 +175,7 @@ def explicit_fluid_step_binned2(sim: MPMSim, state: BinState, dt,
     cube = jnp.moveaxis(out.reshape(B, sq, side, 4), 2, 1
                         ).reshape(B, side ** 3, 4)
 
-    sel, tgt8, use_seg = _spill_sel(table, bin_block_safe,
+    sel, tgt8, use_seg = _spill_sel(st.nbr8, bin_block_safe,
                                     bin_live & ~bad_bin, nb, cfg)
     if side == 8:
         spilled = cube.reshape(B, 2, 4, 2, 4, 2, 4, 4).transpose(

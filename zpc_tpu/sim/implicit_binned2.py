@@ -100,6 +100,14 @@ def _implicit_bin_step(sim: MPMSim, st: BinState, dt, cfg: BinnedConfig2,
         return scale_trailing(free_f, u)
 
     # ---- matrix-free (M + dt^2 K [+ dt^2 Kc]) u over [nb,64,3] -------------
+    # Linearize the stress once per step: jvp inside the CG body re-emits
+    # the primal chain (SVD sweeps) every iteration and XLA's loop-
+    # invariant hoisting does not reliably lift a subgraph that large out
+    # of the while loop; ``linearize`` stores the primal residuals and the
+    # body replays only the tangent ops (ImplicitMPM.hpp precomputes the
+    # per-particle stress derivative in the same spirit).
+    _, dP_lin = jax.linearize(sim.model.first_piola, Fb)
+
     def K_action(u):
         s0, sx, sy, sz = _ctx_g2p(ctx, u)
         sidx = dx * jnp.stack([sx, sy, sz], axis=-1)
@@ -108,7 +116,7 @@ def _implicit_bin_step(sim: MPMSim, st: BinState, dt, cfg: BinnedConfig2,
             for i in range(3)], -2) + sidx
         dC = Dinv * dB
         dF = dt * mm(dC, Fb)
-        _, dP = jax.jvp(sim.model.first_piola, (Fb,), (dF,))
+        dP = dP_lin(dF)
         dtau = mm(dP, jnp.swapaxes(Fb, -1, -2))
         A2 = scale_trailing(dt * Dinv * volb, dtau)
         Qk = jnp.stack([

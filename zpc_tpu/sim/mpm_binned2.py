@@ -763,7 +763,6 @@ def _ctx_p2g(ctx: _Ctx3, Q0, QA=None, squared=False):
     B, Kk, C = Q0.shape
     side, sq = ctx.side, ctx.side * ctx.side
     nb = ctx.table.capacity
-    AC = C * side
 
     def plane_scale(w6, q):
         # [B,K,side],[B,K,Cq] -> [B,K,Cq*side] (a-major)
@@ -777,29 +776,28 @@ def _ctx_p2g(ctx: _Ctx3, Q0, QA=None, squared=False):
         S0 = S0 * S0
         wx = wx * wx
 
+    # THREE einsums, one per plane group, each output used directly —
+    # measured faster than the round-2/3 stacked single-Rcat einsum
+    # (2.94 -> 2.49 ms/step at 256k, benchmarks/probe_restructure3.py):
+    # the [B,K,(C+C1+C2)·side] channel concat and the outf slicing both
+    # materialize at full size in the stacked form, which costs more
+    # than reading S0 three times.  (The symmetric split on the G2P side
+    # measured SLOWER — kept stacked there.)
+    def dot(R):
+        return jnp.einsum("bkm,bkA->bmA", S0, R, precision=_PREC,
+                          preferred_element_type=jnp.float32)
+
     R1 = plane_scale(wx, Q0)
     if QA is not None:
         qa0 = QA[0]
         if qa0.shape[-1] < C:     # leading channels implicitly zero
             qa0 = jnp.pad(qa0, [(0, 0)] * 2 + [(C - qa0.shape[-1], 0)])
         R1 = R1 + plane_scale(ctx.wx_i, qa0)
-        # ONE einsum reading S0 once: the planes stack along the (free)
-        # output channel axis, so the concat fuses into their elementwise
-        # producers (stacking along the contracted K axis — round 2's
-        # first try — forced ~280 MB of copies of the reused S operands)
-        C1, C2 = QA[1].shape[-1], QA[2].shape[-1]
-        Rcat = jnp.concatenate(
-            [R1, plane_scale(ctx.wx, QA[1]), plane_scale(ctx.wx, QA[2])],
-            axis=-1)                             # [B,K,(C+C1+C2)·side]
-    else:
-        C1 = C2 = 0
-        Rcat = R1
-    outf = jnp.einsum("bkm,bkA->bmA", S0, Rcat, precision=_PREC,
-                      preferred_element_type=jnp.float32)
-    out = outf[..., :AC].reshape(B, sq, side, C)
+    out = dot(R1).reshape(B, sq, side, C)
     if QA is not None:
-        o1 = outf[..., AC:AC + C1 * side].reshape(B, sq, side, C1)
-        o2 = outf[..., AC + C1 * side:].reshape(B, sq, side, C2)
+        C1, C2 = QA[1].shape[-1], QA[2].shape[-1]
+        o1 = dot(plane_scale(wx, QA[1])).reshape(B, sq, side, C1)
+        o2 = dot(plane_scale(wx, QA[2])).reshape(B, sq, side, C2)
         pady = [(0, 0)] * 3 + [(C - C1, 0)]
         padz = [(0, 0)] * 3 + [(C - C2, 0)]
         out = (out + ctx.fy_m[None, :, None, None] * jnp.pad(o1, pady)
