@@ -141,6 +141,23 @@ def bench_mpm(n=262144, quick=False):
     add("binned", chained_ms(v1, (st0, jnp.bool_(False)), iters=iters, marginal=True))
 
     if not quick:
+        n1 = 1048576
+        sim1, st1, dt1 = build(n1, dx=1.0 / 128, block_capacity=8192)
+        dtj1 = jnp.float32(dt1)
+        cfg1 = BinnedConfig2(bins_capacity=9216, block_capacity=8192)
+        bst1 = jax.block_until_ready(
+            jax.jit(lambda s: bin_state(sim1, s, cfg1))(st1))
+
+        def v2m(_, s):
+            s = jax.lax.cond(s.needs_rebin,
+                             lambda t: rebin_adaptive(sim1, t, cfg1),
+                             lambda t: t, s)
+            return explicit_step_binned2(sim1, s, dtj1, cfg1, rebin=False)
+        ms = chained_ms(v2m, bst1, iters=iters, marginal=True)
+        rows.append((f"MPM 1048k binned2 adaptive", f"{ms:.1f} ms/step",
+                     f"{n1 / (ms / 1e3) / 1e6:.2f} M particle-steps/s"))
+
+    if not quick:
         # (the per-bin Pallas transfer path was retired in round 3 —
         # 83 ms/step vs ~3 ms for the XLA binned2 step; docs/design.md)
 

@@ -67,6 +67,14 @@ def _implicit_bin_step(sim: MPMSim, st: BinState, dt, cfg: BinnedConfig2,
     A_f = (-Dinv * volb)[..., None, None] * tau
     mom0 = mban[..., None] * vb + jnp.einsum("bkij,bkj->bki", A_m, rel0)
     f0 = jnp.einsum("bkij,bkj->bki", A_f, rel0)
+    # contact forces at t^n ride the SAME transfer: fc is plain-weight
+    # (no affine plane), so folding it into the f channels costs nothing
+    # while a separate plain P2G pass cost ~3 ms/step at 1M
+    if contact is not None:
+        cset = contact.broad_phase(ctx, lane_alive)
+        overflow = overflow | cset.overflow
+        fc, Hc = contact.forces_and_hessians(cset, xb, lane_alive)
+        f0 = f0 + fc
     Q0 = jnp.concatenate([mban[..., None], mom0, f0], -1)      # [B,K,7]
     # mass plane of the index-weighted transfer is structurally zero —
     # pass the 6 live channels, _ctx_p2g pads
@@ -76,13 +84,6 @@ def _implicit_bin_step(sim: MPMSim, st: BinState, dt, cfg: BinnedConfig2,
     gm = acc[..., 0]
     gmv = acc[..., 1:4]
     fint = acc[..., 4:7]
-
-    # ---- contact forces at t^n into the rhs --------------------------------
-    if contact is not None:
-        cset = contact.broad_phase(ctx, lane_alive)
-        overflow = overflow | cset.overflow
-        fc, Hc = contact.forces_and_hessians(cset, xb, lane_alive)
-        fint = fint + _ctx_p2g(ctx, fc)     # plain weights: [nb,64,3]
 
     # ---- predictor + Dirichlet mask -----------------------------------------
     has_mass = gm > 0.0
@@ -122,15 +123,15 @@ def _implicit_bin_step(sim: MPMSim, st: BinState, dt, cfg: BinnedConfig2,
         Qk = jnp.stack([
             A2[..., i, 0] * rel[0] + A2[..., i, 1] * rel[1] +
             A2[..., i, 2] * rel[2] for i in range(3)], -1)
-        QAk = [dx * A2[..., :, d] for d in range(3)]
-        out = _ctx_p2g(ctx, Qk, QAk)
         if contact is not None:
             # contact Hessian acts on particle velocity: dv_p = G2P(u),
-            # df_p = -dt^2 H_p dv_p, back through plain-weight P2G
-            # (Distance.hpp grads/Hessians consumed by the grid solve)
-            dfc = (dt * dt) * jnp.einsum("bkij,bkj->bki", Hc, s0)
-            out = out + _ctx_p2g(ctx, dfc)
-        return out
+            # df_p = dt^2 H_p dv_p — plain-weight channels folded into
+            # Qk's plain part (same one-transfer trick as the rhs; a
+            # separate P2G here cost ~3 ms x iters at 1M).  Distance.hpp
+            # grads/Hessians consumed by the grid solve.
+            Qk = Qk + (dt * dt) * jnp.einsum("bkij,bkj->bki", Hc, s0)
+        QAk = [dx * A2[..., :, d] for d in range(3)]
+        return _ctx_p2g(ctx, Qk, QAk)
 
     def A_op(u):
         return scale_trailing(gm, u) + K_action(u)
