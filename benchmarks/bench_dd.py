@@ -1,0 +1,79 @@
+"""Domain-decomposed tier benchmark (8 virtual CPU devices).
+
+Real TPU pods are not reachable from this host, so this row is
+CPU-relative (as BENCHMARKS.md notes): it demonstrates the dd tier's
+scaling *behavior* — per-device grid memory 1/D, halo exchange +
+migration riding ppermute — not absolute throughput.  Run:
+
+    JAX_PLATFORMS=cpu python benchmarks/bench_dd.py
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from zpc_tpu.models.constitutive import FixedCorotated
+from zpc_tpu.parallel.mesh import make_mesh
+from zpc_tpu.sim.domain_decomp import explicit_step_dd, make_dd_state
+from zpc_tpu.sim.mpm import MPMSim, explicit_step, make_mpm_state
+
+
+def main():
+    rng = np.random.default_rng(3)
+    n = 104_000
+    a = rng.uniform(0.05, 0.25, (80_000, 3))
+    b = rng.uniform(0.05, 0.95, (24_000, 3))
+    x = jnp.asarray(np.concatenate([a, b]), jnp.float32)
+    st = make_mpm_state(x, dx=0.01, block_capacity=8192)
+    sim = MPMSim(model=FixedCorotated.from_young_poisson(1e4, 0.3),
+                 gravity=jnp.asarray([0.0, -9.8, 0.0]))
+    dt = jnp.float32(2e-4)
+
+    rows = []
+    for d in (8, 4):
+        mesh = make_mesh(d)
+        dds = make_dd_state(st, mesh)
+        step = jax.jit(lambda s: explicit_step_dd(
+            sim, s, dt, mesh, grid_template=st.grid,
+            nb_local=16384 // d, mig_cap=4096))
+        out, ov = step(dds)
+        jax.block_until_ready(out.cols)
+        assert not bool(ov)
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            out, ov = step(out)
+        jax.block_until_ready(out.cols)
+        ms = (time.perf_counter() - t0) / reps * 1e3
+        rows.append((d, ms, 16384 // d))
+
+    # single-device reference (whole grid on one device)
+    stp = jax.jit(lambda s: explicit_step(sim, s, dt))
+    ref = stp(st)
+    jax.block_until_ready(ref.particles["x"])
+    t0 = time.perf_counter()
+    for _ in range(2):
+        ref = stp(ref)
+    jax.block_until_ready(ref.particles["x"])
+    ms1 = (time.perf_counter() - t0) / 2 * 1e3
+
+    print("| case | time | note |")
+    print("|---|---|---|")
+    for d, ms, nb in rows:
+        print(f"| dd tier {n // 1000}k skewed, {d}x CPU devices | "
+              f"{ms:.0f} ms/step | grid {nb} blocks/device (1/{d} mem) |")
+    print(f"| single-device CPU reference (explicit_step) | {ms1:.0f} "
+          f"ms/step | whole grid on one device |")
+
+
+if __name__ == "__main__":
+    main()
