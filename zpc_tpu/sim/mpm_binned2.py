@@ -882,12 +882,19 @@ def _ctx_g2p(ctx: _Ctx3, gv):
                             ctx.fz_m[None, :, None] * Vac], axis=-1)
     Pcat = jnp.einsum("bkm,bmA->bkA", ctx.S0, Vcat, precision=_PREC,
                       preferred_element_type=jnp.float32)   # [B,K,9side]
-    # one a-contraction reads Pcat ONCE for (s0, sy, sz); only sx
-    # (the wx_i variant) re-reads the first third
-    Pv = Pcat.reshape(B, K, 3, side, 3)         # [variant, a, c]
-    svc = jnp.einsum("bka,bkvac->bkvc", ctx.wx, Pv)
-    s0, sy, sz = svc[..., 0, :], svc[..., 1, :], svc[..., 2, :]
-    sx = jnp.einsum("bka,bkac->bkc", ctx.wx_i, Pv[..., 0, :, :])
+    # a-contraction on contiguous 3·side slices: the 5-D
+    # Pcat.reshape(B,K,3,side,3) + "bka,bkvac->bkvc" form cost a 94 MB
+    # layout copy of Pcat plus [B,K,3,8,3] broadcast-multiply traffic
+    # (HLO census); four sliced einsums drop 0.48 ms/step at 256k
+    # (benchmarks/probe_g2p_tail.py)
+
+    def ac(w, P24):
+        return jnp.einsum("bka,bkac->bkc", w,
+                          P24.reshape(B, K, side, 3))
+    s0 = ac(ctx.wx, Pcat[..., 0:A3])
+    sy = ac(ctx.wx, Pcat[..., A3:2 * A3])
+    sz = ac(ctx.wx, Pcat[..., 2 * A3:])
+    sx = ac(ctx.wx_i, Pcat[..., 0:A3])
     return s0, sx, sy, sz
 
 
