@@ -39,22 +39,22 @@ def main():
     dt = jnp.float32(2e-4)
 
     rows = []
-    for d in (8, 4):
+    for d in (8,):
         mesh = make_mesh(d)
         dds = make_dd_state(st, mesh)
         step = jax.jit(lambda s: explicit_step_dd(
             sim, s, dt, mesh, grid_template=st.grid,
-            nb_local=16384 // d, mig_cap=4096))
+            nb_local=8192, mig_cap=4096))
         out, ov = step(dds)
-        jax.block_until_ready(out.cols)
+        jax.block_until_ready(out.alive)
         assert not bool(ov)
         t0 = time.perf_counter()
         reps = 3
         for _ in range(reps):
             out, ov = step(out)
-        jax.block_until_ready(out.cols)
+        jax.block_until_ready(out.alive)
         ms = (time.perf_counter() - t0) / reps * 1e3
-        rows.append((d, ms, 16384 // d))
+        rows.append((d, ms, 8192))
 
     # single-device reference (whole grid on one device)
     stp = jax.jit(lambda s: explicit_step(sim, s, dt))
@@ -70,7 +70,7 @@ def main():
     print("|---|---|---|")
     for d, ms, nb in rows:
         print(f"| dd tier {n // 1000}k skewed, {d}x CPU devices | "
-              f"{ms:.0f} ms/step | grid {nb} blocks/device (1/{d} mem) |")
+              f"{ms:.0f} ms/step | {nb} grid blocks/device |")
     print(f"| single-device CPU reference (explicit_step) | {ms1:.0f} "
           f"ms/step | whole grid on one device |")
 

@@ -48,7 +48,9 @@ def main():
         qhi = jnp.asarray(qc + 0.004)
         for bname, bf in (("complete", build_lbvh_complete),
                           ("karras", build_lbvh)):
+            print(f"[{name}/{bname}] building...", flush=True)
             bvh = jax.block_until_ready(jax.jit(bf)(lo, hi))
+            print(f"[{name}/{bname}] built", flush=True)
 
             def q_counts(i, q, consts):
                 b, = consts
