@@ -47,6 +47,29 @@ def main(n=1_000_000):
                     label=f"sorted banded join {nq//1000}k queries")
     print(f"    -> {nq / (ms / 1e3) / 1e6:.2f} Mq/s", flush=True)
 
+    # extraction strategy x (tile, hits) sweep
+    for extract, mh, tile, grp in (("bitpeel", 16, 256, 32),
+                                   ("bitpeel", 8, 256, 32),
+                                   ("bitpeel", 16, 128, 64),
+                                   ("bitpeel", 8, 128, 64),
+                                   ("peel", 8, 256, 32),
+                                   ("none", 0, 128, 64)):
+        def q_ex(i, q, consts):
+            b, = consts
+            ql, qh = q
+            qid, hits, cnt, ok = query_overlaps_sorted(
+                b, ql, qh, max(mh, 1), tile=tile, group=grp,
+                extract=extract)
+            eps = dep_scalar(cnt)
+            if extract != "none":
+                eps = eps + dep_scalar(hits)
+            return ql + eps, qh + eps
+
+        ms = chained_ms(q_ex, (qlo, qhi), iters=3, const=(bvh,),
+                        marginal=True,
+                        label=f"join {extract}-{mh} tile={tile}")
+        print(f"    -> {nq / (ms / 1e3) / 1e6:.2f} Mq/s", flush=True)
+
     # in-band fraction + hit sanity on a jitted run
     qid, hits, cnt, ok = jax.jit(
         lambda b, a, z: query_overlaps_sorted(b, a, z, 16, tile=256,

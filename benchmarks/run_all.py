@@ -219,6 +219,20 @@ def bench_bvh(n=1_048_576, quick=False):
     rows.append((f"AABB query (banded join, 16 hits) {nq // 1000}k",
                  f"{ms:.1f} ms", f"{nq / (ms / 1e3) / 1e6:.2f} Mq/s"))
 
+    def q_bitpeel(i, q, consts):
+        b, = consts
+        ql, qh = q
+        qid, hits, cnt, ok = query_overlaps_sorted(b, ql, qh, 16,
+                                                   tile=128, group=64,
+                                                   extract="bitpeel")
+        eps = dep_scalar(cnt) + dep_scalar(hits[:, 0])
+        return ql + eps, qh + eps
+
+    ms = chained_ms(q_bitpeel, (qlo, qhi), iters=3, const=(bvh,),
+                    marginal=True)
+    rows.append((f"AABB query (bitpeel, 16 hits) {nq // 1000}k",
+                 f"{ms:.1f} ms", f"{nq / (ms / 1e3) / 1e6:.2f} Mq/s"))
+
     def q_counts(i, q, consts):
         b, = consts
         ql, qh = q

@@ -347,6 +347,36 @@ class TestExtractVariants:
                                       np.asarray(r_topk[1]))
         np.testing.assert_array_equal(np.asarray(r_peel[2]),
                                       np.asarray(r_topk[2]))
+        r_bp = query_overlaps_sorted(bvh, qlo, qhi, 32, tile=64,
+                                     extract="bitpeel")
+        np.testing.assert_array_equal(np.asarray(r_bp[1]),
+                                      np.asarray(r_topk[1]))
+        np.testing.assert_array_equal(np.asarray(r_bp[2]),
+                                      np.asarray(r_topk[2]))
+
+    def test_bitpeel_unaligned_window(self, rng):
+        """bitpeel with a window not a multiple of 32 lanes (TL=63,
+        3TL=189 -> padded to 192) must match topk exactly."""
+        from zpc_tpu.containers.bvh import (build_lbvh_complete,
+                                            query_overlaps_sorted)
+        n = 1000
+        c = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+        h = np.full((n, 3), 0.015, np.float32)
+        lo = jnp.asarray(c - h)
+        hi = jnp.asarray(c + h)
+        bvh = build_lbvh_complete(lo, hi)
+        qlo = lo[:512] - 0.02
+        qhi = hi[:512] + 0.02
+        r_bp = query_overlaps_sorted(bvh, qlo, qhi, 32, tile=32,
+                                     extract="bitpeel")
+        r_tk = query_overlaps_sorted(bvh, qlo, qhi, 32, tile=32,
+                                     extract="topk")
+        np.testing.assert_array_equal(np.asarray(r_bp[1]),
+                                      np.asarray(r_tk[1]))
+        np.testing.assert_array_equal(np.asarray(r_bp[2]),
+                                      np.asarray(r_tk[2]))
+        np.testing.assert_array_equal(np.asarray(r_bp[3]),
+                                      np.asarray(r_tk[3]))
 
     def test_peel_wide_tile_sentinel(self, rng):
         """Regression: peel's composite key must fit int32.  With

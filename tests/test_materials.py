@@ -81,3 +81,84 @@ def test_fixed_corotated_kirchhoff_newton_matches_svd(rng):
     ref = np.asarray(mm(model.first_piola(Fj), jnp.swapaxes(Fj, -1, -2)))
     scale = np.abs(ref).max()
     np.testing.assert_allclose(tau, ref, atol=2e-5 * scale)
+
+
+def _rng():
+    return np.random.default_rng(7)
+
+
+def test_nonassociative_von_mises_return_map():
+    """Ziran-style return map (NonAssociativeVonMises.hpp:1-61): trial
+    states inside the surface pass through; yielded states land ON the
+    surface with tr(b_hat) preserved (the shift is deviatoric)."""
+    from zpc_tpu.models.plasticity import NonAssociativeVonMises
+
+    rng = _rng()
+    amp = np.where(np.arange(128) % 2 == 0, 0.4, 0.003)
+    F = (np.eye(3) + amp[:, None, None] *
+         rng.standard_normal((128, 3, 3))).astype(np.float32)
+    F = F[np.linalg.det(F) > 0.2]
+    mu = 1e5
+    pl = NonAssociativeVonMises(tau_y=jnp.float32(2e3),
+                                mu=jnp.float32(mu))
+    Fp, _ = jax.jit(pl.project)(jnp.asarray(F))
+    s_t = np.linalg.svd(F, compute_uv=False)
+    s_p = np.linalg.svd(np.asarray(Fp), compute_uv=False)
+
+    def vm(s):
+        b = s * s
+        smu = mu * np.prod(s, -1) ** (-2.0 / 3.0)
+        dev = b - b.mean(-1, keepdims=True)
+        return np.linalg.norm(smu[..., None] * dev, axis=-1)
+
+    scaled_tau = np.sqrt(2.0 / 3.0) * 2e3
+    yielded = vm(s_t) - scaled_tau >= 1e-4
+    assert yielded.any() and not yielded.all()
+    # pass-through inside the surface
+    np.testing.assert_allclose(np.asarray(Fp)[~yielded], F[~yielded],
+                               atol=2e-5)
+    # projected states sit on (or within round-off of) the surface
+    assert (vm(s_p)[yielded] <= scaled_tau * 1.02 + 1.0).all()
+    # deviatoric shift preserves tr(b_hat)
+    np.testing.assert_allclose((s_p ** 2).sum(-1)[yielded],
+                               (s_t ** 2).sum(-1)[yielded], rtol=3e-3)
+
+
+def test_associative_von_mises_newton():
+    """Associative return (AssociativeVonMises.hpp:1-129, debugged):
+    yielded principal stresses converge onto the von Mises surface of
+    the elastic model's principal Cauchy stress."""
+    from zpc_tpu.models.constitutive import NeoHookean
+    from zpc_tpu.models.plasticity import AssociativeVonMises
+
+    rng = _rng()
+    amp = np.where(np.arange(64) % 2 == 0, 0.25, 0.002)
+    F = (np.eye(3) + amp[:, None, None] *
+         rng.standard_normal((64, 3, 3))).astype(np.float32)
+    F = F[np.linalg.det(F) > 0.3]
+    model = NeoHookean.from_young_poisson(3e5, 0.3)
+    ys = 4e3
+    pl = AssociativeVonMises(initial_stress=jnp.float32(ys))
+    Fp, _ = jax.jit(lambda f: pl.project(f, model))(jnp.asarray(F))
+    assert np.isfinite(np.asarray(Fp)).all()
+
+    P = 3.0 * np.eye(3) - np.ones((3, 3))
+
+    def vm_of(Fm):
+        def one(f):
+            s = jnp.linalg.svd(f, compute_uv=False)
+            c = jax.grad(lambda x: model.psi(jnp.diag(x)))(s) * s / \
+                jnp.prod(s)
+            return jnp.sqrt(0.5 * c @ (jnp.asarray(P, jnp.float32) @ c))
+        return np.asarray(jax.vmap(one)(jnp.asarray(Fm)))
+
+    vm_t = vm_of(F)
+    vm_p = vm_of(np.asarray(Fp))
+    yielded = vm_t > ys
+    assert yielded.any() and not yielded.all()
+    np.testing.assert_allclose(np.asarray(Fp)[~yielded], F[~yielded],
+                               atol=2e-5)
+    # Newton landed on the yield surface
+    np.testing.assert_allclose(vm_p[yielded], ys, rtol=2e-2)
+    # and never hardened outward
+    assert (vm_p <= vm_t * 1.001 + 1.0).all()

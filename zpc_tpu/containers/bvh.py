@@ -390,7 +390,11 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
     (componentwise dominance of morton codes; ``h`` = max leaf
     half-extent).  Queries tile the diagonal; each tile tests its ``tile``
     queries against a 3-tile leaf window with pure VPU compares over
-    static slices — zero gathers — and extracts hit ids with ``top_k``.
+    static slices — zero gathers.  ``extract`` picks the hit-list
+    strategy: ``"bitpeel"`` (bit-packed mask, lowest-set-bit peeling on
+    W=3TL/32 int32 sublanes + one flat prim gather — fastest),
+    ``"peel"`` (composite-key argmin over the raw window), ``"topk"``,
+    ``"scan"`` (rank-compaction scatter), or ``"none"`` (counts only).
 
     Returns ``(qid, hits, counts, in_band)`` in sorted-query order:
     ``qid [nq]`` original query index, ``hits [nq, max_hits]`` primitive
@@ -465,6 +469,47 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
 
     def per_group(carry, tgroup):
         wl, wh, wp, ql, qh = tgroup                # [G, T|3TL, ...]
+        if extract == "bitpeel":
+            # Transposed [G, 3TL, T] mask (T = tile is the 128-lane minor
+            # dim), bit-packed into int32 words on the *sublane* axis:
+            # words [G, W, T] with W = ceil(3TL/32).  Each extraction
+            # round then peels the lowest set bit across W sublanes
+            # (~32x fewer lane-ops than a min-reduce over the raw 3TL
+            # window) and returns window-lane ids; prim ids are resolved
+            # by ONE flat gather after the scan.
+            ov = wp[:, :, None] >= 0               # [G, 3TL, T]
+            for d in range(dim):
+                ov = ov & (ql[:, None, :, d] <= wh[:, :, None, d])
+                ov = ov & (wl[:, :, None, d] <= qh[:, None, :, d])
+            cnt = jnp.sum(ov, axis=1).astype(jnp.int32)      # [G, T]
+            WL = -(-(3 * TL) // 32) * 32
+            if WL > 3 * TL:
+                ov = jnp.concatenate(
+                    [ov, jnp.zeros((G, WL - 3 * TL, T), bool)], axis=1)
+            W = WL // 32
+            # sum of distinct powers of two == OR (int32 wrap is exact
+            # two's-complement; jnp.sum keeps int32 exactness on TPU)
+            shifts = jax.lax.shift_left(
+                jnp.int32(1), jnp.arange(32, dtype=jnp.int32))
+            words = jnp.stack(
+                [jnp.sum(jnp.where(ov[:, w * 32:(w + 1) * 32, :],
+                                   shifts[None, :, None], 0), axis=1)
+                 for w in range(W)], axis=1)       # [G, W, T] int32
+            word_base = (jnp.arange(W, dtype=jnp.int32) * 32
+                         )[None, :, None]
+            sent = jnp.int32(WL)                   # > any window lane
+            lanes_out = []
+            for _ in range(max_hits):
+                lb = words & -words                # lowest set bit
+                bit = jax.lax.population_count(lb - 1)   # 32 iff lb==0
+                comp = jnp.where(words != 0, word_base + bit, sent)
+                m = jnp.min(comp, axis=1)          # [G, T] = lane id
+                lanes_out.append(m)
+                # comp is unique across nonzero words (disjoint bases),
+                # so exactly the selected word clears its lowest bit
+                words = words ^ jnp.where(comp == m[:, None, :], lb, 0)
+            hits = jnp.stack(lanes_out, axis=-1)   # [G, T, max_hits]
+            return carry, (hits, cnt)
         # [G, T, 3TL] overlap mask, built per-dimension: a fused
         # jnp.all(..., -1) materializes [G,T,3TL,dim] whose dim-minor
         # lane-pads 128x on TPU (measured 40x slowdown at 1M queries)
@@ -534,6 +579,13 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
     _, (hits, cnt) = jax.lax.scan(per_group, 0, scanned)
     hits = hits.reshape(nq, max_hits)
     cnt = cnt.reshape(nq)
+    if extract == "bitpeel":
+        # window lane -> global leaf -> prim id (one flat gather)
+        lanes = hits
+        live = lanes < 3 * TL
+        leaf = (tile_of_q[:, None] - 1) * TL + lanes
+        prim = jnp.take(leaf_prim, jnp.clip(leaf, 0, n - 1), axis=0)
+        hits = jnp.where(live, prim, -1)
     return qid, hits, cnt, in_band
 
 

@@ -23,7 +23,8 @@ import jax.numpy as jnp
 from ..math.svd import svd3x3
 from ..math.vecmat import mm
 
-__all__ = ["SnowPlasticity", "VonMisesCapped", "DruckerPrager", "NACC"]
+__all__ = ["SnowPlasticity", "VonMisesCapped", "DruckerPrager", "NACC",
+           "NonAssociativeVonMises", "AssociativeVonMises"]
 
 
 @jax.tree_util.register_dataclass
@@ -191,3 +192,107 @@ class NACC:
         s_new = jnp.exp(eps_new)
         F_new = mm(U, s_new[..., :, None] * jnp.swapaxes(V, -1, -2))
         return F_new, logJp_new
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class NonAssociativeVonMises:
+    """Ziran-style von Mises return map on the trial left Cauchy-Green
+    tensor (plasticity_models/NonAssociativeVonMises.hpp:1-61 behavior):
+    yield on the deviator of ``s_hat = mu J^{-2/d} dev(b_hat_trial)``
+    with linear hardening ``tauY + hardening_coeff * alpha``, projected
+    by shifting ``b_hat`` along the deviator (volume-preserving in
+    stress, non-associative in strain).
+    """
+
+    tau_y: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.float32(1e4))
+    mu: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.float32(1e5))
+    alpha: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.float32(0.0))
+    hardening_coeff: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.float32(0.0))
+
+    def project(self, F_trial, state=None):
+        d = F_trial.shape[-1]
+        U, s, V = svd3x3(F_trial)
+        s = jnp.maximum(jnp.abs(s), 1e-12)
+        scaled_tau = jnp.sqrt(2.0 / (6.0 - d)) * \
+            (self.tau_y + self.hardening_coeff * self.alpha)
+        b_hat = s * s
+        J = jnp.prod(s, axis=-1)
+        scaled_mu = self.mu * J ** (-2.0 / d)
+        dev_b = b_hat - jnp.mean(b_hat, -1, keepdims=True)
+        s_hat = scaled_mu[..., None] * dev_b
+        s_norm = jnp.linalg.norm(s_hat, axis=-1)
+        y = s_norm - scaled_tau
+        z = y / jnp.maximum(scaled_mu, 1e-30)
+        b_new = b_hat - (z / jnp.maximum(s_norm, 1e-30))[..., None] * s_hat
+        s_proj = jnp.sqrt(jnp.maximum(b_new, 1e-12))
+        s_new = jnp.where((y >= 1e-4)[..., None], s_proj, s)
+        F_new = mm(U, s_new[..., :, None] * jnp.swapaxes(V, -1, -2))
+        return F_new, state
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class AssociativeVonMises:
+    """Associative von Mises return map in principal Kirchhoff-stress
+    space (plasticity_models/AssociativeVonMises.hpp:1-129; "An adaptive
+    generalized interpolation MPM", sec 4.2.2).
+
+    The reference header ships a debug-printf Newton whose ``lambda``
+    accumulates across iterations; this implementation keeps the model
+    (flow direction ``P c / sqrt(2 c.Pc)``, ``P = 3I - 11^T``, principal
+    Cauchy stress ``c = dpsi_dsigma * sigma / J`` from the *elastic
+    model's* energy via autodiff) but runs a standard damped Newton on
+    the scalar residual with an exact jvp directional derivative —
+    branch-free, fixed ``iters`` rounds, batched via vmap.
+    """
+
+    initial_stress: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.float32(1e4))
+    iters: int = dataclasses.field(default=10, metadata=dict(static=True))
+
+    def project(self, F_trial, model, state=None):
+        d = F_trial.shape[-1]
+        assert d == 3, "AssociativeVonMises: 3-D only"
+        P = 3.0 * jnp.eye(3) - jnp.ones((3, 3))
+
+        def residual(sig):
+            c = jax.grad(
+                lambda x: model.psi(jnp.diag(x)))(sig) * sig / \
+                jnp.prod(sig)
+            vm = jnp.sqrt(jnp.maximum(0.5 * c @ (P @ c), 1e-30))
+            return vm - self.initial_stress, c
+
+        def flow(c):
+            return (P @ c) / jnp.sqrt(jnp.maximum(2.0 * c @ (P @ c),
+                                                  1e-30))
+
+        def one(f):
+            U, sig, V = svd3x3(f)
+            sig = jnp.maximum(jnp.abs(sig), 1e-6)
+            res0, _ = residual(sig)
+
+            def body(_, sig):
+                res, c = residual(sig)
+                n = flow(c)
+                _, drds = jax.jvp(lambda s: residual(s)[0], (sig,), (n,))
+                step = res / jnp.where(jnp.abs(drds) > 1e-30,
+                                       drds, 1e-30)
+                sig_new = jnp.maximum(sig - step * n, 1e-6)
+                # bidirectional: an overshoot into the surface steps
+                # back out on the next round
+                return jnp.where(jnp.abs(res) >
+                                 1e-6 * self.initial_stress,
+                                 sig_new, sig)
+
+            sig_p = jax.lax.fori_loop(0, self.iters, body, sig)
+            sig_f = jnp.where(res0 > 0.0, sig_p, sig)
+            return mm(U, sig_f[:, None] * V.T)
+
+        batch = F_trial.shape[:-2]
+        out = jax.vmap(one)(F_trial.reshape((-1, d, d)))
+        return out.reshape(batch + (d, d)), state
