@@ -162,3 +162,51 @@ def test_associative_von_mises_newton():
     np.testing.assert_allclose(vm_p[yielded], ys, rtol=2e-2)
     # and never hardened outward
     assert (vm_p <= vm_t * 1.001 + 1.0).all()
+
+
+def test_von_mises_capped_trace_caps_and_rate():
+    """VonMisesCapped.hpp:47-51 volumetric caps: tr(eps) is projected
+    back to +-k1/(d lam + 2 mu) by a uniform rescale; Cowper-Symonds
+    rate scaling raises the deviatoric limit."""
+    from zpc_tpu.models.plasticity import VonMisesCapped
+
+    rng = _rng()
+    # volumetric stretch/compression dominated trials
+    grow = (np.eye(3)[None] * np.array([1.3, 0.7])[:, None, None]
+            ).astype(np.float32)
+    F = np.concatenate([grow,
+                        (np.eye(3) + 0.001 * rng.standard_normal((4, 3, 3))
+                         ).astype(np.float32)])
+    mu, lam = 1e5, 2e5
+    k1 = 1e4
+    pl = VonMisesCapped(yield_stress=jnp.float32(1e9),  # no dev yield
+                        mu=jnp.float32(mu), lam=jnp.float32(lam),
+                        k1_compress=jnp.float32(k1),
+                        k1_stretch=jnp.float32(k1))
+    Fp, _ = jax.jit(pl.project)(jnp.asarray(F))
+    s = np.linalg.svd(np.asarray(Fp), compute_uv=False)
+    tr = np.log(s).sum(-1)
+    cap = k1 / (3 * lam + 2 * mu)
+    assert np.all(tr <= cap + 1e-5) and np.all(tr >= -cap - 1e-5)
+    # the 1.3x uniform stretch hit the cap exactly; small trials didn't
+    np.testing.assert_allclose(tr[0], cap, rtol=1e-4)
+    np.testing.assert_allclose(tr[1], -cap, rtol=1e-4)
+    tr_in = np.log(np.linalg.svd(F[2:], compute_uv=False)).sum(-1)
+    np.testing.assert_allclose(tr[2:], tr_in, atol=1e-5)
+
+    # rate hardening: higher strain rate -> less deviatoric projection
+    shear = np.eye(3, dtype=np.float32)[None].repeat(1, 0)
+    shear[0, 0, 1] = 0.8
+    pl2 = VonMisesCapped(yield_stress=jnp.float32(2e3),
+                         mu=jnp.float32(mu), rate_c=jnp.float32(10.0),
+                         rate_p=jnp.float32(1.0))
+    F_slow, _ = pl2.project(jnp.asarray(shear))
+    F_fast, _ = pl2.project(jnp.asarray(shear),
+                            strain_rate=jnp.float32(1e3))
+
+    def devnorm(Fm):
+        s = np.linalg.svd(np.asarray(Fm), compute_uv=False)
+        e = np.log(s)
+        return np.linalg.norm(e - e.mean(-1, keepdims=True), axis=-1)
+
+    assert devnorm(F_fast)[0] > devnorm(F_slow)[0] * 5

@@ -62,24 +62,56 @@ class SnowPlasticity:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class VonMisesCapped:
-    """Von Mises yield on Hencky strain deviator with optional cap
-    (plasticity_models/VonMisesCapped.hpp behavior)."""
+    """Von Mises yield on the Hencky strain deviator with volumetric
+    trace caps and optional Cowper-Symonds rate hardening
+    (plasticity_models/VonMisesCapped.hpp:17-52,90-99 behavior:
+    ``Z(G) = k1 |tr G| + k2 |dev G|``).
+
+    ``k1_compress`` / ``k1_stretch`` cap ``tr(eps)`` at
+    ``±k1 / (d lam + 2 mu)`` by a uniform rescale of the stretches
+    (inf = uncapped, the pre-round-3 behavior).  ``project(...,
+    strain_rate=r)`` scales the yield stress by ``1 + (r/c)^p``.
+    """
 
     yield_stress: jax.Array = dataclasses.field(
         default_factory=lambda: jnp.float32(1e4))
     mu: jax.Array = dataclasses.field(
         default_factory=lambda: jnp.float32(1e5))
+    lam: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.float32(0.0))
+    k1_compress: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.float32(jnp.inf))
+    k1_stretch: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.float32(jnp.inf))
+    rate_c: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.float32(1.0))
+    rate_p: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.float32(1.0))
 
-    def project(self, F_trial, state=None):
+    def project(self, F_trial, state=None, strain_rate=None):
+        d = F_trial.shape[-1]
         U, s, V = svd3x3(F_trial)
         eps = jnp.log(jnp.maximum(jnp.abs(s), 1e-12))
-        dev = eps - jnp.mean(eps, -1, keepdims=True)
+        tr = jnp.sum(eps, -1)
+        dev = eps - (tr / d)[..., None]
         dev_norm = jnp.linalg.norm(dev, axis=-1)
+        ys = self.yield_stress
+        if strain_rate is not None:
+            # Cowper-Symonds (VonMisesCapped.hpp:90-93)
+            ys = ys * (1.0 + (strain_rate / self.rate_c) ** self.rate_p)
         # yield: 2 mu |dev| <= sqrt(2/3) sigma_y
-        limit = jnp.sqrt(2.0 / 3.0) * self.yield_stress / (2.0 * self.mu)
+        limit = jnp.sqrt(2.0 / 3.0) * ys / (2.0 * self.mu)
         scale = jnp.where(dev_norm > limit,
                           limit / jnp.maximum(dev_norm, 1e-12), 1.0)
-        eps_new = jnp.mean(eps, -1, keepdims=True) + dev * scale[..., None]
+        eps_new = (tr / d)[..., None] + dev * scale[..., None]
+        # volumetric caps: project tr(eps) back to +-k1/(d lam + 2 mu)
+        # by a uniform stretch rescale (VonMisesCapped.hpp:47-51)
+        denom = d * self.lam + 2.0 * self.mu
+        cap_hi = self.k1_stretch / denom
+        cap_lo = -self.k1_compress / denom
+        shift = jnp.where(tr > cap_hi, (cap_hi - tr) / d,
+                          jnp.where(tr < cap_lo, (cap_lo - tr) / d, 0.0))
+        eps_new = eps_new + shift[..., None]
         s_new = jnp.exp(eps_new)
         F_new = mm(U, s_new[..., :, None] * jnp.swapaxes(V, -1, -2))
         return F_new, state
