@@ -1,0 +1,88 @@
+"""Cloth assembly solver: stretch + hinge bending + IPC ground barrier
+via Newton-CG (sim/cloth.py; consumes DihedralAngle.hpp + Distance.hpp
+barrier + ConjugateGradient.hpp analogs)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from zpc_tpu.sim.cloth import (ClothSim, cloth_energy, implicit_step,
+                               make_cloth_grid)
+
+
+def test_topology_build():
+    sim, x0 = make_cloth_grid(4, 3, 0.1)
+    assert sim.tris.shape == (12, 3)
+    # edges: 4*3 grid -> E = horizontal 3*3 + vertical 4*2 + diagonal 6
+    assert sim.edges.shape[0] == 9 + 8 + 6
+    # hinges = interior edges (shared by two tris)
+    assert sim.hinges.shape[0] == sim.edges.shape[0] - (2 * 3 + 2 * 2)
+    # flat rest state: rest angles all ~0
+    np.testing.assert_allclose(np.asarray(sim.rest_angle), 0.0,
+                               atol=1e-6)
+    # every hinge row's middle two vertices form a real edge
+    e = set(map(tuple, np.sort(np.asarray(sim.edges), axis=1).tolist()))
+    h = np.asarray(sim.hinges)
+    for r in h:
+        assert tuple(sorted((r[1], r[2]))) in e
+
+
+def test_pinned_corners_hang():
+    """Cloth pinned at two corners sags but pins stay fixed, system
+    stays finite and kinetic energy settles."""
+    nx, ny = 6, 6
+    sim, x0 = make_cloth_grid(nx, ny, 0.05, height=0.5,
+                              pinned=(0, (nx - 1) * ny),
+                              k_stretch=2e2, k_bend=1e-4, mass=0.01)
+    v = jnp.zeros_like(x0)
+    step = jax.jit(lambda x, v: implicit_step(sim, x, v, 0.02))
+    x = x0
+    for _ in range(30):
+        x, v = step(x, v)
+    xn = np.asarray(x)
+    assert np.isfinite(xn).all()
+    np.testing.assert_allclose(xn[0], np.asarray(x0)[0], atol=1e-6)
+    np.testing.assert_allclose(xn[(nx - 1) * ny],
+                               np.asarray(x0)[(nx - 1) * ny], atol=1e-6)
+    # it sagged
+    assert xn[:, 1].min() < 0.5 - 0.02
+    # and is settling (velocities bounded well below free fall)
+    assert np.abs(np.asarray(v)).max() < 2.0
+
+
+def test_falls_onto_ground_no_penetration():
+    """Free cloth falls onto the ground plane; the barrier + analytic
+    step limiter keep every vertex strictly above it at every step."""
+    sim, x0 = make_cloth_grid(5, 5, 0.05, height=0.08,
+                              k_stretch=2e2, k_bend=1e-4, mass=0.01,
+                              dhat=0.02, kappa=1e-1)
+    v = jnp.zeros_like(x0)
+    step = jax.jit(lambda x, v: implicit_step(sim, x, v, 0.01))
+    x = x0
+    min_gap = 1e9
+    for _ in range(40):
+        x, v = step(x, v)
+        g = float(np.min(np.asarray(x)[:, 1]))
+        min_gap = min(min_gap, g)
+        assert g > 0.0, "vertex crossed the ground plane"
+    # it actually came down near the barrier zone and rested
+    assert min_gap < 0.04
+    assert np.abs(np.asarray(v)).max() < 0.5
+
+
+def test_energy_decreases_statics():
+    """With zero velocity and no gravity-free direction to go, Newton
+    steps decrease the incremental potential's elastic part from a
+    stretched start."""
+    sim, x0 = make_cloth_grid(5, 5, 0.05, height=0.5, k_stretch=1e3,
+                              k_bend=1e-3, mass=0.01)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(np.asarray(x0) +
+                    0.01 * rng.standard_normal(x0.shape).astype(np.float32))
+    e0 = float(cloth_energy(sim, x))
+    v = jnp.zeros_like(x)
+    x1, _ = jax.jit(lambda a, b: implicit_step(sim, a, b, 0.05,
+                                               newton_iters=3))(x, v)
+    e1 = float(cloth_energy(sim, x1))
+    assert np.isfinite(e1)
+    assert e1 < e0

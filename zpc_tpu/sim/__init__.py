@@ -10,3 +10,5 @@ from .fluid_binned2 import (bin_fluid_state, explicit_fluid_step_binned2,
                             rollout_fluid_binned2, unbin_fluid_state)
 from .scene import Scene
 from .runner import simulate
+from .cloth import (ClothSim, make_cloth_grid, cloth_energy,
+                    implicit_step as cloth_implicit_step)
