@@ -86,3 +86,27 @@ def test_energy_decreases_statics():
     e1 = float(cloth_energy(sim, x1))
     assert np.isfinite(e1)
     assert e1 < e0
+
+
+def test_ground_friction_arrests_sliding():
+    """Lagged IPC friction (Friction.hpp f0/f1 consumed by the cloth
+    solver): a cloth sliding in the barrier zone is arrested with
+    mu=0.6 but keeps sliding with mu=0."""
+    def slide_dist(mu):
+        sim, x0 = make_cloth_grid(5, 5, 0.05, height=0.008,
+                                  k_stretch=2e2, k_bend=1e-4,
+                                  mass=0.01, dhat=0.02, kappa=2.0,
+                                  mu=mu)
+        v = jnp.zeros_like(x0).at[:, 0].set(0.5)
+        step = jax.jit(lambda x, v: implicit_step(sim, x, v, 0.01))
+        x = x0
+        for _ in range(30):
+            x, v = step(x, v)
+        dx = np.asarray(x)[:, 0] - np.asarray(x0)[:, 0]
+        return float(np.mean(dx)), float(np.abs(np.asarray(v)).max())
+
+    d_free, v_free = slide_dist(0.0)
+    d_fric, v_fric = slide_dist(0.6)
+    assert v_free > 0.1          # frictionless keeps sliding
+    assert d_fric < 0.3 * d_free  # friction arrests early
+    assert v_fric < 0.05          # ... to rest

@@ -29,7 +29,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..geometry.contact import barrier
+from ..geometry.contact import barrier, barrier_grad, friction_f0
 from ..geometry.dihedral import dihedral_angle, hinge_bending_energy
 from ..math.solvers import cg
 
@@ -55,6 +55,8 @@ class ClothSim:
     ground_off: jax.Array  # plane: n.x = off
     dhat: jax.Array        # barrier activation distance
     kappa: jax.Array       # barrier stiffness
+    mu: jax.Array          # ground friction coefficient (0 = off)
+    epsv: jax.Array        # friction velocity mollifier (m/s)
 
 
 def make_cloth_grid(nx: int, ny: int, spacing: float, *,
@@ -62,7 +64,8 @@ def make_cloth_grid(nx: int, ny: int, spacing: float, *,
                     k_bend: float = 1e-3, mass: float = 1.0,
                     pinned=(), ground_n=(0.0, 1.0, 0.0),
                     ground_off: float = 0.0, dhat: float = 0.01,
-                    kappa: float = 1e2,
+                    kappa: float = 1e2, mu: float = 0.0,
+                    epsv: float = 1e-3,
                     gravity=(0.0, -9.8, 0.0)) -> Tuple[ClothSim, jax.Array]:
     """Regular nx x ny cloth in the XZ plane at ``height``; host-side
     topology build (edges from tris; hinges = interior edges with their
@@ -106,7 +109,8 @@ def make_cloth_grid(nx: int, ny: int, spacing: float, *,
         free=jnp.asarray(free), k_stretch=f32(k_stretch),
         k_bend=f32(k_bend), gravity=jnp.asarray(gravity, f32),
         ground_n=jnp.asarray(ground_n, f32), ground_off=f32(ground_off),
-        dhat=f32(dhat), kappa=f32(kappa))
+        dhat=f32(dhat), kappa=f32(kappa), mu=f32(mu),
+        epsv=f32(epsv))
     return sim, x0
 
 
@@ -140,9 +144,24 @@ def implicit_step(sim: ClothSim, x: jax.Array, v: jax.Array,
     xhat = x + dt * v + (dt * dt) * sim.gravity[None, :]
     xhat = jnp.where(free3, xhat, x)
 
+    # lagged IPC friction (Friction.hpp consumed here): normal force
+    # magnitude from the START-of-step barrier (constant through the
+    # solve), tangential displacement mollified by f0
+    n = sim.ground_n
+    gap0 = x @ n - sim.ground_off
+    lam = jnp.maximum(0.0, -2.0 * gap0 * barrier_grad(
+        gap0 * gap0, sim.dhat * sim.dhat, sim.kappa))
+    lam = jax.lax.stop_gradient(lam)
+    epsvh = sim.epsv * dt
+
+    def friction_energy(y):
+        u = (y - x) - ((y - x) @ n)[:, None] * n[None, :]
+        un = jnp.sqrt(jnp.sum(u * u, axis=-1) + 1e-18)
+        return jnp.sum(sim.mu * lam * friction_f0(un, epsvh))
+
     def phi_grad(y):
         g = (m3 / (dt * dt)) * (y - xhat) + jax.grad(
-            lambda z: cloth_energy(sim, z))(y)
+            lambda z: cloth_energy(sim, z) + friction_energy(z))(y)
         return jnp.where(free3, g, 0.0)
 
     def project(p):
