@@ -12,3 +12,5 @@ from .scene import Scene
 from .runner import simulate
 from .cloth import (ClothSim, make_cloth_grid, cloth_energy,
                     implicit_step as cloth_implicit_step)
+from .fem import (FemSim, make_tet_box, fem_energy,
+                  implicit_step as fem_implicit_step)
