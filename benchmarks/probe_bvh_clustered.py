@@ -73,7 +73,7 @@ def main():
             def q_near(i, q, consts):
                 b, pr = consts
                 ids, dist = query_nearest(
-                    b, q, lambda j, p: jnp.sum((p - pr[j]) ** 2))
+                    b, q, lambda j, p: jnp.linalg.norm(p - pr[j]))
                 eps = dep_scalar(dist)
                 return q + eps
 

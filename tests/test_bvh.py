@@ -401,3 +401,60 @@ class TestExtractVariants:
                                       np.asarray(r_topk[1]))
         np.testing.assert_array_equal(np.asarray(r_peel[2]),
                                       np.asarray(r_topk[2]))
+
+
+class TestNearestBanded:
+    def test_certified_results_are_exact(self, rng):
+        """query_nearest_sorted: every in_band result equals the brute
+        oracle; out-of-band results are never better than truth (so the
+        rope-walk fallback only improves them)."""
+        from zpc_tpu.containers.bvh import (build_lbvh_complete,
+                                            query_nearest_sorted)
+        n = 4096
+        pts = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+        h = np.full((n, 3), 1e-4, np.float32)
+        bvh = jax.jit(build_lbvh_complete)(jnp.asarray(pts - h),
+                                           jnp.asarray(pts + h))
+        q = jnp.asarray(rng.uniform(0.1, 0.9, (1024, 3)
+                                    ).astype(np.float32))
+        qid, prim, d2, ok = jax.jit(
+            lambda b, qq, p: query_nearest_sorted(b, qq, p, tile=64)
+        )(bvh, q, jnp.asarray(pts))
+        qn = np.asarray(q)[np.asarray(qid)]
+        dd = ((qn[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+        tp, td = dd.argmin(1), dd.min(1)
+        okn, pn, dn = np.asarray(ok), np.asarray(prim), np.asarray(d2)
+        assert okn.mean() > 0.5      # the band is useful, not vacuous
+        assert (pn[okn] == tp[okn]).all()
+        np.testing.assert_allclose(dn[okn], td[okn], rtol=1e-5,
+                                   atol=1e-9)
+        assert (dn >= td - 1e-6).all()
+
+    def test_fallback_completes_the_answer(self, rng):
+        """banded + rope-walk fallback on ~in_band == exact nearest
+        everywhere (the intended usage pattern)."""
+        from zpc_tpu.containers.bvh import (build_lbvh_complete,
+                                            query_nearest,
+                                            query_nearest_sorted)
+        n = 2048
+        # clustered points stress the band (queries far from their
+        # morton neighborhood)
+        centers = rng.uniform(0.2, 0.8, (8, 3))
+        pts = (centers[rng.integers(0, 8, n)] +
+               0.02 * rng.standard_normal((n, 3))).astype(np.float32)
+        h = np.full((n, 3), 1e-4, np.float32)
+        bvh = jax.jit(build_lbvh_complete)(jnp.asarray(pts - h),
+                                           jnp.asarray(pts + h))
+        q = jnp.asarray(rng.uniform(0, 1, (512, 3)).astype(np.float32))
+        pj = jnp.asarray(pts)
+        qid, prim, d2, ok = query_nearest_sorted(bvh, q, pj, tile=32)
+        qs = jnp.asarray(np.asarray(q)[np.asarray(qid)])
+        # NOTE prim_dist must be in LINEAR units: query_nearest prunes
+        # with a linear-norm box lower bound
+        ids_walk, d_walk = query_nearest(
+            bvh, qs, lambda j, p: jnp.linalg.norm(p - pj[j]))
+        prim_f = np.where(np.asarray(ok), np.asarray(prim),
+                          np.asarray(ids_walk))
+        dd = ((np.asarray(qs)[:, None, :] - pts[None, :, :]) ** 2
+              ).sum(-1)
+        np.testing.assert_array_equal(prim_f, dd.argmin(1))

@@ -37,7 +37,7 @@ from ..math.bits import morton3d, common_prefix_length
 
 __all__ = ["LBvh", "build_lbvh", "build_lbvh_complete",
            "query_overlaps",
-           "query_overlaps_sorted", "query_nearest", "query_ray",
+           "query_overlaps_sorted", "query_nearest", "query_nearest_sorted", "query_ray",
            "aabb_overlap", "BvttFront"]
 
 
@@ -589,13 +589,113 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
     return qid, hits, cnt, in_band
 
 
+def query_nearest_sorted(bvh: LBvh, points: jax.Array,
+                         prim_points: jax.Array, tile: int = 128,
+                         group: int = 128):
+    """High-throughput nearest-point query for point primitives:
+    sorted banded scan with an a-posteriori exactness certificate.
+
+    Same TPU-first shape as :func:`query_overlaps_sorted`: queries are
+    morton-sorted onto the leaf diagonal, each tile computes exact
+    squared distances to a 3-tile window of leaf points (pure VPU
+    broadcasting, zero per-query traversal), takes the window argmin,
+    then certifies it: any primitive closer than the found ``rb``
+    has a morton code in ``[m(q - rb), m(q + rb)]`` (componentwise
+    dominance), so if that leaf interval lies inside the window the
+    result is globally exact — ``in_band=True``.  Callers fall back to
+    :func:`query_nearest` (rope walk) for the out-of-band residue.
+
+    ``prim_points [n_prims, dim]`` are the primitive coordinates in
+    ORIGINAL prim order.  Returns ``(qid, best_prim, best_d2, in_band)``
+    in sorted-query order.
+
+    Reference analog: ``container/Bvh.hpp`` ``find_nearest`` (:551-621);
+    the traversal is replaced by the banded formulation, which measures
+    ~3 orders of magnitude faster on uniform point sets (BENCHMARKS.md).
+    """
+    n = bvh.num_leaves
+    nq = points.shape[0]
+    dim = points.shape[-1]
+    T = tile
+    assert nq % T == 0, "query count must be a multiple of tile"
+    ntiles = nq // T
+    G = min(group, ntiles)
+    while ntiles % G:
+        G -= 1
+    big = jnp.asarray(3.4e38, points.dtype)
+    leaf_prim = bvh.leaf_prim[n - 1:]
+    lpts = jnp.where((leaf_prim >= 0)[:, None],
+                     prim_points[jnp.maximum(leaf_prim, 0)], big)
+
+    def mcode(x):
+        qz = jnp.clip((x - bvh.scene_lo) / bvh.scene_extent * 1024.0,
+                      0, 1023).astype(jnp.int32)
+        return morton3d(qz)
+
+    qid0 = jnp.arange(nq, dtype=jnp.int32)
+    ops = jax.lax.sort(
+        (mcode(points), qid0, *[points[:, d] for d in range(dim)]),
+        num_keys=1, is_stable=True)
+    qid = ops[1]
+    sp = jnp.stack(ops[2:2 + dim], axis=1)
+
+    TL = -(-n // ntiles)
+    pad = ntiles * TL - n
+    lt = jnp.concatenate([lpts, jnp.full((pad, dim), big, lpts.dtype)])
+    lt = lt.reshape(ntiles, TL, dim)
+    wpts = jnp.concatenate([
+        jnp.concatenate([jnp.full_like(lt[:1], big), lt[:-1]], 0),
+        lt,
+        jnp.concatenate([lt[1:], jnp.full_like(lt[:1], big)], 0)],
+        axis=1)                                     # [ntiles, 3TL, dim]
+    sq = sp.reshape(ntiles, T, dim)
+
+    def per_group(carry, tgroup):
+        w, q = tgroup                               # [G,3TL,dim],[G,T,dim]
+        d2 = jnp.zeros((w.shape[0], 3 * TL, T), q.dtype)
+        for d in range(dim):
+            diff = w[:, :, None, d] - q[:, None, :, d]
+            d2 = d2 + diff * diff
+        best = jnp.min(d2, axis=1)                  # [G, T]
+        lane = jnp.argmin(d2, axis=1).astype(jnp.int32)
+        return carry, (best, lane)
+
+    scanned = (wpts.reshape(ntiles // G, G, 3 * TL, dim),
+               sq.reshape(ntiles // G, G, T, dim))
+    _, (best, lane) = jax.lax.scan(per_group, 0, scanned)
+    best = best.reshape(nq)
+    lane = lane.reshape(nq)
+    found = best < 1e37
+    tile_of = jnp.arange(nq, dtype=jnp.int32) // T
+    leaf = jnp.clip((tile_of - 1) * TL + lane, 0, n - 1)
+    best_prim = jnp.where(found, jnp.take(leaf_prim, leaf, axis=0), -1)
+
+    # a-posteriori certificate: the whole candidate morton interval
+    # must fall inside this tile's window
+    rb = jnp.sqrt(jnp.where(found, best, 0.0))[:, None]
+    s = jnp.searchsorted(bvh.codes, mcode(sp - rb),
+                         side="left").astype(jnp.int32)
+    e = jnp.searchsorted(bvh.codes, mcode(sp + rb),
+                         side="right").astype(jnp.int32)
+    in_band = found & (s >= (tile_of - 1) * TL) & (e <= (tile_of + 2) * TL)
+    return qid, best_prim, best, in_band
+
+
 def query_nearest(bvh: LBvh, points: jax.Array, prim_dist: Callable,
-                  max_iters: int = 512) -> Tuple[jax.Array, jax.Array]:
+                  max_iters: Optional[int] = None
+                  ) -> Tuple[jax.Array, jax.Array]:
     """Nearest-primitive query (Bvh.hpp find_nearest :551-621).
 
-    ``prim_dist(prim_id, p) -> float`` exact distance to a primitive.
-    Box lower-bound pruning + escape walk.  Returns (ids, dists).
+    ``prim_dist(prim_id, p) -> float`` exact distance to a primitive
+    in the SAME linear units as space (pruning uses a linear-norm box
+    lower bound).  Box lower-bound pruning + escape walk.  Returns
+    (ids, dists).  ``max_iters`` defaults to the full preorder bound
+    (2n-1 nodes) — an explicit smaller cap trades exactness for time
+    (a 512 cap on a 2048-leaf tree silently mis-answered ~20% of
+    clustered queries; regression-tested).
     """
+    if max_iters is None:
+        max_iters = bvh.lo.shape[0]
     def one(p):
         def box_lb(node):
             d = jnp.maximum(bvh.lo[node] - p, 0.0) + \
@@ -631,9 +731,13 @@ def query_nearest(bvh: LBvh, points: jax.Array, prim_dist: Callable,
 
 def query_ray(bvh: LBvh, origins: jax.Array, dirs: jax.Array,
               prim_hit: Callable, t_max: float = np.inf,
-              max_iters: int = 512) -> Tuple[jax.Array, jax.Array]:
+              max_iters: Optional[int] = None
+              ) -> Tuple[jax.Array, jax.Array]:
     """Ray cast (Bvh.hpp ray_intersect :526-543): ``prim_hit(id, o, d) -> t``
-    (inf on miss).  Returns (prim ids, t)."""
+    (inf on miss).  Returns (prim ids, t).  ``max_iters`` defaults to
+    the full preorder bound (see :func:`query_nearest`)."""
+    if max_iters is None:
+        max_iters = bvh.lo.shape[0]
     def one(o, dvec):
         inv = 1.0 / jnp.where(jnp.abs(dvec) < 1e-12,
                               jnp.where(dvec < 0, -1e-12, 1e-12), dvec)
