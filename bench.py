@@ -79,5 +79,28 @@ def main():
     }))
 
 
+def _watchdog(seconds: float):
+    """The remote-TPU tunnel occasionally hangs at backend init for
+    hours (observed round 3).  Rather than wedging the driver, fail
+    loudly on stderr and exit nonzero — printing a fabricated JSON line
+    on stdout would be recorded as a real (zero) measurement."""
+    import os
+    import threading
+
+    def fire():
+        sys.stderr.write(
+            f"bench.py watchdog: no result after {seconds:.0f}s — "
+            "TPU tunnel likely down; no JSON emitted.\n")
+        sys.stderr.flush()
+        os._exit(3)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 if __name__ == "__main__":
+    wd = _watchdog(2400.0)
     main()
+    wd.cancel()

@@ -78,6 +78,25 @@ def main(n=1_000_000):
           f"mean hits {float(jnp.mean(cnt.astype(jnp.float32))):.2f}",
           flush=True)
 
+    # banded nearest (point prims): exact-with-certificate fast path
+    from zpc_tpu.containers.bvh import query_nearest_sorted
+    cpts = jnp.asarray(c)
+
+    def q_near(i, q, consts):
+        b, pp = consts
+        qid, prim, d2, ok = query_nearest_sorted(b, q, pp, tile=256,
+                                                 group=32)
+        eps = dep_scalar(d2) + dep_scalar(ok.astype(jnp.float32))
+        return q + eps
+
+    ms = chained_ms(q_near, cpts + 0.001, iters=3, const=(bvh, cpts),
+                    label=f"banded nearest {nq//1000}k queries")
+    print(f"    -> {nq / (ms / 1e3) / 1e6:.2f} Mq/s", flush=True)
+    _, _, _, okb = jax.jit(lambda b, q, p: query_nearest_sorted(
+        b, q, p, tile=256, group=32))(bvh, cpts + 0.001, cpts)
+    print(f"    in-band {float(jnp.mean(okb.astype(jnp.float32))):.4f}",
+          flush=True)
+
     # rope-walk for reference at a smaller query count
     nq2 = 8192
     def q_rope(i, q, consts):
