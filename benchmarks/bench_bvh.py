@@ -4,13 +4,15 @@ import sys
 
 import numpy as np
 import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 import jax.numpy as jnp
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from benchmarks.measure import chained_ms, dep_scalar
-from zpc_tpu.containers.bvh import (build_lbvh, query_overlaps,
-                                    query_overlaps_sorted)
+from zpc_tpu.containers.bvh import (build_lbvh, build_lbvh_complete,
+                                    query_overlaps, query_overlaps_sorted)
 
 
 def main(n=1_000_000):
@@ -20,15 +22,17 @@ def main(n=1_000_000):
     lo = jnp.asarray(c - h)
     hi = jnp.asarray(c + h)
 
-    def build_body(i, lohi):
-        l, h2 = lohi
-        bvh = build_lbvh(l, h2)
-        eps = dep_scalar(bvh.lo[0])
-        return l + eps, h2 + eps
+    for name, builder in (("Karras/NSE", build_lbvh),
+                          ("complete tree", build_lbvh_complete)):
+        def build_body(i, lohi, _b=builder):
+            l, h2 = lohi
+            bvh = _b(l, h2)
+            eps = dep_scalar(bvh.lo[0])
+            return l + eps, h2 + eps
 
-    ms = chained_ms(build_body, (lo, hi), iters=5,
-                    label=f"LBVH build {n//1000}k")
-    print(f"    -> {n / (ms / 1e3) / 1e6:.1f} Mprims/s", flush=True)
+        ms = chained_ms(build_body, (lo, hi), iters=5, marginal=True,
+                        label=f"LBVH build ({name}) {n//1000}k")
+        print(f"    -> {n / (ms / 1e3) / 1e6:.1f} Mprims/s", flush=True)
 
     bvh = jax.block_until_ready(jax.jit(build_lbvh)(lo, hi))
     nq = n

