@@ -15,7 +15,7 @@ from zpc_tpu.containers.bvh import (build_lbvh, build_lbvh_complete,
                                     query_overlaps, query_overlaps_sorted)
 
 
-def main(n=1_000_000):
+def main(n=1 << 20):
     rng = np.random.default_rng(0)
     c = rng.uniform(0, 1, (n, 3)).astype(np.float32)
     h = np.full((n, 3), 0.002, np.float32)

@@ -51,20 +51,121 @@ def bench_primitives(n=1_000_000):
     rows.append(("inclusive-scan 1M f32", f"{ms:.3f} ms",
                  f"{bytes_gb(2 * n * 4 / (ms / 1e3)):.0f} GB/s"))
 
+    # sort rows: fused-LCG evolution + long chains.  Round-3 correction:
+    # the previous rows (jnp.roll body, iters=8) were chain-noise-bound
+    # through the tunnel — marginal mode subtracts two ~wall-equal
+    # measurements, so sub-ms bodies need >= ~30 ms of on-chip signal.
+    M31 = 0x7FFFFFFF
+
+    def evolve(k, i):
+        return (k * jnp.int32(1664525) + i) & M31
+
     def srt(i, c):
-        k, = c
-        return (jax.lax.sort(jnp.roll(k, 1) ^ i),)
-    ms = chained_ms(srt, (xi,), iters=8, marginal=True)
-    rows.append(("sort 1M i32", f"{ms:.2f} ms",
+        return (jax.lax.sort(evolve(c[0], i), is_stable=False),)
+    ms = chained_ms(srt, (xi,), iters=64, marginal=True)
+    rows.append(("sort 1M i32", f"{ms:.3f} ms",
                  f"{n / (ms / 1e3) / 1e6:.0f} Mkeys/s"))
 
     vals = jnp.arange(n, dtype=jnp.int32)
 
     def sp(i, c):
-        k, v = c
-        return jax.lax.sort((jnp.roll(k, 1) ^ i, v), num_keys=1)
-    ms = chained_ms(sp, (xi, vals), iters=8, marginal=True)
-    rows.append(("radix_sort_pair 1M i32", f"{ms:.2f} ms",
+        return jax.lax.sort((evolve(c[0], i), c[1]), num_keys=1)[:2]
+    ms = chained_ms(sp, (xi, vals), iters=32, marginal=True)
+    rows.append(("sort_pair 1M i32 (2-op unstable)", f"{ms:.3f} ms",
+                 f"{n / (ms / 1e3) / 1e6:.0f} Mpairs/s"))
+
+    def sppk(i, c):
+        # primitives.sort_pair packed fast path (key 11b | val 20b)
+        k = evolve(c[0], i) >> 20
+        s = jax.lax.sort((k << 20) | vals, is_stable=False)
+        return (s >> 20, s & ((1 << 20) - 1))
+    ms = chained_ms(sppk, (xi, vals), iters=64, marginal=True)
+    rows.append(("sort_pair 1M packed (11b key|20b rank)", f"{ms:.3f} ms",
+                 f"{n / (ms / 1e3) / 1e6:.0f} Mpairs/s"))
+
+    def rsp(i, c):
+        # wide-window stable fallback (3-op) — radix_sort_pair at w+rank>31
+        k = evolve(c[0], i)
+        w = (k >> 4) & 0xFFFFFFF
+        _, ko, vo = jax.lax.sort((w, k, c[1]), num_keys=1, is_stable=True)
+        return (ko, vo)
+    ms = chained_ms(rsp, (xi, vals), iters=16, marginal=True)
+    rows.append(("radix_sort_pair 1M [4,32) stable 3-op", f"{ms:.3f} ms",
+                 f"{n / (ms / 1e3) / 1e6:.0f} Mpairs/s"))
+
+    def rspr(i, c):
+        # radix_sort_pair vals_are_ranks packed path ([8,19) window)
+        k = evolve(c[0], i)
+        w = (k >> 8) & 0x7FF
+        p, ko = jax.lax.sort(((w << 20) | vals, k), num_keys=1)
+        return (ko, p & ((1 << 20) - 1))
+    ms = chained_ms(rspr, (xi, vals), iters=32, marginal=True)
+    rows.append(("radix_sort_pair 1M [8,19) ranks-packed", f"{ms:.3f} ms",
+                 f"{n / (ms / 1e3) / 1e6:.0f} Mpairs/s"))
+    return rows
+
+
+def bench_primitives_16m(n=1 << 24):
+    """Config 1 at 16M: the HBM-bound regime (1M rows are shape-bound)."""
+    from zpc_tpu.ops.scan_pallas import scan_pallas
+    rng = np.random.default_rng(0)
+    xf = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    xi = jnp.asarray(rng.integers(0, 1 << 30, n).astype(np.int32))
+    vals = jnp.asarray(rng.integers(0, 1 << 20, n).astype(np.int32))
+    rows = []
+    M31 = 0x7FFFFFFF
+
+    def red(i, c):
+        s, = c
+        return (s + jnp.sum(jnp.abs(xf + s * 1e-37)),)
+    ms = chained_ms(red, (jnp.float32(0),), iters=40, marginal=True)
+    rows.append(("reduce 16M f32", f"{ms:.3f} ms",
+                 f"{bytes_gb(n * 4 / (ms / 1e3)):.0f} GB/s"))
+
+    def scan_x(i, c):
+        x, = c
+        return (x + jnp.cumsum(x) * 1e-37,)
+    ms = chained_ms(scan_x, (xf,), iters=10, marginal=True)
+    rows.append(("inclusive-scan 16M f32 (XLA)", f"{ms:.3f} ms",
+                 f"{bytes_gb(2 * n * 4 / (ms / 1e3)):.0f} GB/s"))
+
+    def scan_p(i, c):
+        x, = c
+        return (x + scan_pallas(x) * 1e-37,)
+    ms = chained_ms(scan_p, (xf,), iters=20, marginal=True)
+    rows.append(("inclusive-scan 16M f32 (Pallas)", f"{ms:.3f} ms",
+                 f"{bytes_gb(2 * n * 4 / (ms / 1e3)):.0f} GB/s"))
+
+    def evolve(k, i):
+        return (k * jnp.int32(1664525) + i) & M31
+
+    def srt(i, c):
+        return (jax.lax.sort(evolve(c[0], i), is_stable=False),)
+    ms = chained_ms(srt, (xi,), iters=8, marginal=True)
+    rows.append(("sort 16M i32", f"{ms:.2f} ms",
+                 f"{n / (ms / 1e3) / 1e6:.0f} Mkeys/s"))
+
+    def sp2(i, c):
+        return jax.lax.sort((evolve(c[0], i), c[1]), num_keys=1)[:2]
+    ms = chained_ms(sp2, (xi, vals), iters=6, marginal=True)
+    rows.append(("sort_pair 16M (2-op unstable)", f"{ms:.2f} ms",
+                 f"{n / (ms / 1e3) / 1e6:.0f} Mpairs/s"))
+
+    def sppk(i, c):
+        k = evolve(c[0], i) >> 20
+        s = jax.lax.sort((k << 20) | c[1], is_stable=False)
+        return (s >> 20, s & ((1 << 20) - 1))
+    ms = chained_ms(sppk, (xi, vals), iters=8, marginal=True)
+    rows.append(("sort_pair 16M packed (11b|20b)", f"{ms:.2f} ms",
+                 f"{n / (ms / 1e3) / 1e6:.0f} Mpairs/s"))
+
+    def rsp3(i, c):
+        k = evolve(c[0], i)
+        w = (k >> 4) & 0xFFFFFFF
+        _, ko, vo = jax.lax.sort((w, k, c[1]), num_keys=1, is_stable=True)
+        return (ko, vo)
+    ms = chained_ms(rsp3, (xi, vals), iters=4, marginal=True)
+    rows.append(("radix_sort_pair 16M [4,32) stable 3-op", f"{ms:.2f} ms",
                  f"{n / (ms / 1e3) / 1e6:.0f} Mpairs/s"))
     return rows
 
@@ -421,6 +522,9 @@ def main():
 
     if not only or "prim" in only:
         add_section("Parallel primitives (config 1)", bench_primitives)
+    if not only or "prim16" in only:
+        add_section("Parallel primitives at 16M (config 1)",
+                    bench_primitives_16m)
     if not only or "poisson" in only:
         add_section("Poisson CG (config 2)",
                     lambda: bench_poisson(64 if args.quick else 128))
@@ -451,6 +555,24 @@ def main():
         for r in rows:
             lines.append("| " + " | ".join(r) + " |")
         lines.append("")
+    # static sections measured off-TPU (regeneration must not drop them)
+    lines += [
+        "## Domain-decomposed tier (functional scaling demo — 8 *virtual* CPU devices)",
+        "",
+        "No multi-chip TPU hardware is reachable from this host: this section",
+        "demonstrates the dd tier's *behavior* (per-device grid allocation,",
+        "ppermute halo rings, SFC-split particle migration, overflow contract),",
+        "not absolute throughput — all 8 virtual devices timeshare ONE physical",
+        "CPU core, so wall time includes 8x serialized shard work plus the comm",
+        "machinery.  See tests/test_domain_decomp.py for the oracle equivalence",
+        "and overflow-recovery coverage behind these numbers (benchmarks/bench_dd.py).",
+        "",
+        "| case | time | note |",
+        "|---|---|---|",
+        "| dd tier 104k skewed particles, 8x CPU devices | 3804 ms/step | 8192 grid blocks/device (sized by the uniform filler's block footprint) |",
+        "| single-device CPU reference (explicit_step) | 800 ms/step | whole grid on one device |",
+        "",
+    ]
     out = "\n".join(lines)
     print(out)
     if not only:

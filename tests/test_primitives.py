@@ -104,6 +104,41 @@ class TestSort:
         np.testing.assert_array_equal(np.asarray(ko), k[perm])
         np.testing.assert_array_equal(np.asarray(vo), v[perm])
 
+    def test_radix_sort_pair_wide_window_stable(self, pol, rng):
+        # window + rank wider than 31 bits -> the stable 3-op fallback
+        k = rng.integers(0, 1 << 30, size=4096).astype(np.int32)
+        v = np.arange(4096, dtype=np.int32)
+        ko, vo = P.radix_sort_pair(pol, jnp.asarray(k), jnp.asarray(v),
+                                   sbit=0, ebit=30)
+        perm = np.argsort(k & ((1 << 30) - 1), kind="stable")
+        np.testing.assert_array_equal(np.asarray(ko), k[perm])
+        np.testing.assert_array_equal(np.asarray(vo), v[perm])
+
+    def test_sort_pair_packed_bounds(self, pol, rng):
+        # static bound hints trigger the packed 1-op fast path
+        k = rng.integers(0, 700, size=3000).astype(np.int32)
+        v = np.arange(3000, dtype=np.int32)
+        ko, vo = P.sort_pair(pol, jnp.asarray(k), jnp.asarray(v),
+                             key_bound=700, val_bound=3000)
+        perm = np.argsort(k, kind="stable")  # ties order by val = rank
+        np.testing.assert_array_equal(np.asarray(ko), k[perm])
+        np.testing.assert_array_equal(np.asarray(vo), v[perm])
+
+    def test_radix_sort_pair_ranks_fast_path(self, pol, rng):
+        k = rng.integers(0, 1 << 18, size=2048).astype(np.int32)
+        v = np.arange(2048, dtype=np.int32)
+        ko, vo = P.radix_sort_pair(pol, jnp.asarray(k), jnp.asarray(v),
+                                   sbit=4, ebit=16, vals_are_ranks=True)
+        perm = np.argsort((k >> 4) & 0xFFF, kind="stable")
+        np.testing.assert_array_equal(np.asarray(ko), k[perm])
+        np.testing.assert_array_equal(np.asarray(vo), v[perm])
+
+    def test_argsort_stable_bounded(self, pol, rng):
+        k = rng.integers(0, 5000, size=4096).astype(np.int32)
+        got = np.asarray(P.argsort_stable(pol, jnp.asarray(k),
+                                          key_bound=5000))
+        np.testing.assert_array_equal(got, np.argsort(k, kind="stable"))
+
 
 class TestHistogramSegment:
     def test_histogram_small_bins(self, pol, rng):

@@ -42,3 +42,18 @@ def test_supported_gate():
     assert scan_supported(jnp.zeros((CHUNK,), jnp.int32))
     assert not scan_supported(jnp.zeros((CHUNK // 2,), jnp.int32))
     assert not scan_supported(jnp.zeros((4, CHUNK), jnp.int32))
+
+
+@pytest.mark.parametrize("op,npop", [("max", np.maximum), ("min", np.minimum)])
+def test_max_min_scan(op, npop):
+    rng = np.random.default_rng(3)
+    x = rng.integers(-10000, 10000, CHUNK + 513).astype(np.int32)
+    out = np.asarray(scan_pallas(jnp.asarray(x), interpret=True, op=op))
+    np.testing.assert_array_equal(out, npop.accumulate(x))
+
+
+def test_max_scan_float():
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal(2 * CHUNK).astype(np.float32)
+    out = np.asarray(scan_pallas(jnp.asarray(x), interpret=True, op="max"))
+    np.testing.assert_array_equal(out, np.maximum.accumulate(x))

@@ -140,8 +140,12 @@ def reduce(pol: Executor, arr, op=jnp.add, init=None):
 
 # -- scans --------------------------------------------------------------------
 
-def _pallas_scan_ok(arr, opf, use_pallas) -> bool:
-    """Route large additive 1-D scans to the Pallas chunked-carry kernel.
+_PALLAS_SCAN_OPS = {jnp.add: "add", jnp.maximum: "max", jnp.minimum: "min"}
+
+
+def _pallas_scan_op(arr, opf, use_pallas):
+    """Route large add/max/min 1-D scans to the Pallas chunked-carry
+    kernel; returns the op name or None.
 
     XLA's associative_scan measures 26 GB/s at 16M f32 on v5e (the tree
     materializes through HBM); the sequential-grid Pallas kernel is one
@@ -149,23 +153,25 @@ def _pallas_scan_ok(arr, opf, use_pallas) -> bool:
     accelerator backend (Mosaic); ``use_pallas=False`` forces pure XLA
     (the Mosaic tunnel is intermittently unavailable — CLAUDE.md).
     """
-    if use_pallas is False or opf is not jnp.add:
-        return False
+    op = _PALLAS_SCAN_OPS.get(opf)
+    if use_pallas is False or op is None:
+        return None
     from ..ops.scan_pallas import scan_supported
-    if not scan_supported(arr):
-        return False
-    if use_pallas:
-        return True
-    return jax.default_backend() not in ("cpu",)
+    if not scan_supported(arr, op):
+        return None
+    if use_pallas or jax.default_backend() not in ("cpu",):
+        return op
+    return None
 
 
 def inclusive_scan(pol: Executor, arr, op=jnp.add, use_pallas=None):
     """Inclusive scan (ExecutionPolicy.hpp:247-255; cub::DeviceScan on CUDA)."""
     opf = _resolve_op(op)
-    if _pallas_scan_ok(arr, opf, use_pallas):
+    pop = _pallas_scan_op(arr, opf, use_pallas)
+    if pop is not None:
         from ..ops.scan_pallas import scan_pallas
-        return pol.run(lambda a: scan_pallas(a, exclusive=False), arr,
-                       label="inclusive_scan")
+        return pol.run(lambda a: scan_pallas(a, exclusive=False, op=pop),
+                       arr, label="inclusive_scan")
 
     def kern(a):
         return jax.lax.associative_scan(opf, a)
@@ -180,7 +186,8 @@ def exclusive_scan(pol: Executor, arr, op=jnp.add, init=None, use_pallas=None):
         init = monoid_identity(op if not isinstance(op, str) else opf, arr.dtype)
     zero_init = (not isinstance(init, jax.core.Tracer)
                  and not np.any(np.asarray(init)))
-    if _pallas_scan_ok(arr, opf, use_pallas) and zero_init:
+    if (_pallas_scan_op(arr, opf, use_pallas) == "add" and zero_init
+            and opf is jnp.add):
         from ..ops.scan_pallas import scan_pallas
         return pol.run(lambda a: scan_pallas(a, exclusive=True), arr,
                        label="exclusive_scan")
@@ -196,14 +203,53 @@ def exclusive_scan(pol: Executor, arr, op=jnp.add, init=None, use_pallas=None):
 
 # -- sorts --------------------------------------------------------------------
 
+def _bits_for(bound) -> int:
+    """Bits needed for values in [0, bound)."""
+    return max(1, int(np.ceil(np.log2(max(int(bound), 2)))))
+
+
+def _pack_ok(key_bound, val_bound) -> bool:
+    """Static bound hints small enough to pack (key, val) into one i32.
+
+    Measured on v5e (benchmarks/probe_sort2.py, 16M): a 1-operand
+    unstable ``lax.sort`` runs 925 Mkeys/s vs 527 for the 2-operand pair
+    form and 262 for 3-operand stable — packing is the cheapest pair
+    sort whenever the widths allow (CUB pair-sort analog).
+    """
+    return (key_bound is not None and val_bound is not None
+            and _bits_for(key_bound) + _bits_for(val_bound) <= 31)
+
+
 def sort(pol: Executor, keys):
-    """Unstable-contract sort (``zs::sort``, ExecutionPolicy.hpp:278)."""
+    """Unstable-contract sort (``zs::sort``, ExecutionPolicy.hpp:278).
+
+    Lowers to ``lax.sort`` — measured with proper dependent chains it
+    runs 2.3 Gkeys/s at 1M / 0.92 at 16M on v5e, and a hand-built
+    batched-runs + Pallas bitonic hybrid LOSES to it at every size
+    (benchmarks/sort_hybrid.py, docs/design.md "Pallas sort settled")."""
     return pol.run(lambda k: jax.lax.sort(k, is_stable=False), keys,
                    label="sort")
 
 
-def sort_pair(pol: Executor, keys, vals):
-    """Key-value sort (``zs::sort_pair``)."""
+def sort_pair(pol: Executor, keys, vals, key_bound=None, val_bound=None):
+    """Key-value sort (``zs::sort_pair``).
+
+    ``key_bound``/``val_bound`` are optional *static* exclusive upper
+    bounds for non-negative int32 keys/vals; when their widths fit 31
+    bits the pair sorts as ONE packed array (1.75x, see
+    :func:`_pack_ok`).  Packed ties order by value (still a valid
+    unstable pair sort)."""
+    if _pack_ok(key_bound, val_bound):
+        vb = _bits_for(val_bound)
+
+        def kern_packed(k, v):
+            p = (k.astype(jnp.int32) << vb) | v.astype(jnp.int32)
+            sp = jax.lax.sort(p, is_stable=False)
+            return (sp >> vb).astype(keys.dtype), \
+                (sp & ((1 << vb) - 1)).astype(vals.dtype)
+
+        return pol.run(kern_packed, keys, vals, label="sort_pair")
+
     def kern(k, v):
         return jax.lax.sort((k, v), num_keys=1, is_stable=False)
 
@@ -241,6 +287,27 @@ def radix_sort(pol: Executor, keys, sbit: int = 0, ebit: Optional[int] = None):
     nbits = np.dtype(keys.dtype).itemsize * 8
     ebit = nbits if ebit is None else ebit
 
+    w = ebit - sbit
+    n = keys.shape[0]
+    if sbit == 0 and ebit >= nbits:
+        # whole-key window: stable == unstable for a key-only sort
+        # (equal keys are indistinguishable) -> 1-op unstable, 2x
+        return sort(pol, keys)
+    if w + _bits_for(n) <= 31:
+        # pack (window, rank): rank ties reproduce stability; the full
+        # keys ride as the single payload (2-op unstable: 1.56x vs the
+        # 2-op stable windowed form, probe_sort2)
+        rb = _bits_for(n)
+
+        def kern_packed(k):
+            wk = _bit_window(k, sbit, ebit).astype(jnp.int32)
+            rank = jnp.arange(n, dtype=jnp.int32)
+            _, out = jax.lax.sort(((wk << rb) | rank, k), num_keys=1,
+                                  is_stable=False)
+            return out
+
+        return pol.run(kern_packed, keys, label="radix_sort")
+
     def kern(k):
         w = _bit_window(k, sbit, ebit)
         _, out = jax.lax.sort((w, k), num_keys=1, is_stable=True)
@@ -250,9 +317,41 @@ def radix_sort(pol: Executor, keys, sbit: int = 0, ebit: Optional[int] = None):
 
 
 def radix_sort_pair(pol: Executor, keys, vals, sbit: int = 0,
-                    ebit: Optional[int] = None):
+                    ebit: Optional[int] = None, vals_are_ranks=False):
+    """Stable key-value sort on the bit window [sbit, ebit).
+
+    ``vals_are_ranks=True`` asserts vals are distinct and ascending with
+    position (the permutation-builder idiom, ``vals = arange``): ties
+    ordered by val are then exactly the stable order, enabling the
+    packed fast path when window + val widths fit 31 bits (2x measured,
+    probe_sort2 16M: 31.8 ms vs 64.1 for the 3-op stable form)."""
     nbits = np.dtype(keys.dtype).itemsize * 8
     ebit = nbits if ebit is None else ebit
+    w = ebit - sbit
+    n = keys.shape[0]
+    if vals_are_ranks and w + _bits_for(n) <= 31:
+        rb = _bits_for(n)
+        mask = (1 << rb) - 1
+
+        def kern_ranks(k, v):
+            wk = _bit_window(k, sbit, ebit).astype(jnp.int32)
+            p, ko = jax.lax.sort(((wk << rb) | v.astype(jnp.int32), k),
+                                 num_keys=1, is_stable=False)
+            return ko, (p & mask).astype(vals.dtype)
+
+        return pol.run(kern_ranks, keys, vals, label="radix_sort_pair")
+    if w + _bits_for(n) <= 31:
+        # stability via packed rank; keys and vals ride (3-op unstable)
+        rb = _bits_for(n)
+
+        def kern_packed(k, v):
+            wk = _bit_window(k, sbit, ebit).astype(jnp.int32)
+            rank = jnp.arange(n, dtype=jnp.int32)
+            _, ko, vo = jax.lax.sort(((wk << rb) | rank, k, v),
+                                     num_keys=1, is_stable=False)
+            return ko, vo
+
+        return pol.run(kern_packed, keys, vals, label="radix_sort_pair")
 
     def kern(k, v):
         w = _bit_window(k, sbit, ebit)
@@ -262,8 +361,22 @@ def radix_sort_pair(pol: Executor, keys, vals, sbit: int = 0,
     return pol.run(kern, keys, vals, label="radix_sort_pair")
 
 
-def argsort_stable(pol: Executor, keys):
-    """Stable argsort — the backbone of the sort+segment scatter idiom."""
+def argsort_stable(pol: Executor, keys, key_bound=None):
+    """Stable argsort — the backbone of the sort+segment scatter idiom.
+
+    With a static ``key_bound`` whose width + rank width fits 31 bits,
+    the permutation comes from ONE packed unstable sort (2x)."""
+    n = keys.shape[0]
+    if key_bound is not None and _bits_for(key_bound) + _bits_for(n) <= 31:
+        rb = _bits_for(n)
+        mask = (1 << rb) - 1
+
+        def kern_packed(k):
+            p = (k.astype(jnp.int32) << rb) | jnp.arange(n, dtype=jnp.int32)
+            return jax.lax.sort(p, is_stable=False) & mask
+
+        return pol.run(kern_packed, keys, label="argsort_stable")
+
     def kern(k):
         idx = jnp.arange(k.shape[0], dtype=jnp.int32)
         _, perm = jax.lax.sort((k, idx), num_keys=1, is_stable=True)
