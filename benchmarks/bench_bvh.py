@@ -82,6 +82,36 @@ def main(n=1 << 20):
           f"mean hits {float(jnp.mean(cnt.astype(jnp.float32))):.2f}",
           flush=True)
 
+    # aligned-cell decomposed join: the variant that actually answers at
+    # scale (plain band in-band ~0.002 at 1M); throughput counted per
+    # QUERY (nq, not the 8x entries)
+    for extr, mh in (("peel", 8), ("bitpeel", 8), ("none", 1)):
+        def q_dec(i, q, consts):
+            b, = consts
+            ql, qh = q
+            qid, hits, cnt, ok = query_overlaps_sorted(
+                b, ql, qh, mh, tile=256, group=32, extract=extr,
+                decompose=True)
+            eps = dep_scalar(cnt)
+            if extr != "none":
+                eps = eps + dep_scalar(hits)
+            return ql + eps, qh + eps
+
+        ms = chained_ms(q_dec, (qlo, qhi), iters=3, const=(bvh,),
+                        marginal=True,
+                        label=f"decomposed join {extr}-{mh}")
+        print(f"    -> {nq / (ms / 1e3) / 1e6:.2f} Mq/s", flush=True)
+    qid, hits, cnt, ok = jax.jit(
+        lambda b, a, z: query_overlaps_sorted(b, a, z, 8, tile=256,
+                                              group=32, decompose=True)
+    )(bvh, qlo, qhi)
+    okq = jnp.ones((nq,), bool).at[qid].min(ok)
+    cq = jnp.zeros((nq,), jnp.int32).at[qid].add(cnt)
+    print(f"    decomposed per-query in-band "
+          f"{float(jnp.mean(okq.astype(jnp.float32))):.4f}, "
+          f"mean hits {float(jnp.mean(cq.astype(jnp.float32))):.2f}",
+          flush=True)
+
     # banded nearest (point prims): exact-with-certificate fast path
     from zpc_tpu.containers.bvh import query_nearest_sorted
     cpts = jnp.asarray(c)

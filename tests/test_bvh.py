@@ -232,6 +232,53 @@ class TestSortedBandedJoin:
             checked += 1
         assert checked > 0.7 * nq
 
+    def test_decomposed_matches_oracle(self, rng):
+        # aligned-cell decomposition: entry-granular results combine to
+        # the exact per-query answer, with high in-band fraction on a
+        # scene where the plain band fails (plane-crossing tiny boxes)
+        from zpc_tpu.containers.bvh import (build_lbvh,
+                                            query_overlaps_sorted)
+        n = 4096
+        c = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+        h = np.full((n, 3), 0.004, np.float32)
+        lo = jnp.asarray(c - h)
+        hi = jnp.asarray(c + h)
+        bvh = build_lbvh(lo, hi)
+        nq = 1024
+        qlo = lo[:nq] - 0.008
+        qhi = hi[:nq] + 0.008
+        max_hits = 32
+        qid, hits, cnt, band = jax.jit(
+            lambda *a: query_overlaps_sorted(*a, max_hits, tile=64,
+                                             decompose=True)
+        )(bvh, qlo, qhi)
+        qid, hits = np.asarray(qid), np.asarray(hits)
+        cnt, band = np.asarray(cnt), np.asarray(band)
+        assert qid.shape[0] == 8 * nq
+        cnt_q = np.zeros(nq, np.int64)
+        band_q = np.ones(nq, bool)
+        sets = [set() for _ in range(nq)]
+        trunc = np.zeros(nq, bool)
+        for row in range(len(qid)):
+            q = int(qid[row])
+            cnt_q[q] += cnt[row]
+            band_q[q] &= bool(band[row])
+            trunc[q] |= cnt[row] > max_hits
+            for p in hits[row]:
+                if p >= 0:
+                    assert int(p) not in sets[q], "duplicate across cells"
+                    sets[q].add(int(p))
+        assert band_q.mean() > 0.8, f"in-band only {band_q.mean():.3f}"
+        ref_sets, ref_cnt = self._oracle_sets(bvh, qlo, qhi, 64)
+        checked = 0
+        for q in range(nq):
+            if not band_q[q] or trunc[q]:
+                continue
+            assert cnt_q[q] == ref_cnt[q], q
+            assert sets[q] == ref_sets[q], q
+            checked += 1
+        assert checked > 0.8 * nq
+
     def test_band_overflow_flagged(self, rng):
         # one gigantic query box must fall out of the 3-tile band
         from zpc_tpu.containers.bvh import (build_lbvh,

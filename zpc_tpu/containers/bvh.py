@@ -106,6 +106,21 @@ def _karras_topology(codes: jax.Array):
     d = jnp.where(same, 32 + common_prefix_length(gi, gi + 1).astype(
         jnp.int32), d)
 
+    # the 63-value sweep is 126 cumulative scans: XLA's cummax/cummin
+    # are log-depth multi-pass (~0.38 ms each at 1M -> 50 ms measured,
+    # benchmarks/probe_karras.py); the Pallas chunked-carry scan is one
+    # streaming pass (~3.7x) — route there when on TPU and big enough
+    from ..ops.scan_pallas import scan_pallas, scan_supported
+    fast = (jax.default_backend() == "tpu" and scan_supported(d, "max"))
+
+    def cummax_fwd(x):
+        return scan_pallas(x, op="max") if fast else jax.lax.cummax(x)
+
+    def cummin_rev(x):
+        if fast:
+            return scan_pallas(x[::-1], op="min")[::-1]
+        return jax.lax.cummin(x, reverse=True)
+
     BIG = jnp.int32(1 << 30)
     none_l = jnp.full((g,), -1, jnp.int32)
     none_r = jnp.full((g,), BIG, jnp.int32)
@@ -115,18 +130,21 @@ def _karras_topology(codes: jax.Array):
     run_l, run_r = none_l, none_r        # best position so far over values
     run_lv = jnp.full((g,), -1, jnp.int32)  # d value at run_l / run_r
     run_rv = jnp.full((g,), -1, jnp.int32)
-    for v in range(65):
+    # d = 0 impossible (codes and the invalid sentinel are non-negative:
+    # sign bits equal); d = 64 impossible (tie delta = 32 + cpl(i, i+1)
+    # and adjacent indices always differ)
+    for v in range(1, 64):
         eq = d == v
         # NSEr first: strict (u < d[i]) -> capture BEFORE folding in v
         nser = jnp.where(eq, run_r, nser)
         dr = jnp.where(eq, run_rv, dr)
-        fp = jax.lax.cummin(jnp.where(eq, gi, BIG), reverse=True)
+        fp = cummin_rev(jnp.where(eq, gi, BIG))
         fp_excl = jnp.concatenate([fp[1:], none_r[:1]])
         br = fp_excl < run_r
         run_rv = jnp.where(br, v, run_rv)
         run_r = jnp.where(br, fp_excl, run_r)
         # NSEl: non-strict (u <= d[i]) -> capture AFTER folding in v
-        lp = jax.lax.cummax(jnp.where(eq, gi, -1))
+        lp = cummax_fwd(jnp.where(eq, gi, -1))
         lp_excl = jnp.concatenate([none_l[:1], lp[:-1]])
         bl = lp_excl > run_l
         run_lv = jnp.where(bl, v, run_lv)
@@ -154,11 +172,17 @@ def _karras_topology(codes: jax.Array):
     pars = jnp.concatenate([par, leaf_par])
     isl = jnp.concatenate([int_isl, leaf_isl])
     has_par = jnp.concatenate([~is_root, jnp.ones((n,), bool)])
-    sink = jnp.int32(g)
-    left = jnp.full((g,), -1, jnp.int32).at[
-        jnp.where(has_par & isl, pars, sink)].set(ids, mode="drop")
-    right = jnp.full((g,), -1, jnp.int32).at[
-        jnp.where(has_par & ~isl, pars, sink)].set(ids, mode="drop")
+    # children via ONE unstable 2-op sort (each [2n-1]->[g] scatter costs
+    # ~12 ms at 1M, probe_karras; the sort ~1 ms): every internal node
+    # has exactly two children, so sorting by (parent*2 + is_right) lays
+    # them out pairwise and left/right fall out as strided slices
+    ckey = jnp.where(has_par,
+                     pars * 2 + jnp.where(isl, 0, 1).astype(jnp.int32),
+                     jnp.int32(2 * g))       # the root sorts last
+    _, child_sorted = jax.lax.sort((ckey, ids), num_keys=1,
+                                   is_stable=False)
+    left = child_sorted[0:2 * g:2]
+    right = child_sorted[1:2 * g:2]
 
     # renumber so the root lands at node 0 (swap 0 <-> root everywhere)
     r = jnp.argmax(is_root).astype(jnp.int32)
@@ -420,7 +444,8 @@ def query_overlaps(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
 
 def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
                           max_hits: int, tile: int = 128,
-                          group: int = 128, extract: str = "peel"):
+                          group: int = 128, extract: str = "peel",
+                          decompose: bool = False):
     """High-throughput AABB overlap query: sorted banded tile join.
 
     TPU-native replacement for per-query tree walks (which serialize into
@@ -443,33 +468,81 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
     False where the band was too narrow (caller falls back to
     :func:`query_overlaps` for those or increases ``tile``).
 
+    ``decompose=True`` fixes the band failure mode at scale: a tiny box
+    whose corners straddle a high morton plane has a corner-to-corner
+    leaf interval covering a large fraction of the tree (measured
+    in-band fraction 0.002 at 1M uniform prims/queries), so the plain
+    band answers almost nothing.  Each query is instead expanded into
+    its (at most 8, by construction) covering *aligned* octree cells at
+    the smallest power-of-two cell size — each cell is one SHORT
+    contiguous morton interval, so entries land in-band.  The join
+    compare volume is invariant (8x entries x 1/8 window); returns are
+    then ENTRY-granular with duplicated ``qid``: callers combine with
+    segment ops (counts scatter-ADD, in_band scatter-AND; hit lists
+    union without duplicates — the cells are disjoint).
+
     Reference analog: ``container/Bvh.hpp`` ``iter_neighbors`` (:662-733);
     the banded join is the TPU-first formulation of the same broad phase.
     """
     n = bvh.num_leaves
     nq = q_lo.shape[0]
     dim = q_lo.shape[-1]
+    leaf_lo = bvh.lo[n - 1:]
+    leaf_hi = bvh.hi[n - 1:]
+    leaf_prim = bvh.leaf_prim[n - 1:]
+    big = jnp.asarray(3.4e38, q_lo.dtype)
+
+    def quant(x):
+        return jnp.clip((x - bvh.scene_lo) / bvh.scene_extent * 1024.0,
+                        0, 1023).astype(jnp.int32)
+
+    if decompose:
+        from ..math.bits import clz32
+        lo_c = quant(q_lo - bvh.half_max)
+        hi_c = quant(q_hi + bvh.half_max)
+        ext = jnp.max(hi_c - lo_c, axis=-1)             # [nq] cells
+        # smallest 2^k >= ext so the box spans <= 2 cells per axis
+        k = jnp.maximum(
+            32 - clz32(jnp.maximum(ext - 1, 0).astype(jnp.uint32)), 0)
+        k = jnp.minimum(k, 10).astype(jnp.int32)
+        c0 = lo_c >> k[:, None]
+        c1 = hi_c >> k[:, None]
+        offs = jnp.asarray(
+            [[0, 0, 0], [0, 0, 1], [0, 1, 0], [0, 1, 1],
+             [1, 0, 0], [1, 0, 1], [1, 1, 0], [1, 1, 1]], jnp.int32)
+        cells = c0[:, None, :] + offs[None]             # [nq, 8, 3]
+        valid = jnp.all(cells <= c1[:, None, :], -1)    # [nq, 8]
+        base = morton3d(cells) << (3 * k)[:, None]      # [nq, 8]
+        span = jnp.left_shift(jnp.int32(1), 3 * k)      # [nq]
+        # invalid entries take their query's primary cell base with an
+        # EMPTY interval (m_hi < m_lo -> in_band, inverted boxes -> no
+        # hits).  A far sentinel would pile all ~6/8 invalid entries at
+        # the top of the sorted order and wreck the rank<->leaf-space
+        # alignment the positional band depends on; anchored at the
+        # query's own base they stay uniformly interleaved.
+        m_lo = jnp.where(valid, base, base[:, :1]).reshape(-1)
+        m_hi = jnp.where(valid, base + span[:, None] - 1,
+                         base[:, :1] - 1).reshape(-1)
+        q_lo = jnp.where(valid.reshape(-1)[:, None],
+                         jnp.repeat(q_lo, 8, axis=0), big)
+        q_hi = jnp.where(valid.reshape(-1)[:, None],
+                         jnp.repeat(q_hi, 8, axis=0), -big)
+        qid0 = jnp.repeat(jnp.arange(nq, dtype=jnp.int32), 8)
+        nq = nq * 8
+    else:
+        # morton interval of each query (dilated by max leaf half-extent)
+        m_lo = morton3d(quant(q_lo - bvh.half_max))
+        m_hi = morton3d(quant(q_hi + bvh.half_max))
+        qid0 = jnp.arange(nq, dtype=jnp.int32)
+
     T = tile
     assert nq % T == 0, "query count must be a multiple of tile"
     ntiles = nq // T
     G = min(group, ntiles)
     while ntiles % G:
         G -= 1
-    leaf_lo = bvh.lo[n - 1:]
-    leaf_hi = bvh.hi[n - 1:]
-    leaf_prim = bvh.leaf_prim[n - 1:]
-
-    # morton interval of each query (dilated by max leaf half-extent)
-    def mcode(x):
-        qz = jnp.clip((x - bvh.scene_lo) / bvh.scene_extent * 1024.0,
-                      0, 1023).astype(jnp.int32)
-        return morton3d(qz)
-
-    m_lo = mcode(q_lo - bvh.half_max)
-    m_hi = mcode(q_hi + bvh.half_max)
 
     # sort queries by interval start (wide sort: no gathers)
-    qid0 = jnp.arange(nq, dtype=jnp.int32)
     ops = jax.lax.sort(
         (m_lo, m_hi, qid0,
          *[q_lo[:, d] for d in range(dim)],
@@ -480,28 +553,28 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
 
     s = jnp.searchsorted(bvh.codes, sm_lo, side="left").astype(jnp.int32)
     e = jnp.searchsorted(bvh.codes, sm_hi, side="right").astype(jnp.int32)
-    # leaf tiling aligned to query tiling: TL leaves per query tile
+    # leaf window per query tile, anchored at the tile's OWN smallest
+    # interval start (w0 = min s over the tile).  Round 2 anchored
+    # windows positionally ([(t-1)TL, (t+2)TL) around the tile's rank),
+    # which silently assumed query rank tracks leaf rank — morton-code
+    # dilation shift and decomposed-entry multiplicity both break that
+    # (measured: in-band 0.002 at 1M).  s is monotone over the sorted
+    # entries, so a tile's entries span few leaves and the self-anchored
+    # window covers them regardless of any rank drift.
     TL = -(-n // ntiles)
-    # query tile t sees leaves [(t-1)*TL, (t+2)*TL)
-    tile_of_q = jnp.arange(nq, dtype=jnp.int32) // T
-    lo_ok = s >= (tile_of_q - 1) * TL
-    hi_ok = e <= (tile_of_q + 2) * TL
-    in_band = (lo_ok & hi_ok) | (s >= e)      # empty intervals always ok
-
-    # leaf windows via static shifts (no gathers)
-    def leaf_tiles(a, fill):
-        pad = ntiles * TL - n
-        a = jnp.concatenate(
-            [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)])
-        return a.reshape(ntiles, TL, *a.shape[1:])
-
-    def window(a, fill):
-        t = leaf_tiles(a, fill)
-        prev = jnp.concatenate([jnp.full_like(t[:1], fill), t[:-1]], 0)
-        nxt = jnp.concatenate([t[1:], jnp.full_like(t[:1], fill)], 0)
-        return jnp.concatenate([prev, t, nxt], axis=1)  # [ntiles, 3TL, ...]
+    w0 = jnp.min(jnp.where(s < e, s, n).reshape(ntiles, T), axis=1)
+    w0 = jnp.clip(w0 - TL // 2, 0, n)            # pre-window slack
+    w0_q = jnp.repeat(w0, T)                     # [nq]
+    in_band = ((s >= w0_q) & (e <= w0_q + 3 * TL)) | (s >= e)
 
     big = jnp.asarray(3.4e38, leaf_lo.dtype)
+
+    def window(a, fill):
+        ap = jnp.concatenate(
+            [a, jnp.full((3 * TL,) + a.shape[1:], fill, a.dtype)])
+        idx = w0[:, None] + jnp.arange(3 * TL, dtype=jnp.int32)[None]
+        return ap[idx]                           # [ntiles, 3TL, ...]
+
     wlo = window(leaf_lo, big)
     whi = window(leaf_hi, -big)
     wprim = window(leaf_prim, jnp.int32(-1))
@@ -509,7 +582,9 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
     qhi_t = sq_hi.reshape(ntiles, T, dim)
 
     def per_group(carry, tgroup):
-        wl, wh, wp, ql, qh = tgroup                # [G, T|3TL, ...]
+        wl, wh, wp, ql, qh, qs, qe, qw = tgroup    # [G, T|3TL, ...]
+        # global leaf index of every window lane
+        lg = qw[:, None] + jnp.arange(3 * TL, dtype=jnp.int32)[None]
         if extract == "bitpeel":
             # Transposed [G, 3TL, T] mask (T = tile is the 128-lane minor
             # dim), bit-packed into int32 words on the *sublane* axis:
@@ -519,6 +594,10 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
             # window) and returns window-lane ids; prim ids are resolved
             # by ONE flat gather after the scan.
             ov = wp[:, :, None] >= 0               # [G, 3TL, T]
+            # clamp to the entry's own leaf interval [s, e): with
+            # decomposed queries a leaf can sit in two entries' windows
+            ov = ov & (lg[:, :, None] >= qs[:, None, :])
+            ov = ov & (lg[:, :, None] < qe[:, None, :])
             for d in range(dim):
                 ov = ov & (ql[:, None, :, d] <= wh[:, :, None, d])
                 ov = ov & (wl[:, :, None, d] <= qh[:, None, :, d])
@@ -555,6 +634,8 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
         # jnp.all(..., -1) materializes [G,T,3TL,dim] whose dim-minor
         # lane-pads 128x on TPU (measured 40x slowdown at 1M queries)
         ov = wp[:, None, :] >= 0
+        ov = ov & (lg[:, None, :] >= qs[:, :, None])
+        ov = ov & (lg[:, None, :] < qe[:, :, None])
         for d in range(dim):
             ov = ov & (ql[:, :, None, d] <= wh[:, None, :, d])
             ov = ov & (wl[:, None, :, d] <= qh[:, :, None, d])
@@ -616,15 +697,18 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
                whi.reshape(ntiles // G, G, 3 * TL, dim),
                wprim.reshape(ntiles // G, G, 3 * TL),
                qlo_t.reshape(ntiles // G, G, T, dim),
-               qhi_t.reshape(ntiles // G, G, T, dim))
-    _, (hits, cnt) = jax.lax.scan(per_group, 0, scanned)
+               qhi_t.reshape(ntiles // G, G, T, dim),
+               s.reshape(ntiles // G, G, T),
+               e.reshape(ntiles // G, G, T),
+               w0.reshape(ntiles // G, G))
+    _, (hits, cnt) = jax.lax.scan(per_group, jnp.int32(0), scanned)
     hits = hits.reshape(nq, max_hits)
     cnt = cnt.reshape(nq)
     if extract == "bitpeel":
         # window lane -> global leaf -> prim id (one flat gather)
         lanes = hits
         live = lanes < 3 * TL
-        leaf = (tile_of_q[:, None] - 1) * TL + lanes
+        leaf = w0_q[:, None] + lanes
         prim = jnp.take(leaf_prim, jnp.clip(leaf, 0, n - 1), axis=0)
         hits = jnp.where(live, prim, -1)
     return qid, hits, cnt, in_band
