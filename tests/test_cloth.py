@@ -110,3 +110,86 @@ def test_ground_friction_arrests_sliding():
     assert v_free > 0.1          # frictionless keeps sliding
     assert d_fric < 0.3 * d_free  # friction arrests early
     assert v_fric < 0.05          # ... to rest
+
+
+def _two_layer(nx, ny, spacing, gap, dhat, shift=0.5, **kw):
+    """One ClothSim holding two disconnected layers: layer A (pinned,
+    flat) below, layer B (free) above by ``gap``, offset half a cell so
+    B vertices land over A triangle interiors."""
+    simA, xA = make_cloth_grid(nx, ny, spacing, height=0.2, dhat=dhat,
+                               ground_off=-10.0, **kw)
+    N = xA.shape[0]
+    xB = xA + jnp.asarray([shift * spacing, gap, shift * spacing])
+    free = np.concatenate([np.zeros(N, bool), np.ones(N, bool)])
+    sim = ClothSim(
+        tris=jnp.concatenate([simA.tris, simA.tris + N]),
+        edges=jnp.concatenate([simA.edges, simA.edges + N]),
+        hinges=jnp.concatenate([simA.hinges, simA.hinges + N]),
+        rest_len=jnp.concatenate([simA.rest_len, simA.rest_len]),
+        rest_angle=jnp.concatenate([simA.rest_angle, simA.rest_angle]),
+        mass=jnp.concatenate([simA.mass, simA.mass]),
+        free=jnp.asarray(free),
+        k_stretch=simA.k_stretch, k_bend=simA.k_bend,
+        gravity=simA.gravity, ground_n=simA.ground_n,
+        ground_off=simA.ground_off, dhat=simA.dhat, kappa=simA.kappa,
+        mu=simA.mu, epsv=simA.epsv)
+    return sim, jnp.concatenate([xA, xB])
+
+
+def test_self_contact_candidates_complete():
+    """Broad phase: every non-incident triangle within dhat of a vertex
+    appears in its candidate list (oracle: brute-force distances)."""
+    from zpc_tpu.geometry.distance import point_triangle_closest
+    from zpc_tpu.sim.cloth import self_contact_candidates
+    dhat = 0.02
+    sim, x0 = _two_layer(5, 5, 0.05, 0.015, dhat, k_stretch=2e2,
+                         k_bend=1e-4, mass=0.01)
+    cand, ovf = jax.jit(lambda x: self_contact_candidates(sim, x, 8))(x0)
+    assert not bool(ovf)
+    cand = np.asarray(cand)
+    x = np.asarray(x0)
+    tris = np.asarray(sim.tris)
+    for vtx in range(x.shape[0]):
+        _, cl = point_triangle_closest(
+            jnp.asarray(x[vtx])[None, :],
+            jnp.asarray(x[tris[:, 0]]), jnp.asarray(x[tris[:, 1]]),
+            jnp.asarray(x[tris[:, 2]]))
+        d = np.linalg.norm(np.asarray(cl) - x[vtx], axis=-1)
+        for t in np.nonzero(d < dhat * 0.999)[0]:
+            if vtx in tris[t]:
+                continue
+            assert t in cand[vtx], (vtx, t, d[t])
+
+
+def test_self_contact_two_layers_no_interpenetration():
+    """Layer B falls onto pinned layer A: with self-contact every B
+    vertex stays above A; without it B falls straight through."""
+    dhat = 0.012
+    sim, x0 = _two_layer(5, 5, 0.05, 0.02, dhat, k_stretch=2e2,
+                         k_bend=1e-4, mass=0.01)
+    v0 = jnp.zeros_like(x0)
+    dt = 0.01
+    step = jax.jit(lambda x, v: implicit_step(
+        sim, x, v, dt, newton_iters=2, cg_iters=40, self_contact=True))
+    # B vertices strictly over A's triangulated footprint (the +0.5-cell
+    # shift leaves B's last row/col hanging over A's edge, where sagging
+    # below A's plane is legitimate)
+    inner = np.asarray([25 + i * 5 + j for i in range(4)
+                        for j in range(4)])
+    x, v = x0, v0
+    any_ovf = False
+    for _ in range(40):
+        x, v, ovf = step(x, v)
+        any_ovf |= bool(ovf)
+        assert np.isfinite(np.asarray(x)).all()
+        assert np.asarray(x)[inner, 1].min() > 0.2 - 1e-4, "penetrated A"
+    assert not any_ovf
+    # B actually rests on A (settled within a few dhat above the plane)
+    assert np.asarray(x)[inner, 1].min() < 0.2 + 3 * dhat
+
+    # negative control: without self-contact B falls through
+    step0 = jax.jit(lambda x, v: implicit_step(sim, x, v, dt))
+    x, v = x0, v0
+    for _ in range(40):
+        x, v = step0(x, v)
+    assert np.asarray(x)[25:, 1].min() < 0.2 - 0.02

@@ -45,6 +45,49 @@ def aabb_overlap(lo_a, hi_a, lo_b, hi_b):
     return jnp.all(lo_a <= hi_b, -1) & jnp.all(lo_b <= hi_a, -1)
 
 
+def _rank_sorted(codes, vals, side: str):
+    """``searchsorted(codes, vals, side)`` for SORTED ``vals``: one
+    packed merge sort + cumsum + compaction scatter.
+
+    ``jnp.searchsorted`` costs ~75 ms per 1M queries on v5e (gather-
+    chain binary search); both arrays here are already sorted, so the
+    ranks come from a single 2M-element 1-op sort (~2 ms) of
+    ``(value << 1) | origin-tag`` — u32 so the int32-max invalid-leaf
+    sentinel survives the shift (benchmarks/probe_bvh_win.py: the
+    whole front drops 160 -> 13.7 ms, bit-exact vs searchsorted).
+    """
+    m = vals.shape[0]
+    tq = jnp.uint32(0 if side == "left" else 1)
+    packed = jnp.concatenate([
+        (codes.astype(jnp.uint32) << 1) | (jnp.uint32(1) - tq),
+        (vals.astype(jnp.uint32) << 1) | tq])
+    sp = jax.lax.sort(packed, is_stable=False)
+    isq = (sp & 1) == tq
+    iscode = (~isq).astype(jnp.int32)
+    before = jnp.cumsum(iscode) - iscode        # codes strictly before
+    qrank = jnp.cumsum(isq.astype(jnp.int32)) - 1
+    return jnp.zeros((m,), jnp.int32).at[
+        jnp.where(isq, qrank, m)].set(before, mode="drop")
+
+
+def _rank_any(codes, vals, side: str):
+    """``searchsorted(codes, vals, side)`` for vals in ANY order: the
+    same packed merge with the original index carried as the sort
+    payload (one 2-op sort instead of :func:`_rank_sorted`'s 1-op)."""
+    n = codes.shape[0]
+    m = vals.shape[0]
+    tq = jnp.uint32(0 if side == "left" else 1)
+    packed = jnp.concatenate([
+        (codes.astype(jnp.uint32) << 1) | (jnp.uint32(1) - tq),
+        (vals.astype(jnp.uint32) << 1) | tq])
+    idx = jnp.concatenate([jnp.full((n,), m, jnp.int32),
+                           jnp.arange(m, dtype=jnp.int32)])
+    sp, si = jax.lax.sort((packed, idx), num_keys=1, is_stable=False)
+    iscode = ((sp & 1) != tq).astype(jnp.int32)
+    before = jnp.cumsum(iscode) - iscode
+    return jnp.zeros((m,), jnp.int32).at[si].set(before, mode="drop")
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class LBvh:
@@ -551,8 +594,8 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
     sq_lo = jnp.stack(ops[3:3 + dim], axis=1)
     sq_hi = jnp.stack(ops[3 + dim:3 + 2 * dim], axis=1)
 
-    s = jnp.searchsorted(bvh.codes, sm_lo, side="left").astype(jnp.int32)
-    e = jnp.searchsorted(bvh.codes, sm_hi, side="right").astype(jnp.int32)
+    s = _rank_sorted(bvh.codes, sm_lo, "left")
+    e = _rank_any(bvh.codes, sm_hi, "right")   # m_hi NOT sorted by m_lo
     # leaf window per query tile, anchored at the tile's OWN smallest
     # interval start (w0 = min s over the tile).  Round 2 anchored
     # windows positionally ([(t-1)TL, (t+2)TL) around the tile's rank),
@@ -562,29 +605,41 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
     # entries, so a tile's entries span few leaves and the self-anchored
     # window covers them regardless of any rank drift.
     TL = -(-n // ntiles)
+    # window base = the tile's own min interval start, floored to a
+    # TL-block boundary (the gather then moves whole [TL,...] blocks —
+    # element-row gathers of the same bytes measured 30x slower)
+    nlt = -(-n // TL) + 3
     w0 = jnp.min(jnp.where(s < e, s, n).reshape(ntiles, T), axis=1)
-    w0 = jnp.clip(w0 - TL // 2, 0, n)            # pre-window slack
+    w0 = jnp.clip(w0 // TL, 0, nlt - 3) * TL
     w0_q = jnp.repeat(w0, T)                     # [nq]
     in_band = ((s >= w0_q) & (e <= w0_q + 3 * TL)) | (s >= e)
 
     big = jnp.asarray(3.4e38, leaf_lo.dtype)
+    blk = w0[:, None] // TL + jnp.arange(3, dtype=jnp.int32)[None]
 
     def window(a, fill):
         ap = jnp.concatenate(
-            [a, jnp.full((3 * TL,) + a.shape[1:], fill, a.dtype)])
-        idx = w0[:, None] + jnp.arange(3 * TL, dtype=jnp.int32)[None]
-        return ap[idx]                           # [ntiles, 3TL, ...]
+            [a, jnp.full((nlt * TL - n,) + a.shape[1:], fill, a.dtype)])
+        tiles = ap.reshape(nlt, TL, *a.shape[1:])
+        return jnp.take(tiles, blk, axis=0).reshape(
+            (ntiles, 3 * TL) + a.shape[1:])
 
-    wlo = window(leaf_lo, big)
-    whi = window(leaf_hi, -big)
-    wprim = window(leaf_prim, jnp.int32(-1))
+    # materialize the gathered windows BEFORE the scan: fused into the
+    # loop body, XLA re-gathers the whole window set every scan step
+    # (measured: counts-only 6 -> 324 ms at 1M)
+    wlo, whi, wprim = jax.lax.optimization_barrier(
+        (window(leaf_lo, big), window(leaf_hi, -big),
+         window(leaf_prim, jnp.int32(-1))))
     qlo_t = sq_lo.reshape(ntiles, T, dim)
     qhi_t = sq_hi.reshape(ntiles, T, dim)
 
     def per_group(carry, tgroup):
-        wl, wh, wp, ql, qh, qs, qe, qw = tgroup    # [G, T|3TL, ...]
-        # global leaf index of every window lane
-        lg = qw[:, None] + jnp.arange(3 * TL, dtype=jnp.int32)[None]
+        wl, wh, wp, ql, qh, ks, ke = tgroup        # [G, T|3TL, ...]
+        # window lane index, f32: int32 clamp compares break the join's
+        # bool fusion (ov materializes: 324 vs 31 ms at 1M measured,
+        # probe_bvh_win); in-band entries live in [0, 3TL] where f32 is
+        # integer-exact, out-of-band entries are flagged anyway
+        lanef = jnp.arange(3 * TL, dtype=jnp.int32).astype(leaf_lo.dtype)
         if extract == "bitpeel":
             # Transposed [G, 3TL, T] mask (T = tile is the 128-lane minor
             # dim), bit-packed into int32 words on the *sublane* axis:
@@ -596,8 +651,8 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
             ov = wp[:, :, None] >= 0               # [G, 3TL, T]
             # clamp to the entry's own leaf interval [s, e): with
             # decomposed queries a leaf can sit in two entries' windows
-            ov = ov & (lg[:, :, None] >= qs[:, None, :])
-            ov = ov & (lg[:, :, None] < qe[:, None, :])
+            ov = ov & (lanef[None, :, None] >= ks[:, None, :])
+            ov = ov & (lanef[None, :, None] < ke[:, None, :])
             for d in range(dim):
                 ov = ov & (ql[:, None, :, d] <= wh[:, :, None, d])
                 ov = ov & (wl[:, :, None, d] <= qh[:, None, :, d])
@@ -634,8 +689,8 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
         # jnp.all(..., -1) materializes [G,T,3TL,dim] whose dim-minor
         # lane-pads 128x on TPU (measured 40x slowdown at 1M queries)
         ov = wp[:, None, :] >= 0
-        ov = ov & (lg[:, None, :] >= qs[:, :, None])
-        ov = ov & (lg[:, None, :] < qe[:, :, None])
+        ov = ov & (lanef[None, None, :] >= ks[:, :, None])
+        ov = ov & (lanef[None, None, :] < ke[:, :, None])
         for d in range(dim):
             ov = ov & (ql[:, :, None, d] <= wh[:, None, :, d])
             ov = ov & (wl[:, None, :, d] <= qh[:, :, None, d])
@@ -698,9 +753,10 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
                wprim.reshape(ntiles // G, G, 3 * TL),
                qlo_t.reshape(ntiles // G, G, T, dim),
                qhi_t.reshape(ntiles // G, G, T, dim),
-               s.reshape(ntiles // G, G, T),
-               e.reshape(ntiles // G, G, T),
-               w0.reshape(ntiles // G, G))
+               (s - w0_q).astype(leaf_lo.dtype).reshape(
+                   ntiles // G, G, T),
+               (e - w0_q).astype(leaf_lo.dtype).reshape(
+                   ntiles // G, G, T))
     _, (hits, cnt) = jax.lax.scan(per_group, jnp.int32(0), scanned)
     hits = hits.reshape(nq, max_hits)
     cnt = cnt.reshape(nq)
@@ -798,10 +854,8 @@ def query_nearest_sorted(bvh: LBvh, points: jax.Array,
     # a-posteriori certificate: the whole candidate morton interval
     # must fall inside this tile's window
     rb = jnp.sqrt(jnp.where(found, best, 0.0))[:, None]
-    s = jnp.searchsorted(bvh.codes, mcode(sp - rb),
-                         side="left").astype(jnp.int32)
-    e = jnp.searchsorted(bvh.codes, mcode(sp + rb),
-                         side="right").astype(jnp.int32)
+    s = _rank_any(bvh.codes, mcode(sp - rb), "left")
+    e = _rank_any(bvh.codes, mcode(sp + rb), "right")
     in_band = found & (s >= (tile_of - 1) * TL) & (e <= (tile_of + 2) * TL)
     return qid, best_prim, best, in_band
 

@@ -31,9 +31,11 @@ import jax.numpy as jnp
 
 from ..geometry.contact import barrier, barrier_grad, friction_f0
 from ..geometry.dihedral import dihedral_angle, hinge_bending_energy
+from ..geometry.distance import point_triangle_ccd, point_triangle_closest
 from ..math.solvers import cg
 
-__all__ = ["ClothSim", "make_cloth_grid", "cloth_energy", "implicit_step"]
+__all__ = ["ClothSim", "make_cloth_grid", "cloth_energy", "implicit_step",
+           "self_contact_candidates", "self_contact_energy"]
 
 
 @jax.tree_util.register_dataclass
@@ -131,9 +133,89 @@ def cloth_energy(sim: ClothSim, x: jax.Array) -> jax.Array:
     return e_stretch + e_bend + e_contact
 
 
+def self_contact_candidates(sim: ClothSim, x: jax.Array,
+                            max_cand: int = 8, tile: int = 128):
+    """Lagged vertex-triangle candidate set for self-contact.
+
+    LBVH over the current triangle boxes (complete-tree build: cloth M
+    is small and the build is jit-traced every step), one dhat-padded
+    AABB query per vertex through the sorted banded join, triangles
+    incident to the vertex excluded.  Returns ``(cand [N, max_cand]
+    int32, overflow)`` — overflow True when a vertex had more than
+    ``max_cand`` candidates or fell out of the band (caller re-traces
+    with a larger budget, the framework's standard contract).
+
+    Reference lineage: codim-IPC's spatial-hash/BVH broad phase feeding
+    ``geometry/Distance.hpp`` barriers (the reference ships the kernels
+    and leaves assembly to zeno's codim solver; here it is assembled).
+    """
+    from ..containers.bvh import build_lbvh_complete, query_overlaps_sorted
+    N = x.shape[0]
+    tv = x[sim.tris]                                    # [M, 3, 3]
+    bvh = build_lbvh_complete(jnp.min(tv, 1), jnp.max(tv, 1))
+    nq = -(-N // tile) * tile
+    far = jnp.float32(1e9)
+    pad = nq - N
+    qlo = jnp.concatenate([x - sim.dhat,
+                           jnp.full((pad, 3), far, x.dtype)])
+    qhi = jnp.concatenate([x + sim.dhat,
+                           jnp.full((pad, 3), far, x.dtype)])
+    qid, hits, cnt, band = query_overlaps_sorted(
+        bvh, qlo, qhi, max_cand + 3, tile=tile)
+    hits_v = jnp.full((nq, max_cand + 3), -1, jnp.int32
+                      ).at[qid].set(hits)[:N]
+    cnt_v = jnp.zeros((nq,), jnp.int32).at[qid].set(cnt)[:N]
+    band_v = jnp.zeros((nq,), bool).at[qid].set(band)[:N]
+    # drop triangles incident to the vertex (up to 3 slots reclaimed
+    # by the +3 query budget; grid vertices touch <= 6 but barriers at
+    # rest range only see the dhat ball)
+    vid = jnp.arange(N, dtype=jnp.int32)[:, None]
+    tvid = sim.tris[jnp.maximum(hits_v, 0)]             # [N, C+3, 3]
+    incident = jnp.any(tvid == vid[..., None], axis=-1) & (hits_v >= 0)
+    cand_all = jnp.where(incident, -1, hits_v)
+    # compact the survivors into max_cand slots (static small C)
+    keep = cand_all >= 0
+    rank = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
+    slot = jnp.where(keep & (rank < max_cand), rank, max_cand)
+    cand = jnp.full((N, max_cand + 1), -1, jnp.int32).at[
+        vid, slot].set(cand_all)[:, :max_cand]
+    n_keep = jnp.sum(keep.astype(jnp.int32), axis=1)
+    overflow = jnp.any((n_keep > max_cand) | (cnt_v > max_cand + 3)
+                       | ~band_v)
+    return cand, overflow
+
+
+def self_contact_energy(sim: ClothSim, x: jax.Array,
+                        cand: jax.Array) -> jax.Array:
+    """IPC barrier over the lagged vertex-triangle candidate set."""
+    valid = cand >= 0
+    tv = x[sim.tris[jnp.maximum(cand, 0)]]              # [N, C, 3, 3]
+    _, cl = point_triangle_closest(x[:, None, :], tv[:, :, 0],
+                                   tv[:, :, 1], tv[:, :, 2])
+    diff = x[:, None, :] - cl
+    d2 = jnp.sum(diff * diff, axis=-1)
+    e = barrier(d2, sim.dhat * sim.dhat, sim.kappa)
+    return jnp.sum(jnp.where(valid, e, 0.0))
+
+
+def _self_contact_alpha(sim: ClothSim, x, dx, cand):
+    """CCD step limit over the candidate set (ccd_tight lineage via
+    point_triangle_ccd's conservative advancement)."""
+    valid = cand >= 0
+    tidx = sim.tris[jnp.maximum(cand, 0)]               # [N, C, 3]
+    a, b, c = (x[tidx[..., k]] for k in range(3))
+    da, db, dc = (dx[tidx[..., k]] for k in range(3))
+    toi = point_triangle_ccd(x[:, None, :], a, b, c,
+                             dx[:, None, :], da, db, dc,
+                             min_sep=1e-5)
+    toi = jnp.where(valid, toi, 1.0)
+    return jnp.minimum(1.0, 0.9 * jnp.min(toi))
+
+
 def implicit_step(sim: ClothSim, x: jax.Array, v: jax.Array,
                   dt, *, newton_iters: int = 2,
-                  cg_iters: int = 40) -> Tuple[jax.Array, jax.Array]:
+                  cg_iters: int = 40, self_contact: bool = False,
+                  max_cand: int = 8):
     """One implicit-Euler step: minimize the incremental potential with
     ``newton_iters`` Newton-CG rounds; a half-space step limiter keeps
     iterates strictly outside the ground (IPC line-search analog,
@@ -143,6 +225,12 @@ def implicit_step(sim: ClothSim, x: jax.Array, v: jax.Array,
     m3 = sim.mass[:, None]
     xhat = x + dt * v + (dt * dt) * sim.gravity[None, :]
     xhat = jnp.where(free3, xhat, x)
+
+    if self_contact:
+        # lagged candidate set: frozen over the step (standard IPC
+        # practice), indices are non-differentiable
+        cand, sc_ovf = self_contact_candidates(sim, x, max_cand)
+        cand = jax.lax.stop_gradient(cand)
 
     # lagged IPC friction (Friction.hpp consumed here): normal force
     # magnitude from the START-of-step barrier (constant through the
@@ -160,8 +248,12 @@ def implicit_step(sim: ClothSim, x: jax.Array, v: jax.Array,
         return jnp.sum(sim.mu * lam * friction_f0(un, epsvh))
 
     def phi_grad(y):
-        g = (m3 / (dt * dt)) * (y - xhat) + jax.grad(
-            lambda z: cloth_energy(sim, z) + friction_energy(z))(y)
+        def energy(z):
+            e = cloth_energy(sim, z) + friction_energy(z)
+            if self_contact:
+                e = e + self_contact_energy(sim, z, cand)
+            return e
+        g = (m3 / (dt * dt)) * (y - xhat) + jax.grad(energy)(y)
         return jnp.where(free3, g, 0.0)
 
     def project(p):
@@ -182,6 +274,11 @@ def implicit_step(sim: ClothSim, x: jax.Array, v: jax.Array,
                            0.9 * gap / jnp.maximum(-dgap, 1e-30), 1.0)
         alpha = jnp.minimum(1.0, jnp.min(jnp.where(sim.free, a_vert,
                                                    jnp.inf)))
+        if self_contact:
+            alpha = jnp.minimum(alpha,
+                                _self_contact_alpha(sim, y, dx, cand))
         y = y + alpha * dx
     v_new = jnp.where(free3, (y - x) / dt, 0.0)
+    if self_contact:
+        return y, v_new, sc_ovf
     return y, v_new
