@@ -307,25 +307,38 @@ def bench_bvh(n=1_048_576, quick=False):
     qlo = lo - 0.004
     qhi = hi + 0.004
 
+    # decompose=True: aligned-cell decomposition keeps entries in-band
+    # at this scale (plain corner-span bands measured in-band 0.002 at
+    # 1M — the round-2 rows were measuring compares, not answers).  The
+    # in-band fraction is printed alongside so the rows certify answers.
+    def band_frac(**kw):
+        _, _, _, ok = jax.jit(lambda a, c: query_overlaps_sorted(
+            bvh, a, c, 16, **kw))(qlo, qhi)
+        return float(jnp.mean(ok.astype(jnp.float32)))
+
     def q_sorted(i, q, consts):
         b, = consts
         ql, qh = q
         qid, hits, cnt, ok = query_overlaps_sorted(b, ql, qh, 16,
                                                    tile=128, group=64,
-                                                   extract="peel")
+                                                   extract="peel",
+                                                   decompose=True)
         eps = dep_scalar(cnt) + dep_scalar(hits[:, 0])
         return ql + eps, qh + eps
 
     ms = chained_ms(q_sorted, (qlo, qhi), iters=3, const=(bvh,), marginal=True)
+    bf = band_frac(tile=128, group=64, extract="peel", decompose=True)
     rows.append((f"AABB query (banded join, 16 hits) {nq // 1000}k",
-                 f"{ms:.1f} ms", f"{nq / (ms / 1e3) / 1e6:.2f} Mq/s"))
+                 f"{ms:.1f} ms",
+                 f"{nq / (ms / 1e3) / 1e6:.2f} Mq/s (in-band {bf:.3f})"))
 
     def q_bitpeel(i, q, consts):
         b, = consts
         ql, qh = q
         qid, hits, cnt, ok = query_overlaps_sorted(b, ql, qh, 16,
                                                    tile=128, group=64,
-                                                   extract="bitpeel")
+                                                   extract="bitpeel",
+                                                   decompose=True)
         eps = dep_scalar(cnt) + dep_scalar(hits[:, 0])
         return ql + eps, qh + eps
 
@@ -339,13 +352,16 @@ def bench_bvh(n=1_048_576, quick=False):
         ql, qh = q
         qid, hits, cnt, ok = query_overlaps_sorted(b, ql, qh, 16,
                                                    tile=256, group=32,
-                                                   extract="none")
+                                                   extract="none",
+                                                   decompose=True)
         eps = dep_scalar(cnt)
         return ql + eps, qh + eps
 
     ms = chained_ms(q_counts, (qlo, qhi), iters=3, const=(bvh,), marginal=True)
+    bf = band_frac(tile=256, group=32, extract="none", decompose=True)
     rows.append((f"AABB query (counts only) {nq // 1000}k",
-                 f"{ms:.1f} ms", f"{nq / (ms / 1e3) / 1e6:.2f} Mq/s"))
+                 f"{ms:.1f} ms",
+                 f"{nq / (ms / 1e3) / 1e6:.2f} Mq/s (in-band {bf:.3f})"))
 
     nq2 = 8192
 
@@ -498,11 +514,59 @@ def bench_fluid(n=262144, quick=False):
              f"{n / (ms / 1e3) / 1e6:.2f} M particle-steps/s")]
 
 
+def bench_cloth(nx=64, quick=False):
+    """Codim cloth: two-layer drop with LBVH self-contact (the assembled
+    codim-IPC solver — stretch + bending + ground IPC + self-contact
+    barriers + CCD limiter, Newton-CG implicit Euler)."""
+    from zpc_tpu.sim.cloth import ClothSim, implicit_step, make_cloth_grid
+
+    if quick:
+        nx = 24
+    spacing, gap, dhat = 0.6 / nx, 0.015, 0.008
+    simA, xA = make_cloth_grid(nx, nx, spacing, height=0.2, dhat=dhat,
+                               ground_off=-10.0, k_stretch=2e2,
+                               k_bend=1e-4, mass=0.01)
+    N = xA.shape[0]
+    xB = xA + jnp.asarray([0.5 * spacing, gap, 0.5 * spacing])
+    free = np.concatenate([np.zeros(N, bool), np.ones(N, bool)])
+    sim = ClothSim(
+        tris=jnp.concatenate([simA.tris, simA.tris + N]),
+        edges=jnp.concatenate([simA.edges, simA.edges + N]),
+        hinges=jnp.concatenate([simA.hinges, simA.hinges + N]),
+        rest_len=jnp.concatenate([simA.rest_len, simA.rest_len]),
+        rest_angle=jnp.concatenate([simA.rest_angle, simA.rest_angle]),
+        mass=jnp.concatenate([simA.mass, simA.mass]),
+        free=jnp.asarray(free),
+        k_stretch=simA.k_stretch, k_bend=simA.k_bend,
+        gravity=simA.gravity, ground_n=simA.ground_n,
+        ground_off=simA.ground_off, dhat=simA.dhat, kappa=simA.kappa,
+        mu=simA.mu, epsv=simA.epsv)
+    x0 = jnp.concatenate([xA, xB])
+    nv, ntris = 2 * N, int(sim.tris.shape[0])
+    dtj = jnp.float32(0.005)
+
+    def step(i, c):
+        x, v = c
+        x, v, _ = implicit_step(sim, x, v, dtj, newton_iters=2,
+                                cg_iters=24, self_contact=True)
+        return x, v
+
+    # settle layer B onto A so the row measures the in-contact regime
+    warm = jax.jit(lambda c: jax.lax.fori_loop(0, 40, step, c))
+    c0 = jax.block_until_ready(warm((x0, jnp.zeros_like(x0))))
+    ms = chained_ms(step, c0, iters=5 if quick else 10, reps=3,
+                    marginal=True)
+    return [(f"cloth two-layer self-contact {nv // 1000}k verts "
+             f"({ntris} tris, Newton 2 x CG 24)", f"{ms:.1f} ms/step",
+             f"{nv / (ms / 1e3) / 1e6:.2f} M vert-steps/s")]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--only", default="",
-                    help="comma list: prim,poisson,mpm,bvh,implicit,fluid")
+                    help="comma list: prim,poisson,mpm,bvh,implicit,"
+                         "fluid,cloth")
     ap.add_argument("--out", default="BENCHMARKS.md")
     args = ap.parse_args()
     only = set(args.only.split(",")) if args.only else None
@@ -539,6 +603,9 @@ def main():
     if not only or "fluid" in only:
         add_section("Fluid dam break (EOS)",
                     lambda: bench_fluid(quick=args.quick))
+    if not only or "cloth" in only:
+        add_section("Codim cloth (self-contact)",
+                    lambda: bench_cloth(quick=args.quick))
     lines = [f"# BENCHMARKS — measured on {dev.device_kind} "
              f"({time.strftime('%Y-%m-%d')})",
              "",

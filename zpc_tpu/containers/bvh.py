@@ -594,25 +594,35 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
     sq_lo = jnp.stack(ops[3:3 + dim], axis=1)
     sq_hi = jnp.stack(ops[3 + dim:3 + 2 * dim], axis=1)
 
-    s = _rank_sorted(bvh.codes, sm_lo, "left")
-    e = _rank_any(bvh.codes, sm_hi, "right")   # m_hi NOT sorted by m_lo
     # leaf window per query tile, anchored at the tile's OWN smallest
-    # interval start (w0 = min s over the tile).  Round 2 anchored
-    # windows positionally ([(t-1)TL, (t+2)TL) around the tile's rank),
-    # which silently assumed query rank tracks leaf rank — morton-code
-    # dilation shift and decomposed-entry multiplicity both break that
-    # (measured: in-band 0.002 at 1M).  s is monotone over the sorted
-    # entries, so a tile's entries span few leaves and the self-anchored
-    # window covers them regardless of any rank drift.
+    # interval start.  Round 2 anchored windows positionally
+    # ([(t-1)TL, (t+2)TL) around the tile's rank), which silently
+    # assumed query rank tracks leaf rank — morton-code dilation shift
+    # and decomposed-entry multiplicity both break that (measured:
+    # in-band 0.002 at 1M).  sm_lo is sorted, so the tile's min
+    # interval start is its FIRST entry — ONE rank lookup per TILE
+    # ([ntiles] searchsorted, trivial), not per entry: the per-entry
+    # _rank_sorted/_rank_any front measured 74+84 ms of a 261 ms
+    # decomposed counts query at 1M (benchmarks/probe_bvh_decomp.py).
     TL = -(-n // ntiles)
     # window base = the tile's own min interval start, floored to a
     # TL-block boundary (the gather then moves whole [TL,...] blocks —
     # element-row gathers of the same bytes measured 30x slower)
     nlt = -(-n // TL) + 3
-    w0 = jnp.min(jnp.where(s < e, s, n).reshape(ntiles, T), axis=1)
+    w0 = jnp.searchsorted(bvh.codes, sm_lo[::T],
+                          side="left").astype(jnp.int32)   # [ntiles]
     w0 = jnp.clip(w0 // TL, 0, nlt - 3) * TL
     w0_q = jnp.repeat(w0, T)                     # [nq]
-    in_band = ((s >= w0_q) & (e <= w0_q + 3 * TL)) | (s >= e)
+    # in-band certificate from the window's EDGE codes (per tile):
+    # every leaf whose code falls in [m_lo, m_hi] lies inside
+    # [w0, w0+3TL) iff the code just before the window is < m_lo and
+    # the code just after is > m_hi — no per-entry ranks needed.
+    edge_l = jnp.take(bvh.codes, jnp.clip(w0 - 1, 0, n - 1))
+    edge_r = jnp.take(bvh.codes, jnp.clip(w0 + 3 * TL, 0, n - 1))
+    left_ok = jnp.repeat(w0 == 0, T) | (jnp.repeat(edge_l, T) < sm_lo)
+    right_ok = (jnp.repeat(w0 + 3 * TL >= n, T)
+                | (jnp.repeat(edge_r, T) > sm_hi))
+    in_band = (left_ok & right_ok) | (sm_lo > sm_hi)
 
     big = jnp.asarray(3.4e38, leaf_lo.dtype)
     blk = w0[:, None] // TL + jnp.arange(3, dtype=jnp.int32)[None]
@@ -627,19 +637,31 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
     # materialize the gathered windows BEFORE the scan: fused into the
     # loop body, XLA re-gathers the whole window set every scan step
     # (measured: counts-only 6 -> 324 ms at 1M)
-    wlo, whi, wprim = jax.lax.optimization_barrier(
-        (window(leaf_lo, big), window(leaf_hi, -big),
-         window(leaf_prim, jnp.int32(-1))))
+    wins = [window(leaf_lo, big), window(leaf_hi, -big),
+            window(leaf_prim, jnp.int32(-1))]
+    if decompose:
+        # leaf morton codes ride the window as TWO f32 halves (15 bits
+        # each — f32-exact): hits are clamped to the entry's own cell by
+        # EXACT code-interval membership [m_lo, m_hi], replacing the
+        # per-entry [s, e) lane clamp (whose rank lookups dominated the
+        # query, probe_bvh_decomp.py).  int32 compares in the join break
+        # its bool fusion (324 vs 31 ms measured) — hence the f32 pair.
+        wc = window(bvh.codes, jnp.int32(2 ** 31 - 1))
+        wins += [(wc >> 15).astype(leaf_lo.dtype),
+                 (wc & 0x7FFF).astype(leaf_lo.dtype)]
+        ah = (sm_lo >> 15).astype(leaf_lo.dtype)
+        al = (sm_lo & 0x7FFF).astype(leaf_lo.dtype)
+        bh = (sm_hi >> 15).astype(leaf_lo.dtype)
+        bl = (sm_hi & 0x7FFF).astype(leaf_lo.dtype)
+    wins = jax.lax.optimization_barrier(tuple(wins))
     qlo_t = sq_lo.reshape(ntiles, T, dim)
     qhi_t = sq_hi.reshape(ntiles, T, dim)
 
     def per_group(carry, tgroup):
-        wl, wh, wp, ql, qh, ks, ke = tgroup        # [G, T|3TL, ...]
-        # window lane index, f32: int32 clamp compares break the join's
-        # bool fusion (ov materializes: 324 vs 31 ms at 1M measured,
-        # probe_bvh_win); in-band entries live in [0, 3TL] where f32 is
-        # integer-exact, out-of-band entries are flagged anyway
-        lanef = jnp.arange(3 * TL, dtype=jnp.int32).astype(leaf_lo.dtype)
+        if decompose:
+            wl, wh, wp, wc_h, wc_l, ql, qh, eah, eal, ebh, ebl = tgroup
+        else:
+            wl, wh, wp, ql, qh = tgroup            # [G, T|3TL, ...]
         if extract == "bitpeel":
             # Transposed [G, 3TL, T] mask (T = tile is the 128-lane minor
             # dim), bit-packed into int32 words on the *sublane* axis:
@@ -649,10 +671,16 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
             # window) and returns window-lane ids; prim ids are resolved
             # by ONE flat gather after the scan.
             ov = wp[:, :, None] >= 0               # [G, 3TL, T]
-            # clamp to the entry's own leaf interval [s, e): with
-            # decomposed queries a leaf can sit in two entries' windows
-            ov = ov & (lanef[None, :, None] >= ks[:, None, :])
-            ov = ov & (lanef[None, :, None] < ke[:, None, :])
+            if decompose:
+                # clamp to the entry's own cell [m_lo, m_hi]: a leaf can
+                # sit in two entries' windows; the lexicographic f32-pair
+                # compare keeps the bool chain fused
+                ov = ov & ((wc_h[:, :, None] > eah[:, None, :]) |
+                           ((wc_h[:, :, None] == eah[:, None, :]) &
+                            (wc_l[:, :, None] >= eal[:, None, :])))
+                ov = ov & ((wc_h[:, :, None] < ebh[:, None, :]) |
+                           ((wc_h[:, :, None] == ebh[:, None, :]) &
+                            (wc_l[:, :, None] <= ebl[:, None, :])))
             for d in range(dim):
                 ov = ov & (ql[:, None, :, d] <= wh[:, :, None, d])
                 ov = ov & (wl[:, :, None, d] <= qh[:, None, :, d])
@@ -689,8 +717,13 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
         # jnp.all(..., -1) materializes [G,T,3TL,dim] whose dim-minor
         # lane-pads 128x on TPU (measured 40x slowdown at 1M queries)
         ov = wp[:, None, :] >= 0
-        ov = ov & (lanef[None, None, :] >= ks[:, :, None])
-        ov = ov & (lanef[None, None, :] < ke[:, :, None])
+        if decompose:
+            ov = ov & ((wc_h[:, None, :] > eah[:, :, None]) |
+                       ((wc_h[:, None, :] == eah[:, :, None]) &
+                        (wc_l[:, None, :] >= eal[:, :, None])))
+            ov = ov & ((wc_h[:, None, :] < ebh[:, :, None]) |
+                       ((wc_h[:, None, :] == ebh[:, :, None]) &
+                        (wc_l[:, None, :] <= ebl[:, :, None])))
         for d in range(dim):
             ov = ov & (ql[:, :, None, d] <= wh[:, None, :, d])
             ov = ov & (wl[:, None, :, d] <= qh[:, :, None, d])
@@ -748,16 +781,15 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
             hits = jnp.where(lanes < 3 * TL, hit_prim, -1)
         return carry, (hits, cnt)
 
-    scanned = (wlo.reshape(ntiles // G, G, 3 * TL, dim),
-               whi.reshape(ntiles // G, G, 3 * TL, dim),
-               wprim.reshape(ntiles // G, G, 3 * TL),
-               qlo_t.reshape(ntiles // G, G, T, dim),
-               qhi_t.reshape(ntiles // G, G, T, dim),
-               (s - w0_q).astype(leaf_lo.dtype).reshape(
-                   ntiles // G, G, T),
-               (e - w0_q).astype(leaf_lo.dtype).reshape(
-                   ntiles // G, G, T))
-    _, (hits, cnt) = jax.lax.scan(per_group, jnp.int32(0), scanned)
+    # operand order MUST match per_group's unpack
+    rows = [w.reshape((ntiles // G, G, 3 * TL) + w.shape[2:])
+            for w in wins]                       # wl, wh, wp[, wc_h, wc_l]
+    rows += [qlo_t.reshape(ntiles // G, G, T, dim),
+             qhi_t.reshape(ntiles // G, G, T, dim)]
+    if decompose:
+        rows += [a.reshape(ntiles // G, G, T)
+                 for a in (ah, al, bh, bl)]
+    _, (hits, cnt) = jax.lax.scan(per_group, jnp.int32(0), tuple(rows))
     hits = hits.reshape(nq, max_hits)
     cnt = cnt.reshape(nq)
     if extract == "bitpeel":
