@@ -488,7 +488,7 @@ def query_overlaps(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
 def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
                           max_hits: int, tile: int = 128,
                           group: int = 128, extract: str = "peel",
-                          decompose: bool = False):
+                          decompose: bool = False, _upto: str = ""):
     """High-throughput AABB overlap query: sorted banded tile join.
 
     TPU-native replacement for per-query tree walks (which serialize into
@@ -541,6 +541,12 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
 
     if decompose:
         from ..math.bits import clz32
+        # NOTE a query-level pre-sort + blockwise expansion (saving the
+        # 8x entry sort) was tried and REVERTED: keeping a query's 8
+        # cells in one tile makes the tile's leaf span the union of the
+        # cells — for plane-straddling queries that union is exactly the
+        # wide interval decomposition exists to disperse (in-band 0.99
+        # -> 0.76 measured).  The global entry sort is load-bearing.
         lo_c = quant(q_lo - bvh.half_max)
         hi_c = quant(q_hi + bvh.half_max)
         ext = jnp.max(hi_c - lo_c, axis=-1)             # [nq] cells
@@ -585,14 +591,21 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
     while ntiles % G:
         G -= 1
 
-    # sort queries by interval start (wide sort: no gathers)
+    # sort entries by interval start (wide sort: no gathers — a 3-op
+    # sort + post-gather of the 6 box columns measured 10x worse)
     ops = jax.lax.sort(
         (m_lo, m_hi, qid0,
          *[q_lo[:, d] for d in range(dim)],
          *[q_hi[:, d] for d in range(dim)]), num_keys=1, is_stable=True)
     sm_lo, sm_hi, qid = ops[0], ops[1], ops[2]
-    sq_lo = jnp.stack(ops[3:3 + dim], axis=1)
-    sq_hi = jnp.stack(ops[3 + dim:3 + 2 * dim], axis=1)
+    # per-dimension 1-D columns throughout (NO [.., dim] stacks): a
+    # dim-minor array in the window gather / scan operands lane-pads
+    # 3 -> 128 on TPU — the compiled HLO showed f32[.,3,TL,3] gather
+    # outputs plus relayout copies, ~40x the logical HBM traffic
+    sq_lo_d = list(ops[3:3 + dim])
+    sq_hi_d = list(ops[3 + dim:3 + 2 * dim])
+    if _upto == "sort":                          # perf bisection hook
+        return qid, sq_lo_d[0], sm_lo, sm_hi
 
     # leaf window per query tile, anchored at the tile's OWN smallest
     # interval start.  Round 2 anchored windows positionally
@@ -609,7 +622,10 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
     # TL-block boundary (the gather then moves whole [TL,...] blocks —
     # element-row gathers of the same bytes measured 30x slower)
     nlt = -(-n // TL) + 3
-    w0 = jnp.searchsorted(bvh.codes, sm_lo[::T],
+    # per-tile min (decomposed entries are only 8-blockwise sorted;
+    # for the globally sorted case the min IS the first entry)
+    tile_min = jnp.min(sm_lo.reshape(ntiles, T), axis=1)
+    w0 = jnp.searchsorted(bvh.codes, tile_min,
                           side="left").astype(jnp.int32)   # [ntiles]
     w0 = jnp.clip(w0 // TL, 0, nlt - 3) * TL
     w0_q = jnp.repeat(w0, T)                     # [nq]
@@ -628,17 +644,20 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
     blk = w0[:, None] // TL + jnp.arange(3, dtype=jnp.int32)[None]
 
     def window(a, fill):
+        # 1-D payload column -> [ntiles, 3TL]: whole-TL-block takes
         ap = jnp.concatenate(
-            [a, jnp.full((nlt * TL - n,) + a.shape[1:], fill, a.dtype)])
-        tiles = ap.reshape(nlt, TL, *a.shape[1:])
-        return jnp.take(tiles, blk, axis=0).reshape(
-            (ntiles, 3 * TL) + a.shape[1:])
+            [a, jnp.full((nlt * TL - n,), fill, a.dtype)])
+        tiles = ap.reshape(nlt, TL)
+        return jnp.take(tiles, blk, axis=0).reshape(ntiles, 3 * TL)
 
-    # materialize the gathered windows BEFORE the scan: fused into the
-    # loop body, XLA re-gathers the whole window set every scan step
-    # (measured: counts-only 6 -> 324 ms at 1M)
-    wins = [window(leaf_lo, big), window(leaf_hi, -big),
-            window(leaf_prim, jnp.int32(-1))]
+    # all scan operands (windows AND q-side) are materialized through
+    # one optimization_barrier below, before the scan — left fused, XLA
+    # re-materializes producers inside the loop body every step
+    # (measured: counts-only 6 -> 324 ms re-gathering windows; q-side
+    # sort epilogue fusion another ~43 ms at 1M decomposed)
+    wins = ([window(leaf_lo[:, d], big) for d in range(dim)]
+            + [window(leaf_hi[:, d], -big) for d in range(dim)]
+            + [window(leaf_prim, jnp.int32(-1))])
     if decompose:
         # leaf morton codes ride the window as TWO f32 halves (15 bits
         # each — f32-exact): hits are clamped to the entry's own cell by
@@ -653,15 +672,23 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
         al = (sm_lo & 0x7FFF).astype(leaf_lo.dtype)
         bh = (sm_hi >> 15).astype(leaf_lo.dtype)
         bl = (sm_hi & 0x7FFF).astype(leaf_lo.dtype)
-    wins = jax.lax.optimization_barrier(tuple(wins))
-    qlo_t = sq_lo.reshape(ntiles, T, dim)
-    qhi_t = sq_hi.reshape(ntiles, T, dim)
+    if _upto == "front":                         # perf bisection hook
+        return qid, wins[0], w0_q, in_band
 
     def per_group(carry, tgroup):
+        # positional unpack (all operands are per-dimension 2-D rows)
+        wl = tgroup[0:dim]
+        wh = tgroup[dim:2 * dim]
+        wp = tgroup[2 * dim]
+        i0 = 2 * dim + 1
         if decompose:
-            wl, wh, wp, wc_h, wc_l, ql, qh, eah, eal, ebh, ebl = tgroup
-        else:
-            wl, wh, wp, ql, qh = tgroup            # [G, T|3TL, ...]
+            wc_h, wc_l = tgroup[i0:i0 + 2]
+            i0 += 2
+        ql = tgroup[i0:i0 + dim]
+        qh = tgroup[i0 + dim:i0 + 2 * dim]
+        i0 += 2 * dim
+        if decompose:
+            eah, eal, ebh, ebl = tgroup[i0:i0 + 4]
         if extract == "bitpeel":
             # Transposed [G, 3TL, T] mask (T = tile is the 128-lane minor
             # dim), bit-packed into int32 words on the *sublane* axis:
@@ -670,20 +697,20 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
             # (~32x fewer lane-ops than a min-reduce over the raw 3TL
             # window) and returns window-lane ids; prim ids are resolved
             # by ONE flat gather after the scan.
-            ov = wp[:, :, None] >= 0               # [G, 3TL, T]
+            # margin-min join (see peel orientation note)
+            mg = jnp.broadcast_to(
+                wp.astype(wl[0].dtype)[:, :, None], (G, 3 * TL, T))
             if decompose:
-                # clamp to the entry's own cell [m_lo, m_hi]: a leaf can
-                # sit in two entries' windows; the lexicographic f32-pair
-                # compare keeps the bool chain fused
-                ov = ov & ((wc_h[:, :, None] > eah[:, None, :]) |
-                           ((wc_h[:, :, None] == eah[:, None, :]) &
-                            (wc_l[:, :, None] >= eal[:, None, :])))
-                ov = ov & ((wc_h[:, :, None] < ebh[:, None, :]) |
-                           ((wc_h[:, :, None] == ebh[:, None, :]) &
-                            (wc_l[:, :, None] <= ebl[:, None, :])))
+                mg = jnp.minimum(
+                    mg, (wc_h[:, :, None] - eah[:, None, :]) * 65536.0
+                    + (wc_l[:, :, None] - eal[:, None, :]))
+                mg = jnp.minimum(
+                    mg, (ebh[:, None, :] - wc_h[:, :, None]) * 65536.0
+                    + (ebl[:, None, :] - wc_l[:, :, None]))
             for d in range(dim):
-                ov = ov & (ql[:, None, :, d] <= wh[:, :, None, d])
-                ov = ov & (wl[:, :, None, d] <= qh[:, None, :, d])
+                mg = jnp.minimum(mg, wh[d][:, :, None] - ql[d][:, None, :])
+                mg = jnp.minimum(mg, qh[d][:, None, :] - wl[d][:, :, None])
+            ov = mg >= 0                           # [G, 3TL, T]
             cnt = jnp.sum(ov, axis=1).astype(jnp.int32)      # [G, T]
             WL = -(-(3 * TL) // 32) * 32
             if WL > 3 * TL:
@@ -711,27 +738,50 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
                 # comp is unique across nonzero words (disjoint bases),
                 # so exactly the selected word clears its lowest bit
                 words = words ^ jnp.where(comp == m[:, None, :], lb, 0)
-            hits = jnp.stack(lanes_out, axis=-1)   # [G, T, max_hits]
+            # stack hits [G, max_hits, T]: T is the 128-lane minor
+            # dim.  A [.., T, max_hits] layout lane-pads max_hits -> 128
+            # in the scan's stacked output (8x HBM write amplification
+            # at mh=16; measured as the dominant cost of extraction)
+            hits = jnp.stack(lanes_out, axis=1)    # [G, max_hits, T]
             return carry, (hits, cnt)
         # [G, T, 3TL] overlap mask, built per-dimension: a fused
         # jnp.all(..., -1) materializes [G,T,3TL,dim] whose dim-minor
         # lane-pads 128x on TPU (measured 40x slowdown at 1M queries)
-        ov = wp[:, None, :] >= 0
+        # margin-min join: every condition becomes an f32 MARGIN
+        # (>= 0 iff satisfied) and the conditions reduce by
+        # jnp.minimum — full-rate VPU f32 ops with ONE final pred,
+        # instead of 8 compares + 7 pred-ands whose conversions ran
+        # the scan-body fusion at ~3x the f32 roofline (compiled-HLO
+        # estimated_cycles).  Margins: prim validity = wp itself
+        # (f32-exact, ids < 2^24); cell membership = the sign-exact
+        # fma pair-compare values (when the 15-bit high halves
+        # differ, |dh*65536| >= 2|dl|, and f32 rounding never flips
+        # the sign of a +-2^31-bounded sum); box overlap = the 6
+        # coordinate differences.  Window fills (+-3.4e38) make the
+        # box margins -inf on padded lanes — no NaN combination is
+        # reachable (fills pair only with finite or opposite-sign
+        # values).
+        mg = jnp.broadcast_to(
+            wp.astype(wl[0].dtype)[:, None, :], (G, T, 3 * TL))
         if decompose:
-            ov = ov & ((wc_h[:, None, :] > eah[:, :, None]) |
-                       ((wc_h[:, None, :] == eah[:, :, None]) &
-                        (wc_l[:, None, :] >= eal[:, :, None])))
-            ov = ov & ((wc_h[:, None, :] < ebh[:, :, None]) |
-                       ((wc_h[:, None, :] == ebh[:, :, None]) &
-                        (wc_l[:, None, :] <= ebl[:, :, None])))
+            mg = jnp.minimum(
+                mg, (wc_h[:, None, :] - eah[:, :, None]) * 65536.0
+                + (wc_l[:, None, :] - eal[:, :, None]))
+            mg = jnp.minimum(
+                mg, (ebh[:, :, None] - wc_h[:, None, :]) * 65536.0
+                + (ebl[:, :, None] - wc_l[:, None, :]))
         for d in range(dim):
-            ov = ov & (ql[:, :, None, d] <= wh[:, None, :, d])
-            ov = ov & (wl[:, None, :, d] <= qh[:, :, None, d])
+            mg = jnp.minimum(mg, wh[d][:, None, :] - ql[d][:, :, None])
+            mg = jnp.minimum(mg, qh[d][:, :, None] - wl[d][:, None, :])
+        ov = mg >= 0
         cnt = jnp.sum(ov, axis=-1).astype(jnp.int32)
         lane_ids = jnp.arange(3 * TL, dtype=jnp.int32)
         if extract == "none":
-            hits = jnp.full(ov.shape[:2] + (max_hits,), -1, jnp.int32)
-        elif extract == "peel":
+            # no hit output: a constant [.., max_hits] ys still costs
+            # its (lane-padded) HBM writes every step
+            return carry, (jnp.zeros((ov.shape[0], 1, ov.shape[1]),
+                                     jnp.int32), cnt)
+        if extract == "peel":
             # argmin peeling on a composite (lane << prim_bits | prim)
             # key: max_hits rounds of min-reduce + clear — no per-row
             # sort (top_k) and no scatters.  The key is sized from the
@@ -757,8 +807,9 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
                                           m & ((1 << prim_bits) - 1),
                                           -1))
                 comp = jnp.where(comp == m[..., None], big_c, comp)
-            hits = jnp.stack(cols_out, axis=-1)
-        elif extract == "scan":
+            hits = jnp.stack(cols_out, axis=1)     # [G, mh, T]
+            return carry, (hits, cnt)
+        if extract == "scan":
             # rank-compaction scatter: hit slot = prefix count of the
             # overlap mask (top_k over the 768-lane window costs a sort
             # per query — this is one cumsum + one scatter)
@@ -770,28 +821,59 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
             hits = jnp.full(ov.shape[:2] + (max_hits + 1,), -1,
                             jnp.int32).at[gi, ti, slot].set(
                 jnp.where(ov, prim_b, -1))[..., :max_hits]
-        else:                                      # "topk"
-            lane = jnp.arange(3 * TL, dtype=jnp.int32)
-            key = jnp.where(ov, lane[None, None, :], 3 * TL)
-            neg, _ = jax.lax.top_k(-key, max_hits)  # smallest lanes first
-            lanes = -neg                             # [G, T, max_hits]
-            hit_prim = jnp.take_along_axis(
-                jnp.broadcast_to(wp[:, None, :], ov.shape),
-                jnp.minimum(lanes, 3 * TL - 1), axis=-1)
-            hits = jnp.where(lanes < 3 * TL, hit_prim, -1)
-        return carry, (hits, cnt)
+            return carry, (hits.swapaxes(1, 2), cnt)
+        # "topk"
+        lane = jnp.arange(3 * TL, dtype=jnp.int32)
+        key = jnp.where(ov, lane[None, None, :], 3 * TL)
+        neg, _ = jax.lax.top_k(-key, max_hits)   # smallest lanes first
+        lanes = -neg                             # [G, T, max_hits]
+        hit_prim = jnp.take_along_axis(
+            jnp.broadcast_to(wp[:, None, :], ov.shape),
+            jnp.minimum(lanes, 3 * TL - 1), axis=-1)
+        hits = jnp.where(lanes < 3 * TL, hit_prim, -1)
+        return carry, (hits.swapaxes(1, 2), cnt)
 
-    # operand order MUST match per_group's unpack
-    rows = [w.reshape((ntiles // G, G, 3 * TL) + w.shape[2:])
-            for w in wins]                       # wl, wh, wp[, wc_h, wc_l]
-    rows += [qlo_t.reshape(ntiles // G, G, T, dim),
-             qhi_t.reshape(ntiles // G, G, T, dim)]
+    # operand order MUST match per_group's unpack.  The loop is a
+    # fori_loop with explicit dynamic slices, NOT lax.scan: scan bundles
+    # its xs into the while-loop carried tuple, and XLA assigned the
+    # window operands a transposed loop layout ({1,0,2} in the compiled
+    # HLO) — a whole-array relayout copy before the loop that dwarfed
+    # the join itself (the identical body measured 11 ms with operands
+    # as program arguments vs ~54 ms under scan; no body-level rewrite
+    # moved it).  Slicing from the barriered arrays leaves them in
+    # their natural layout.
+    qcols = sq_lo_d + sq_hi_d
     if decompose:
-        rows += [a.reshape(ntiles // G, G, T)
-                 for a in (ah, al, bh, bl)]
-    _, (hits, cnt) = jax.lax.scan(per_group, jnp.int32(0), tuple(rows))
-    hits = hits.reshape(nq, max_hits)
+        qcols = qcols + [ah, al, bh, bl]
+    flat_ops = jax.lax.optimization_barrier(tuple(wins) + tuple(qcols))
+    wins_f = flat_ops[:len(wins)]
+    qcols_f = flat_ops[len(wins):]
+    nsteps = ntiles // G
+    mh_t = 1 if extract == "none" else max_hits
+    hits_all = jnp.full((nsteps, G, mh_t, T), -1, jnp.int32)
+    cnt_all = jnp.zeros((nsteps, G, T), jnp.int32)
+
+    def loop_body(s, st):
+        h_all, c_all = st
+        tg = tuple(
+            [jax.lax.dynamic_slice_in_dim(w, s * G, G, 0)
+             for w in wins_f]
+            + [jax.lax.dynamic_slice_in_dim(q, s * (G * T), G * T, 0)
+               .reshape(G, T) for q in qcols_f])
+        _, (h, c) = per_group(jnp.int32(0), tg)
+        h_all = jax.lax.dynamic_update_slice_in_dim(h_all, h[None], s, 0)
+        c_all = jax.lax.dynamic_update_slice_in_dim(c_all, c[None], s, 0)
+        return h_all, c_all
+
+    hits, cnt = jax.lax.fori_loop(0, nsteps, loop_body,
+                                  (hits_all, cnt_all))
     cnt = cnt.reshape(nq)
+    if extract == "none":
+        hits = jnp.full((nq, max_hits), -1, jnp.int32)
+    else:
+        # ys come out [steps, G, max_hits, T] (T-minor, lane-aligned);
+        # one transpose outside the loop restores query-major hits
+        hits = hits.transpose(0, 1, 3, 2).reshape(nq, max_hits)
     if extract == "bitpeel":
         # window lane -> global leaf -> prim id (one flat gather)
         lanes = hits
