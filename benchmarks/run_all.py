@@ -332,19 +332,36 @@ def bench_bvh(n=1_048_576, quick=False):
                  f"{ms:.1f} ms",
                  f"{nq / (ms / 1e3) / 1e6:.2f} Mq/s (in-band {bf:.3f})"))
 
-    def q_bitpeel(i, q, consts):
+    # plain-band rows: the throughput where the band holds (clustered
+    # scenes; in-band is certified per query, consumers fall back on
+    # the flagged residue).  bitpeel under decompose is pathological
+    # (design.md) and not benchmarked.
+    def q_plain(i, q, consts):
         b, = consts
         ql, qh = q
         qid, hits, cnt, ok = query_overlaps_sorted(b, ql, qh, 16,
-                                                   tile=128, group=64,
-                                                   extract="bitpeel",
-                                                   decompose=True)
+                                                   tile=128, group=256,
+                                                   extract="peel")
         eps = dep_scalar(cnt) + dep_scalar(hits[:, 0])
         return ql + eps, qh + eps
 
-    ms = chained_ms(q_bitpeel, (qlo, qhi), iters=3, const=(bvh,),
+    ms = chained_ms(q_plain, (qlo, qhi), iters=3, const=(bvh,),
                     marginal=True)
-    rows.append((f"AABB query (bitpeel, 16 hits) {nq // 1000}k",
+    rows.append((f"AABB query (plain band, peel, 16 hits) {nq // 1000}k",
+                 f"{ms:.1f} ms", f"{nq / (ms / 1e3) / 1e6:.2f} Mq/s"))
+
+    def q_plain_cnt(i, q, consts):
+        b, = consts
+        ql, qh = q
+        qid, hits, cnt, ok = query_overlaps_sorted(b, ql, qh, 16,
+                                                   tile=256, group=512,
+                                                   extract="none")
+        eps = dep_scalar(cnt)
+        return ql + eps, qh + eps
+
+    ms = chained_ms(q_plain_cnt, (qlo, qhi), iters=3, const=(bvh,),
+                    marginal=True)
+    rows.append((f"AABB query (plain band, counts) {nq // 1000}k",
                  f"{ms:.1f} ms", f"{nq / (ms / 1e3) / 1e6:.2f} Mq/s"))
 
     def q_counts(i, q, consts):
