@@ -380,6 +380,27 @@ def bench_bvh(n=1_048_576, quick=False):
                  f"{ms:.1f} ms",
                  f"{nq / (ms / 1e3) / 1e6:.2f} Mq/s (in-band {bf:.3f})"))
 
+    # cells=4: per-query lifted cell levels — half the entries of the
+    # cells=8 decomposition (the decomposed join is entry-bound), at a
+    # modestly lower in-band fraction (flagged residue falls back)
+    def q_counts4(i, q, consts):
+        b, = consts
+        ql, qh = q
+        qid, hits, cnt, ok = query_overlaps_sorted(b, ql, qh, 16,
+                                                   tile=256, group=32,
+                                                   extract="none",
+                                                   decompose=True, cells=4)
+        eps = dep_scalar(cnt)
+        return ql + eps, qh + eps
+
+    ms = chained_ms(q_counts4, (qlo, qhi), iters=3, const=(bvh,),
+                    marginal=True)
+    bf = band_frac(tile=256, group=32, extract="none", decompose=True,
+                   cells=4)
+    rows.append((f"AABB query (counts, cells=4) {nq // 1000}k",
+                 f"{ms:.1f} ms",
+                 f"{nq / (ms / 1e3) / 1e6:.2f} Mq/s (in-band {bf:.3f})"))
+
     nq2 = 8192
 
     def q_rope(i, q, consts):

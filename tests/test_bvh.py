@@ -232,10 +232,12 @@ class TestSortedBandedJoin:
             checked += 1
         assert checked > 0.7 * nq
 
-    def test_decomposed_matches_oracle(self, rng):
+    @pytest.mark.parametrize("cells", [8, 4, 2])
+    def test_decomposed_matches_oracle(self, rng, cells):
         # aligned-cell decomposition: entry-granular results combine to
         # the exact per-query answer, with high in-band fraction on a
-        # scene where the plain band fails (plane-crossing tiny boxes)
+        # scene where the plain band fails (plane-crossing tiny boxes).
+        # cells=4/2 use per-query lifted cell levels (fewer entries)
         from zpc_tpu.containers.bvh import (build_lbvh,
                                             query_overlaps_sorted)
         n = 4096
@@ -250,11 +252,11 @@ class TestSortedBandedJoin:
         max_hits = 32
         qid, hits, cnt, band = jax.jit(
             lambda *a: query_overlaps_sorted(*a, max_hits, tile=64,
-                                             decompose=True)
+                                             decompose=True, cells=cells)
         )(bvh, qlo, qhi)
         qid, hits = np.asarray(qid), np.asarray(hits)
         cnt, band = np.asarray(cnt), np.asarray(band)
-        assert qid.shape[0] == 8 * nq
+        assert qid.shape[0] == cells * nq
         cnt_q = np.zeros(nq, np.int64)
         band_q = np.ones(nq, bool)
         sets = [set() for _ in range(nq)]

@@ -488,7 +488,8 @@ def query_overlaps(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
 def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
                           max_hits: int, tile: int = 128,
                           group: int = 128, extract: str = "peel",
-                          decompose: bool = False, _upto: str = ""):
+                          decompose: bool = False, cells: int = 8,
+                          _upto: str = ""):
     """High-throughput AABB overlap query: sorted banded tile join.
 
     TPU-native replacement for per-query tree walks (which serialize into
@@ -524,6 +525,17 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
     segment ops (counts scatter-ADD, in_band scatter-AND; hit lists
     union without duplicates — the cells are disjoint).
 
+    ``cells`` (8, 4 or 2) bounds the entries per decomposed query.  The
+    decomposed join is ENTRY-bound, not compare-bound (~13 ns/entry at
+    1M — docs/design.md), so fewer entries is a direct win: for
+    ``cells=4`` each query instead uses the smallest aligned-cell level
+    at which at most TWO axes straddle a cell boundary (level =
+    ``max(ext_level, min_d bitlen(lo_d ^ hi_d))``), so 4 covering cells
+    suffice by construction; ``cells=2`` lifts to the median, leaving
+    at most one straddling axis.  Queries forced to a coarser level get
+    a wider morton interval and may fall out of band (flagged, caller
+    falls back) — the measured in-band tradeoff lives in BENCHMARKS.md.
+
     Reference analog: ``container/Bvh.hpp`` ``iter_neighbors`` (:662-733);
     the banded join is the TPU-first formulation of the same broad phase.
     """
@@ -547,21 +559,47 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
         # cells — for plane-straddling queries that union is exactly the
         # wide interval decomposition exists to disperse (in-band 0.99
         # -> 0.76 measured).  The global entry sort is load-bearing.
+        if cells not in (8, 4, 2):
+            raise ValueError("decompose cells must be 8, 4 or 2")
+        R = cells
         lo_c = quant(q_lo - bvh.half_max)
         hi_c = quant(q_hi + bvh.half_max)
         ext = jnp.max(hi_c - lo_c, axis=-1)             # [nq] cells
         # smallest 2^k >= ext so the box spans <= 2 cells per axis
         k = jnp.maximum(
             32 - clz32(jnp.maximum(ext - 1, 0).astype(jnp.uint32)), 0)
+        if R < 8:
+            # lift k until <= log2(R) axes straddle: axis d stops
+            # straddling exactly at level bitlen(lo_d ^ hi_d), so the
+            # bound is the (3 - log2(R))-th smallest of those levels
+            h = (32 - clz32((lo_c ^ hi_c).astype(jnp.uint32)))  # [nq,3]
+            if R == 4:
+                lift = jnp.min(h, axis=-1)              # <= 2 straddle
+            else:
+                lift = (jnp.sum(h, axis=-1) - jnp.max(h, axis=-1)
+                        - jnp.min(h, axis=-1))          # median: <= 1
+            k = jnp.maximum(k, lift)
         k = jnp.minimum(k, 10).astype(jnp.int32)
         c0 = lo_c >> k[:, None]
         c1 = hi_c >> k[:, None]
-        offs = jnp.asarray(
-            [[0, 0, 0], [0, 0, 1], [0, 1, 0], [0, 1, 1],
-             [1, 0, 0], [1, 0, 1], [1, 1, 0], [1, 1, 1]], jnp.int32)
-        cells = c0[:, None, :] + offs[None]             # [nq, 8, 3]
-        valid = jnp.all(cells <= c1[:, None, :], -1)    # [nq, 8]
-        base = morton3d(cells) << (3 * k)[:, None]      # [nq, 8]
+        if R == 8:
+            offs = jnp.asarray(
+                [[0, 0, 0], [0, 0, 1], [0, 1, 0], [0, 1, 1],
+                 [1, 0, 0], [1, 0, 1], [1, 1, 0], [1, 1, 1]], jnp.int32)
+            cell_arr = c0[:, None, :] + offs[None]      # [nq, 8, 3]
+            valid = jnp.all(cell_arr <= c1[:, None, :], -1)
+        else:
+            # entry i's bit j drives the j-th straddling axis; entries
+            # past 2**nstraddle would duplicate cell 0 -> invalidated
+            s = (c1 > c0)                               # [nq, 3] (<= log2 R)
+            sidx = jnp.cumsum(s.astype(jnp.int32), -1) - s  # rank among
+            ii = jnp.arange(R, dtype=jnp.int32)             # straddlers
+            off = (jnp.right_shift(ii[None, :, None], sidx[:, None, :])
+                   & 1) * s[:, None, :]                 # [nq, R, 3]
+            cell_arr = c0[:, None, :] + off
+            nstraddle = jnp.sum(s.astype(jnp.int32), -1)
+            valid = ii[None, :] < jnp.left_shift(1, nstraddle)[:, None]
+        base = morton3d(cell_arr) << (3 * k)[:, None]   # [nq, R]
         span = jnp.left_shift(jnp.int32(1), 3 * k)      # [nq]
         # invalid entries take their query's primary cell base with an
         # EMPTY interval (m_hi < m_lo -> in_band, inverted boxes -> no
@@ -573,11 +611,11 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
         m_hi = jnp.where(valid, base + span[:, None] - 1,
                          base[:, :1] - 1).reshape(-1)
         q_lo = jnp.where(valid.reshape(-1)[:, None],
-                         jnp.repeat(q_lo, 8, axis=0), big)
+                         jnp.repeat(q_lo, R, axis=0), big)
         q_hi = jnp.where(valid.reshape(-1)[:, None],
-                         jnp.repeat(q_hi, 8, axis=0), -big)
-        qid0 = jnp.repeat(jnp.arange(nq, dtype=jnp.int32), 8)
-        nq = nq * 8
+                         jnp.repeat(q_hi, R, axis=0), -big)
+        qid0 = jnp.repeat(jnp.arange(nq, dtype=jnp.int32), R)
+        nq = nq * R
     else:
         # morton interval of each query (dilated by max leaf half-extent)
         m_lo = morton3d(quant(q_lo - bvh.half_max))
