@@ -34,7 +34,13 @@ def main():
     n = 262144
     sim, st, dt = build(n, dx=1.0 / 128)
     dtj = jnp.float32(dt)
-    cfg = BinnedConfig2(bins_capacity=2560, block_capacity=2048)
+    # chunk_bins=640: the round-4 on-chip working-set fix — the [B,K,·]
+    # transfer intermediates only get S(1) (VMEM/scratch) buffer
+    # assignments when small enough; chunking the pipeline over bins
+    # keeps them on-chip at any problem size (probe_r4_hlo.py,
+    # probe_r4_chunk.py: 93 -> 127 M pps bare at 256k, 56 -> 125 at 1M)
+    cfg = BinnedConfig2(bins_capacity=2560, block_capacity=2048,
+                        chunk_bins=640)
     # long chains amortize the fixed per-dispatch overhead of the remote
     # TPU path (~35 ms/call measured in benchmarks/probe_r3_tax.py —
     # 20-step chains under-reported the sustained rate by ~35%%).

@@ -219,7 +219,8 @@ def bench_mpm(n=262144, quick=False):
         rows.append((f"MPM 256k {name}", f"{ms:.1f} ms/step",
                      f"{n / (ms / 1e3) / 1e6:.2f} M particle-steps/s"))
 
-    cfg2 = BinnedConfig2(bins_capacity=2560, block_capacity=2048)
+    cfg2 = BinnedConfig2(bins_capacity=2560, block_capacity=2048,
+                         chunk_bins=640)
     bst = jax.block_until_ready(
         jax.jit(lambda s: bin_state(sim, s, cfg2))(st0))
 
@@ -245,7 +246,8 @@ def bench_mpm(n=262144, quick=False):
         n1 = 1048576
         sim1, st1, dt1 = build(n1, dx=1.0 / 128, block_capacity=8192)
         dtj1 = jnp.float32(dt1)
-        cfg1 = BinnedConfig2(bins_capacity=9216, block_capacity=8192)
+        cfg1 = BinnedConfig2(bins_capacity=9216, block_capacity=8192,
+                             chunk_bins=768)
         bst1 = jax.block_until_ready(
             jax.jit(lambda s: bin_state(sim1, s, cfg1))(st1))
 
@@ -312,8 +314,12 @@ def bench_bvh(n=1_048_576, quick=False):
     # 1M — the round-2 rows were measuring compares, not answers).  The
     # in-band fraction is printed alongside so the rows certify answers.
     def band_frac(**kw):
-        _, _, _, ok = jax.jit(lambda a, c: query_overlaps_sorted(
+        qid, _, _, ok = jax.jit(lambda a, c: query_overlaps_sorted(
             bvh, a, c, 16, **kw))(qlo, qhi)
+        if kw.get("decompose"):
+            # entry-granular returns: a query is exact only if ALL its
+            # covering-cell entries are in-band -> per-query scatter-AND
+            ok = jnp.ones((nq,), bool).at[qid].min(ok)
         return float(jnp.mean(ok.astype(jnp.float32)))
 
     def q_sorted(i, q, consts):
@@ -446,7 +452,8 @@ def bench_implicit(n=1_000_000, quick=False):
     sim, st, dt = build(n, dx=1.0 / 128,
                         block_capacity=8192 if big else 4096)
     cfg = BinnedConfig2(bins_capacity=9216 if big else 2560,
-                        block_capacity=8192 if big else 2048)
+                        block_capacity=8192 if big else 2048,
+                        chunk_bins=768 if big else 640)
     bst = jax.block_until_ready(
         jax.jit(lambda s: bin_state(sim, s, cfg))(st))
     rows = []
@@ -488,6 +495,20 @@ def bench_implicit(n=1_000_000, quick=False):
     ms = chained_ms(make_step(mc), bst, iters=2, reps=2, marginal=True)
     rows.append((f"implicit MPM v2 + LBVH contact {n // 1000}k "
                  f"({mesh.shape[0]} tris, tol 1e-3, {itc} CG iters)",
+                 f"{ms:.0f} ms/step",
+                 f"{n / (ms / 1e3) / 1e6:.2f} M particles/s"))
+
+    # reference-scale contact scene (VERDICT r4 item 5): >=100k tris —
+    # the broad phase still issues ONE banded-join query per bin, so
+    # the triangle count only deepens the LBVH, not the pair lists
+    mesh_big = _terrain_mesh(res=224)              # 100,352 tris
+    mc_big = MeshContact.build(mesh_big, dhat=0.01, kappa=10.0,
+                               max_tris=8)
+    itb = measured_iters(mc_big)
+    ms = chained_ms(make_step(mc_big), bst, iters=2, reps=2,
+                    marginal=True)
+    rows.append((f"implicit MPM v2 + LBVH contact {n // 1000}k "
+                 f"({mesh_big.shape[0]} tris, tol 1e-3, {itb} CG iters)",
                  f"{ms:.0f} ms/step",
                  f"{n / (ms / 1e3) / 1e6:.2f} M particles/s"))
     return rows
@@ -532,7 +553,8 @@ def bench_fluid(n=262144, quick=False):
                                        lam=jnp.float32(8e4),
                                        gamma=jnp.float32(7.0)),
                  gravity=jnp.asarray([0.0, -9.8, 0.0]), colliders=(tank,))
-    cfg = BinnedConfig2(bins_capacity=4096, block_capacity=4096)
+    cfg = BinnedConfig2(bins_capacity=4096, block_capacity=4096,
+                        chunk_bins=512)
     bst = jax.block_until_ready(
         jax.jit(lambda s: bin_fluid_state(sim, s, cfg))(st))
     dtj = jnp.float32(2e-4)

@@ -122,6 +122,55 @@ class TestDomainDecomposition:
                                    atol=2e-4)
 
 
+class TestCommVolume:
+    """VERDICT r3 item 7: per-step ring comm volume is measured (a
+    diagnostics return, not a print) and locality regressions fail."""
+
+    def test_stats_shape_and_locality(self, rng):
+        sim, st = _setup(rng, n=768)
+        mesh = make_mesh(8)
+        D = 8
+        dds = make_dd_state(st, mesh)
+        step = jax.jit(lambda s: explicit_step_dd(
+            sim, s, jnp.float32(1e-4), mesh, grid_template=st.grid,
+            nb_local=256, mig_cap=512, with_stats=True))
+        dds, ov, stats = step(dds)
+        assert not bool(ov)
+        fwd = np.asarray(stats["fwd_rows"])
+        ret = np.asarray(stats["ret_rows"])
+        mig = np.asarray(stats["mig_rows"])
+        assert fwd.shape == (D - 1,)
+        # rows are only ever absorbed, never created, along the ring
+        assert (np.diff(fwd) <= 0).all()
+        assert (np.diff(mig) <= 0).all()
+        # halo exchange exists (block ranges abut across devices)
+        assert fwd[0] > 0
+        # locality: the forward ring's row count is bounded by the
+        # dilated surface — far fewer rows than the ring's wire
+        # capacity (a regression that circulates every block would
+        # saturate this)
+        assert fwd[0] < 0.5 * 8 * 256
+        # the return ring circulates owned rows undiminished (current
+        # implementation ships owners' rows for all D-1 hops)
+        assert (ret == ret[0]).all() and ret[0] > 0
+        # byte accounting is self-consistent
+        ncell = st.grid.block_size ** 3
+        assert stats["fwd_row_bytes"] == 4 + ncell * 4 * 4
+        assert stats["ret_row_bytes"] == 4 + ncell * 3 * 4
+        wire = stats["hop_wire_bytes"]
+        assert wire["fwd"] == 8 * 256 * stats["fwd_row_bytes"]
+
+    def test_stats_optional(self, rng):
+        # default signature unchanged: (state, overflow)
+        sim, st = _setup(rng, n=256, spread=(0.4, 0.5))
+        mesh = make_mesh(4)
+        dds = make_dd_state(st, mesh)
+        out = jax.jit(lambda s: explicit_step_dd(
+            sim, s, jnp.float32(1e-4), mesh, grid_template=st.grid,
+            nb_local=128, mig_cap=128))(dds)
+        assert len(out) == 2
+
+
 class TestDDScale:
     """VERDICT round-2 item 7: realistic load + adversarial distributions
     on the 8-device mesh; the capacity-overflow contract fires and the

@@ -79,6 +79,39 @@ class TestCodec:
         with pytest.raises(VdbFormatError):
             read_vdb(path)
 
+    @pytest.mark.parametrize("compress", [False, True])
+    def test_vec3_roundtrip(self, tmp_path, rng, compress):
+        """Tree_vec3s_5_4_3 (the readVelVdb Vec3fGrid surface,
+        geometry/VdbLevelSet.h:26-99)."""
+        leaves = {(0, 0, 0): rng.standard_normal(
+                      (8, 8, 8, 3)).astype(np.float32),
+                  (-16, 8, 0): rng.standard_normal(
+                      (8, 8, 8, 3)).astype(np.float32)}
+        g = VdbGrid("vel", leaves, voxel_size=0.25,
+                    translation=(0.5, 0.0, -1.0),
+                    background=(0.0, 0.0, 0.0), vec=3)
+        path = os.path.join(tmp_path, "vec3.vdb")
+        write_vdb(path, [g], compress=compress)
+        (g2,) = read_vdb(path)
+        assert g2.vec == 3
+        assert g2.background == (0.0, 0.0, 0.0)
+        assert set(g2.leaves) == set(leaves)
+        for k in leaves:
+            np.testing.assert_array_equal(g2.leaves[k], leaves[k])
+            np.testing.assert_array_equal(
+                g2.masks[k], np.any(leaves[k] != 0.0, axis=-1))
+
+    def test_vec3_dense_helpers(self, rng):
+        a = np.zeros((16, 8, 8, 3), np.float32)
+        a[2:10, 1:5, 3:6] = rng.standard_normal((8, 4, 3, 3))
+        leaves = dense_to_leaves(a)
+        assert all(v.shape == (8, 8, 8, 3) for v in leaves.values())
+        back, origin = leaves_to_dense(leaves)
+        ox, oy, oz = origin
+        np.testing.assert_array_equal(
+            back[2 - ox:10 - ox, 1 - oy:5 - oy, 3 - oz:6 - oz],
+            a[2:10, 1:5, 3:6])
+
 
 class TestSparseGridBridge:
     def test_grid_roundtrip(self, tmp_path, dense):
@@ -120,6 +153,34 @@ class TestSparseGridBridge:
         save_vdb(path, g, ["v"])
         out = read_vdb(path)
         assert sorted(o.name for o in out) == ["v.0", "v.1", "v.2"]
+
+    def test_velocity_vec3_staggered_roundtrip(self, tmp_path, rng):
+        """VERDICT r3 item 6: a velocity grid round-trips as ONE Vec3s
+        grid and feeds SparseGrid.sample_staggered identically."""
+        import dataclasses
+        from zpc_tpu.core.config import prop
+        from zpc_tpu.geometry.sparse_grid import sparse_grid
+        from zpc_tpu.containers.block_table import build_block_table
+        coords = jnp.asarray(
+            [[i, j, k] for i in range(2) for j in range(2)
+             for k in range(2)], jnp.int32)
+        table, inv = build_block_table(coords, 16)
+        g = sparse_grid([prop("v", 3)], dx=0.125, block_capacity=16)
+        v = jnp.zeros((16, 64, 3)).at[inv].set(jnp.asarray(
+            rng.standard_normal((8, 64, 3)), jnp.float32))
+        g = dataclasses.replace(g, table=table, data={"v": v})
+        path = os.path.join(tmp_path, "vel.vdb")
+        save_vdb(path, g, ["v"], vec3=True)
+        out = read_vdb(path)
+        assert len(out) == 1 and out[0].vec == 3
+        g2 = load_vdb_grids(path)["v"]
+        # staggered (MAC) samples agree wherever the stencil stays on
+        # active blocks (both grids have identical active topology)
+        pts = jnp.asarray(rng.uniform(0.15, 0.7, (64, 3)), jnp.float32)
+        s1 = np.asarray(g.sample_staggered("v", pts))
+        s2 = np.asarray(g2.sample_staggered("v", pts))
+        np.testing.assert_allclose(s1, s2, atol=1e-6)
+        assert np.any(s1 != 0.0)
 
 
 class TestGoldenStream:

@@ -449,11 +449,29 @@ def query_overlaps(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
     Returns (hits [nq, max_hits] primitive ids (-1 padding), counts [nq]).
     Stackless escape-pointer walk (Bvh.hpp iter_neighbors :662-733) inside a
     bounded ``while_loop``, vmapped across queries.
+
+    This is the reference-shaped traversal and the correctness oracle
+    for the banded-join paths; it is latency-bound (a dependent gather
+    chain per query, all queries stepping in lockstep until the LAST
+    finishes).  Round 4 packs the per-node fields into one [total, 8+dim]
+    f32 row (node ids < 2^24 are f32-exact) so each step issues ONE
+    contiguous row gather instead of five element gathers.  Production
+    queries belong on :func:`query_overlaps_sorted`.
     """
     total = bvh.lo.shape[0]
+    dim = q_lo.shape[-1]
     nq = q_lo.shape[0]
     if valid is None:
         valid = jnp.ones((nq,), bool)
+    f32 = bvh.lo.dtype
+    if total >= (1 << 24):
+        raise ValueError(
+            "query_overlaps packs node ids into f32 rows (exact below "
+            "2^24 nodes); use query_overlaps_sorted for trees this big")
+    packed = jnp.concatenate(
+        [bvh.lo, bvh.hi,
+         bvh.left.astype(f32)[:, None], bvh.escape.astype(f32)[:, None],
+         bvh.leaf_prim.astype(f32)[:, None]], axis=1)    # [total, 2d+3]
 
     def one(qlo, qhi, qvalid):
         def cond(state):
@@ -462,18 +480,20 @@ def query_overlaps(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
 
         def body(state):
             node, hits, cnt = state
-            overlap = aabb_overlap(bvh.lo[node], bvh.hi[node], qlo, qhi) & \
-                qvalid
-            is_leaf = bvh.left[node] < 0
-            prim = bvh.leaf_prim[node]
+            row = packed[node]
+            nlo, nhi = row[:dim], row[dim:2 * dim]
+            left = row[2 * dim].astype(jnp.int32)
+            esc = row[2 * dim + 1].astype(jnp.int32)
+            prim = row[2 * dim + 2].astype(jnp.int32)
+            overlap = aabb_overlap(nlo, nhi, qlo, qhi) & qvalid
+            is_leaf = left < 0
             record = overlap & is_leaf & (prim >= 0)
             hits = jnp.where(record & (cnt < max_hits),
                              hits.at[jnp.minimum(cnt, max_hits - 1)].set(prim),
                              hits)
             cnt = cnt + record.astype(jnp.int32)
             # descend if internal & overlapping, else escape
-            nxt = jnp.where(overlap & ~is_leaf, bvh.left[node],
-                            bvh.escape[node])
+            nxt = jnp.where(overlap & ~is_leaf, left, esc)
             return nxt, hits, cnt
 
         hits0 = jnp.full((max_hits,), -1, jnp.int32)
@@ -489,6 +509,7 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
                           max_hits: int, tile: int = 128,
                           group: int = 128, extract: str = "peel",
                           decompose: bool = False, cells: int = 8,
+                          compact: Optional[int] = None,
                           _upto: str = ""):
     """High-throughput AABB overlap query: sorted banded tile join.
 
@@ -524,6 +545,16 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
     then ENTRY-granular with duplicated ``qid``: callers combine with
     segment ops (counts scatter-ADD, in_band scatter-AND; hit lists
     union without duplicates — the cells are disjoint).
+
+    ``compact`` (decompose only) is a global VALID-entry budget: the
+    ~2-3 live covering cells per query are compacted to the front of
+    the sorted entry order (invalid slots key to +inf in the same wide
+    sort the join already pays for — compaction itself is a slice) and
+    only ``compact`` entries run the front+join.  Since the join is
+    entry-bound, a budget of ~0.4x nq*cells cuts its cost ~2.5x at
+    unchanged exactness.  If more than ``compact`` entries are live,
+    every query is flagged out of band (caller re-traces with a larger
+    budget — the standard overflow contract).
 
     ``cells`` (8, 4 or 2) bounds the entries per decomposed query.  The
     decomposed join is ENTRY-bound, not compare-bound (~13 ns/entry at
@@ -590,7 +621,8 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
             valid = jnp.all(cell_arr <= c1[:, None, :], -1)
         else:
             # entry i's bit j drives the j-th straddling axis; entries
-            # past 2**nstraddle would duplicate cell 0 -> invalidated
+            # past 2**nstraddle would duplicate earlier cells (entry i
+            # repeats cell i mod 2**nstraddle) -> invalidated
             s = (c1 > c0)                               # [nq, 3] (<= log2 R)
             sidx = jnp.cumsum(s.astype(jnp.int32), -1) - s  # rank among
             ii = jnp.arange(R, dtype=jnp.int32)             # straddlers
@@ -607,7 +639,14 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
         # the top of the sorted order and wreck the rank<->leaf-space
         # alignment the positional band depends on; anchored at the
         # query's own base they stay uniformly interleaved.
-        m_lo = jnp.where(valid, base, base[:, :1]).reshape(-1)
+        if compact is None:
+            m_lo = jnp.where(valid, base, base[:, :1]).reshape(-1)
+        else:
+            # under compaction invalid entries sort to the END (they are
+            # sliced off, so the anchored-interleaving concern above is
+            # moot) — the budget slice below keeps only live entries
+            m_lo = jnp.where(valid, base,
+                             jnp.int32(2 ** 31 - 1)).reshape(-1)
         m_hi = jnp.where(valid, base + span[:, None] - 1,
                          base[:, :1] - 1).reshape(-1)
         q_lo = jnp.where(valid.reshape(-1)[:, None],
@@ -616,15 +655,23 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
                          jnp.repeat(q_hi, R, axis=0), -big)
         qid0 = jnp.repeat(jnp.arange(nq, dtype=jnp.int32), R)
         nq = nq * R
+        n_valid = jnp.sum(valid.astype(jnp.int32))
     else:
         # morton interval of each query (dilated by max leaf half-extent)
         m_lo = morton3d(quant(q_lo - bvh.half_max))
         m_hi = morton3d(quant(q_hi + bvh.half_max))
         qid0 = jnp.arange(nq, dtype=jnp.int32)
 
+    if compact is not None:
+        if not decompose:
+            raise ValueError("compact requires decompose=True")
+        if compact % tile or compact > nq:
+            raise ValueError(f"compact budget {compact} must be a "
+                             f"multiple of tile <= {nq}")
+
     T = tile
     assert nq % T == 0, "query count must be a multiple of tile"
-    ntiles = nq // T
+    ntiles = (compact if compact is not None else nq) // T
     G = min(group, ntiles)
     while ntiles % G:
         G -= 1
@@ -635,6 +682,17 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
         (m_lo, m_hi, qid0,
          *[q_lo[:, d] for d in range(dim)],
          *[q_hi[:, d] for d in range(dim)]), num_keys=1, is_stable=True)
+    if compact is not None:
+        # valid-entry compaction to a budget (the overflow contract):
+        # the decomposed join is entry-bound, so slicing the ~2-3
+        # valid cells/query down from the R allocated slots cuts the
+        # front+join cost proportionally.  When the budget is exceeded,
+        # surviving queries would silently lose entries — flag EVERY
+        # query out of band instead (caller re-traces with a larger
+        # budget, the framework's _buildSuccess idiom).
+        cut = n_valid > compact
+        ops = tuple(o[:compact] for o in ops)
+        nq = compact
     sm_lo, sm_hi, qid = ops[0], ops[1], ops[2]
     # per-dimension 1-D columns throughout (NO [.., dim] stacks): a
     # dim-minor array in the window gather / scan operands lane-pads
@@ -677,6 +735,8 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
     right_ok = (jnp.repeat(w0 + 3 * TL >= n, T)
                 | (jnp.repeat(edge_r, T) > sm_hi))
     in_band = (left_ok & right_ok) | (sm_lo > sm_hi)
+    if compact is not None:
+        in_band = in_band & ~cut
 
     big = jnp.asarray(3.4e38, leaf_lo.dtype)
     blk = w0[:, None] // TL + jnp.arange(3, dtype=jnp.int32)[None]

@@ -8,7 +8,9 @@ over the dependency-free codec in :mod:`zpc_tpu.utils.vdb`.
 
 Block math: a VDB leaf (8^3 voxels) covers exactly 2^dim SparseGrid blocks
 (4^3 cells); conversion is pure reshapes on the host — no per-voxel loops.
-3-D scalar properties only (vector props export one grid per component).
+3-D grids only.  Scalar props map to FloatGrid/Int32Grid; 3-vector props
+(velocity fields, the ``readVelVdb`` surface) map to one Vec3SGrid
+(``save_vdb(vec3=True)``) or per-component scalar grids.
 """
 
 from __future__ import annotations
@@ -36,26 +38,40 @@ def _require_3d_bs4(grid: SparseGrid):
 
 def sparse_grid_to_vdb_grid(grid: SparseGrid, prop_name: str, *,
                             name: Optional[str] = None,
-                            background: float = 0.0,
+                            background=0.0,
                             grid_class: str = "unknown",
                             component: Optional[int] = None) -> VdbGrid:
-    """Extract one scalar property into a :class:`VdbGrid` (host-side)."""
+    """Extract one property into a :class:`VdbGrid` (host-side).
+
+    Scalar properties become FloatGrid/Int32Grid leaves; a 3-vector
+    property (e.g. a velocity field — ``readVelVdb``'s Vec3fGrid
+    surface) becomes a ``Tree_vec3s_5_4_3`` grid unless ``component``
+    picks one channel."""
     _require_3d_bs4(grid)
     count = int(grid.table.count)
     coords = np.asarray(grid.table.active_coords[:count])       # [nb, 3]
     data = np.asarray(grid.data[prop_name][:count])
     if component is not None:
         data = data[..., component]
-    if data.ndim != 2:
-        raise ValueError(f"{prop_name!r} is not scalar; pass component=")
-    blocks = data.reshape(count, _BS, _BS, _BS)                 # x-major
+    if data.ndim == 2:
+        vec = 1
+        blocks = data.reshape(count, _BS, _BS, _BS)             # x-major
+        leaf_shape = (LEAF_DIM,) * 3
+    elif data.ndim == 3 and data.shape[-1] == 3:
+        vec = 3
+        blocks = data.reshape(count, _BS, _BS, _BS, 3)
+        leaf_shape = (LEAF_DIM,) * 3 + (3,)
+        if np.asarray(background).ndim == 0:
+            background = (float(background),) * 3
+    else:
+        raise ValueError(f"{prop_name!r} is neither scalar nor 3-vector; "
+                         "pass component=")
     leaf_of = coords // 2                                       # leaf coord/2
     sub = coords - leaf_of * 2                                  # [nb,3] 0/1
     leaves = {}
     uniq, inv = np.unique(leaf_of, axis=0, return_inverse=True)
     for li, lc in enumerate(uniq):
-        leaf = np.full((LEAF_DIM, LEAF_DIM, LEAF_DIM), background,
-                       blocks.dtype)
+        leaf = np.full(leaf_shape, background, blocks.dtype)
         for b in np.flatnonzero(inv == li):
             s = sub[b] * _BS
             leaf[s[0]:s[0] + _BS, s[1]:s[1] + _BS,
@@ -65,27 +81,31 @@ def sparse_grid_to_vdb_grid(grid: SparseGrid, prop_name: str, *,
     return VdbGrid(name or prop_name, leaves,
                    voxel_size=float(np.linalg.norm(tr[:3, 0])),
                    translation=tuple(float(t) for t in tr[:3, 3]),
-                   background=background, grid_class=grid_class)
+                   background=background, grid_class=grid_class, vec=vec)
 
 
 def vdb_grid_to_sparse_grid(vg: VdbGrid, prop_name: str = "v", *,
                             block_capacity: Optional[int] = None,
                             extra_props: Sequence = ()) -> SparseGrid:
-    """Build a SparseGrid holding ``prop_name`` from a VdbGrid."""
+    """Build a SparseGrid holding ``prop_name`` from a VdbGrid (scalar
+    grids -> scalar prop, Vec3s grids -> 3-channel prop)."""
     origins = np.asarray(sorted(vg.leaves), np.int64)           # [nl, 3]
     nl = len(origins)
     sub = np.stack(np.meshgrid(*([np.arange(2)] * 3), indexing="ij"),
                    -1).reshape(8, 3)                            # [8, 3]
     bcoords = (origins[:, None, :] // _BS + sub[None, :, :]).reshape(-1, 3)
-    vals = np.stack([vg.leaves[tuple(o)] for o in origins])     # [nl,8,8,8]
+    vals = np.stack([vg.leaves[tuple(o)] for o in origins])  # [nl,8,8,8(,c)]
+    ch = vals.shape[4:]                                       # () or (3,)
     # leaf -> 8 blocks of 4^3: split each axis into (2, 4)
-    blocks = vals.reshape(nl, 2, _BS, 2, _BS, 2, _BS) \
-        .transpose(0, 1, 3, 5, 2, 4, 6).reshape(nl * 8, _BS ** 3)
+    blocks = vals.reshape((nl, 2, _BS, 2, _BS, 2, _BS) + ch) \
+        .transpose((0, 1, 3, 5, 2, 4, 6) + tuple(range(7, 7 + len(ch)))) \
+        .reshape((nl * 8, _BS ** 3) + ch)
     cap = block_capacity or max(64, 1 << int(np.ceil(np.log2(nl * 8))))
     table, inverse = build_block_table(jnp.asarray(bcoords, jnp.int32), cap)
     if bool(table.count > table.capacity):
         raise ValueError(f"block_capacity {cap} < {int(table.count)} blocks")
-    g = sparse_grid([_prop(prop_name)] + list(extra_props),
+    p0 = _prop(prop_name, ch[0]) if ch else _prop(prop_name)
+    g = sparse_grid([p0] + list(extra_props),
                     dx=vg.voxel_size, block_capacity=cap, dim=3,
                     origin=jnp.asarray(vg.translation, jnp.float32),
                     dtype=jnp.asarray(blocks).dtype)
@@ -99,15 +119,17 @@ def vdb_grid_to_sparse_grid(vg: VdbGrid, prop_name: str = "v", *,
 
 def save_vdb(path: str, grid: SparseGrid, props: Sequence[str], *,
              background: float = 0.0, grid_class: str = "unknown",
-             compress: bool = False):
+             compress: bool = False, vec3: bool = False):
     """Export named scalar/vector properties of a SparseGrid to ``path``.
 
-    Vector properties become one grid per component (``"v.0"``, ...).
+    3-vector properties become one ``Vec3SGrid`` when ``vec3=True``
+    (the reference's velocity-grid interchange form, readVelVdb), else
+    one scalar grid per component (``"v.0"``, ...).
     """
     out: List[VdbGrid] = []
     for p in props:
         a = grid.data[p]
-        if a.ndim == 2:
+        if a.ndim == 2 or (vec3 and a.shape[-1] == 3):
             out.append(sparse_grid_to_vdb_grid(
                 grid, p, background=background, grid_class=grid_class))
         else:

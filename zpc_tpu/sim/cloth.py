@@ -215,11 +215,19 @@ def _self_contact_alpha(sim: ClothSim, x, dx, cand):
 def implicit_step(sim: ClothSim, x: jax.Array, v: jax.Array,
                   dt, *, newton_iters: int = 2,
                   cg_iters: int = 40, self_contact: bool = False,
-                  max_cand: int = 8):
+                  max_cand: int = 8, precondition: bool = True):
     """One implicit-Euler step: minimize the incremental potential with
     ``newton_iters`` Newton-CG rounds; a half-space step limiter keeps
     iterates strictly outside the ground (IPC line-search analog,
-    analytic for a plane)."""
+    analytic for a plane).
+
+    ``precondition`` (round 4): Jacobi-precondition the CG with an
+    analytic lagged diagonal — mass/dt^2 + per-vertex stretch stiffness
+    (k_stretch x incident-edge count) + the ground-barrier normal
+    curvature.  The un-preconditioned solve is stiffness-dominated
+    (k/m dt^2 >> 1 near contact), so this cuts CG iterations at equal
+    tolerance rather than changing the converged step (reference
+    contract: ``A.precondition`` in ConjugateGradient.hpp:61-70)."""
     dt = jnp.asarray(dt, x.dtype)
     free3 = sim.free[:, None]
     m3 = sim.mass[:, None]
@@ -259,12 +267,28 @@ def implicit_step(sim: ClothSim, x: jax.Array, v: jax.Array,
     def project(p):
         return jnp.where(free3, p, 0.0)
 
+    M_pre = None
+    if precondition:
+        N = x.shape[0]
+        deg = jnp.zeros((N,), x.dtype).at[sim.edges.reshape(-1)].add(1.0)
+        g2 = gap0 * gap0
+        d2h = sim.dhat * sim.dhat
+        # barrier(d^2(y)) with d = n.y - off: Hessian = (2 b' + 4 d^2
+        # b'') n n^T; clamp the (possibly indefinite) curvature at 0 so
+        # the preconditioner stays SPD
+        bpp = jax.grad(lambda s: jnp.sum(barrier_grad(
+            s, d2h, sim.kappa)))(g2)
+        curv = jnp.maximum(2.0 * barrier_grad(g2, d2h, sim.kappa)
+                           + 4.0 * g2 * bpp, 0.0)
+        diag = sim.mass / (dt * dt) + sim.k_stretch * deg + curv
+        M_pre = lambda r: r / jax.lax.stop_gradient(diag)[:, None]
+
     y = x
     for _ in range(newton_iters):
         g = phi_grad(y)
         hvp = lambda p: project(jax.jvp(phi_grad, (y,), (project(p),))[1])
-        res = cg(hvp, -g, project=project, max_iters=cg_iters,
-                 rel_tol=1e-3)
+        res = cg(hvp, -g, project=project, precondition=M_pre,
+                 max_iters=cg_iters, rel_tol=1e-3)
         dx = project(res.x)
         # plane step limiter: keep gap(y + a dx) >= 0.1 * current gap
         gap = y @ sim.ground_n - sim.ground_off

@@ -60,6 +60,11 @@ def _implicit_bin_step(sim: MPMSim, st: BinState, dt, cfg: BinnedConfig2,
     overflow = ctx.overflow
     rel0 = ctx.rel0
     rel = [rel0[..., d] for d in range(3)]
+    # bin-chunked transfers (docs/design.md round 4): every CG operator
+    # application re-streams the [B,K,·] plane intermediates; past the
+    # on-chip S(1) capacity they spill to HBM and the solve loses the
+    # same 1.6x/particle as the explicit step did
+    chunk = cfg.chunk_bins if (cfg.chunk_bins and ctx.use_seg) else 0
 
     # ---- one P2G pass for mass, APIC momentum, internal force --------------
     tau = sim.model.kirchhoff(Fb)
@@ -80,7 +85,7 @@ def _implicit_bin_step(sim: MPMSim, st: BinState, dt, cfg: BinnedConfig2,
     # pass the 6 live channels, _ctx_p2g pads
     QA = [jnp.concatenate([dx * A_m[..., :, d], dx * A_f[..., :, d]], -1)
           for d in range(3)]
-    acc = _ctx_p2g(ctx, Q0, QA)                                # [nb,64,7]
+    acc = _ctx_p2g(ctx, Q0, QA, chunk=chunk)                   # [nb,64,7]
     gm = acc[..., 0]
     gmv = acc[..., 1:4]
     fint = acc[..., 4:7]
@@ -110,7 +115,7 @@ def _implicit_bin_step(sim: MPMSim, st: BinState, dt, cfg: BinnedConfig2,
     _, dP_lin = jax.linearize(sim.model.first_piola, Fb)
 
     def K_action(u):
-        s0, sx, sy, sz = _ctx_g2p(ctx, u)
+        s0, sx, sy, sz = _ctx_g2p(ctx, u, chunk=chunk)
         sidx = dx * jnp.stack([sx, sy, sz], axis=-1)
         dB = jnp.stack([
             jnp.stack([s0[..., i] * rel[j] for j in range(3)], -1)
@@ -131,7 +136,7 @@ def _implicit_bin_step(sim: MPMSim, st: BinState, dt, cfg: BinnedConfig2,
             # grads/Hessians consumed by the grid solve.
             Qk = Qk + (dt * dt) * jnp.einsum("bkij,bkj->bki", Hc, s0)
         QAk = [dx * A2[..., :, d] for d in range(3)]
-        return _ctx_p2g(ctx, Qk, QAk)
+        return _ctx_p2g(ctx, Qk, QAk, chunk=chunk)
 
     def A_op(u):
         return scale_trailing(gm, u) + K_action(u)
@@ -155,7 +160,7 @@ def _implicit_bin_step(sim: MPMSim, st: BinState, dt, cfg: BinnedConfig2,
     max_vel = jnp.sqrt(jnp.max(jnp.sum(gv * gv, -1)))
 
     # ---- G2P + advect --------------------------------------------------------
-    s0, sx, sy, sz = _ctx_g2p(ctx, gv)
+    s0, sx, sy, sz = _ctx_g2p(ctx, gv, chunk=chunk)
     v_new = s0
     Bmat = v_new[..., :, None] * rel0[..., None, :] + \
         dx * jnp.stack([sx, sy, sz], axis=-1)

@@ -93,6 +93,20 @@ class BinnedConfig2:
                                  # is physically free; colliders are
                                  # evaluated at world node positions and
                                  # stay exact.
+    chunk_bins: int = 0          # >0: run the transfer pipeline in
+                                 # bin-chunks of this size (lax.scan).
+                                 # The per-particle intermediates
+                                 # ([B,K,64] stencils, [B,K,72] einsum
+                                 # planes) fit the ~128 MB on-chip
+                                 # scratch space (HLO shows S(1) buffer
+                                 # assignments) only below B ~ 2.5k; at
+                                 # 1M particles the same program spills
+                                 # them to HBM and the step goes 11 ->
+                                 # 17.8 ns/particle (probe_r4_1m.py +
+                                 # probe_r4_hlo.py).  Chunking keeps the
+                                 # working set on-chip at any scale for
+                                 # one extra [nb,64,4] accumulator
+                                 # carry.  Must divide bins_capacity.
 
     @property
     def side(self) -> int:
@@ -626,16 +640,19 @@ _SPILL2 = np.stack([_spill2(d) for d in _DIRS2])
 _PULL2 = np.stack([_pull2(d) for d in _DIRS2])
 
 
-def _spill_sel(nbr8, bin_block, bin_live, nbq, cfg):
+def _spill_sel(nbr8, bin_block, bin_live, nbq, cfg, b_hint=None):
     """Concatenated one-hot (own + 7 spill dirs) -> blocks, or segment ids.
 
     ``nbr8`` is the table-frozen [nb, 8] spill-target cache carried on
     the BinState (the neighbor queries are latency-bound searchsorted
     chains — rebuilding them per step cost a measurable slice of the
-    step's non-transfer time)."""
+    step's non-transfer time).  ``b_hint`` overrides the bin count used
+    by the auto seg-vs-onehot threshold (the chunked step passes the
+    FULL bin count so the decision matches problem scale, not chunk
+    size)."""
     tgt = nbr8[bin_block].T                       # [8, B]
     tgt = jnp.where(bin_live[None, :], tgt, -1)
-    B = bin_block.shape[0]
+    B = b_hint if b_hint is not None else bin_block.shape[0]
     use_seg = cfg.use_segments
     if use_seg is None:
         # measured on v5e at 256k (benchmarks/probe_r3_tax.py): the
@@ -659,6 +676,8 @@ def explicit_step_binned2(sim: MPMSim, state, dt, cfg: BinnedConfig2,
         st = _rebin(sim, st, cfg)
     if st.grid.dim == 2:
         return _step2d(sim, st, dt, cfg)
+    if cfg.chunk_bins and cfg.chunk_bins < cfg.bins_capacity:
+        return _step3d_chunked(sim, st, dt, cfg)
     return _step3d(sim, st, dt, cfg)
 
 
@@ -694,25 +713,37 @@ class _Ctx3:
         return self.cfg.side
 
 
-def _make_ctx3(st: BinState, cfg: BinnedConfig2) -> _Ctx3:
+def _make_ctx3(st: BinState, cfg: BinnedConfig2, lo=None,
+               nbins: Optional[int] = None) -> _Ctx3:
+    """Build the transfer context; ``lo``/``nbins`` restrict it to the
+    bin-chunk [lo, lo+nbins) (the chunked step's working-set control —
+    ``lo`` may be traced, slices are ``dynamic_slice``)."""
     grid = st.grid
     table = grid.table
     nb = table.capacity
     dx = grid.dx
     origin_w = grid.transform.matrix[:3, 3]
-    B = cfg.bins_capacity
+    B = cfg.bins_capacity if nbins is None else nbins
     side = cfg.side
     sq = side * side
 
-    cols = st.cols.reshape(B, K, -1)
+    if lo is None:
+        cols = st.cols.reshape(B, K, -1)
+        pid = st.pid
+        bin_block_full = st.bin_block
+    else:
+        cols = jax.lax.dynamic_slice_in_dim(
+            st.cols, lo * K, B * K, 0).reshape(B, K, -1)
+        pid = jax.lax.dynamic_slice_in_dim(st.pid, lo * K, B * K, 0)
+        bin_block_full = jax.lax.dynamic_slice_in_dim(st.bin_block, lo, B, 0)
     xb = cols[..., 0:3]
-    lane_alive = (st.pid >= 0).reshape(B, K)
+    lane_alive = (pid >= 0).reshape(B, K)
 
     # bin -> block mapping frozen at rebin time (recomputing it from a
     # lane position would break once drift slack lets particles cross a
     # cell boundary mid-interval)
     bin_live = jnp.any(lane_alive, axis=1)
-    bin_block = jnp.where(bin_live, st.bin_block, -1)
+    bin_block = jnp.where(bin_live, bin_block_full, -1)
     bad_bin = bin_live & (bin_block < 0)
     overflow = st.overflow | jnp.any(bad_bin)
     bin_block_safe = jnp.clip(bin_block, 0, nb - 1)
@@ -733,13 +764,37 @@ def _make_ctx3(st: BinState, cfg: BinnedConfig2) -> _Ctx3:
     fy_m = jnp.repeat(fidx, side)                           # [sq], f[y]
     fz_m = jnp.tile(fidx, side)                             # [sq], f[z]
     sel, tgt8, use_seg = _spill_sel(st.nbr8, bin_block_safe,
-                                    bin_live & ~bad_bin, nb, cfg)
+                                    bin_live & ~bad_bin, nb, cfg,
+                                    b_hint=cfg.bins_capacity)
     return _Ctx3(cfg, table, dx, origin_w, lane_alive, borigin, rel0,
                  wx, wx_i, S0, fy_m, fz_m, sel, tgt8, use_seg, overflow)
 
 
-def _ctx_p2g(ctx: _Ctx3, Q0, QA=None, squared=False):
+def _ctx_slice(ctx: _Ctx3, lo, m: int) -> _Ctx3:
+    """Slice a full-B context down to the bin-chunk [lo, lo+m) (``lo``
+    may be traced).  Requires the segment spill path (the one-hot sel
+    matrix is not chunkable)."""
+    assert ctx.use_seg, "chunked transfers require use_segments"
+    dsl = jax.lax.dynamic_slice_in_dim
+    return dataclasses.replace(
+        ctx,
+        lane_alive=dsl(ctx.lane_alive, lo, m, 0),
+        borigin=dsl(ctx.borigin, lo, m, 0),
+        rel0=dsl(ctx.rel0, lo, m, 0),
+        wx=dsl(ctx.wx, lo, m, 0),
+        wx_i=dsl(ctx.wx_i, lo, m, 0),
+        S0=dsl(ctx.S0, lo, m, 0),
+        tgt8=dsl(ctx.tgt8, lo, m, 1))
+
+
+def _ctx_p2g(ctx: _Ctx3, Q0, QA=None, squared=False, chunk: int = 0):
     """Transfer [B,K,C] particle channels to [nb,64,C] block nodes.
+
+    ``chunk`` > 0 runs the plane einsums + spill in bin-chunks of that
+    size (lax.scan, accumulator carry): the [B,K,C·side] intermediates
+    only get on-chip S(1) buffers below ~300 MB of working set
+    (docs/design.md round 4) — chunking keeps the implicit CG operator
+    on-chip at 1M the same way chunk_bins does for the explicit step.
 
     node(a,y,z) += wx[a]*wy[y]*wz[z] * (Q0 + a*QA[0] + y*QA[1] + z*QA[2])
     — the APIC/force plane decomposition shared by the explicit step and
@@ -763,6 +818,23 @@ def _ctx_p2g(ctx: _Ctx3, Q0, QA=None, squared=False):
     B, Kk, C = Q0.shape
     side, sq = ctx.side, ctx.side * ctx.side
     nb = ctx.table.capacity
+
+    if chunk and chunk < B:
+        assert B % chunk == 0, (B, chunk)
+        dsl = jax.lax.dynamic_slice_in_dim
+
+        def body(acc, i):
+            lo = i * chunk
+            ctx_c = _ctx_slice(ctx, lo, chunk)
+            Q0c = dsl(Q0, lo, chunk, 0)
+            QAc = (None if QA is None
+                   else [dsl(q, lo, chunk, 0) for q in QA])
+            return acc + _ctx_p2g(ctx_c, Q0c, QAc, squared), None
+
+        acc0 = jnp.zeros((nb, 64, C), Q0.dtype)
+        acc, _ = jax.lax.scan(body, acc0,
+                              jnp.arange(B // chunk, dtype=jnp.int32))
+        return acc
 
     def plane_scale(w6, q):
         # [B,K,side],[B,K,Cq] -> [B,K,Cq*side] (a-major)
@@ -842,16 +914,33 @@ def _spill_reduce(ctx: _Ctx3, cube, C):
     return acc
 
 
-def _ctx_g2p(ctx: _Ctx3, gv):
+def _ctx_g2p(ctx: _Ctx3, gv, chunk: int = 0):
     """Gather [nb,64,3] node values to particles.
 
     Returns (s0, sx, sy, sz) [B,K,3]: the plain weighted sum and the
     three index-weighted sums (for the APIC B-matrix / force gradient).
+    ``chunk``: see :func:`_ctx_p2g` (bin-chunked scan writing output
+    chunks by dynamic_update_slice).
     """
     from ..ops.spill_tables import _PULL_ALL
 
-    B = ctx.cfg.bins_capacity
+    B = ctx.S0.shape[0]
     side, sq = ctx.side, ctx.side * ctx.side
+
+    if chunk and chunk < B:
+        assert B % chunk == 0, (B, chunk)
+        dusl = jax.lax.dynamic_update_slice_in_dim
+
+        def body(carry, i):
+            lo = i * chunk
+            outs = _ctx_g2p(_ctx_slice(ctx, lo, chunk), gv)
+            return tuple(dusl(c, o, lo, 0)
+                         for c, o in zip(carry, outs)), None
+
+        z = jnp.zeros((B, K, 3), gv.dtype)
+        outs, _ = jax.lax.scan(body, (z, z, z, z),
+                               jnp.arange(B // chunk, dtype=jnp.int32))
+        return outs
     nb = ctx.table.capacity
     if ctx.use_seg:
         safe = jnp.clip(ctx.tgt8, 0, nb - 1)
@@ -998,6 +1087,151 @@ def _step3d(sim: MPMSim, st, dt, cfg: BinnedConfig2):
         newcols.append(jnp.where(ok3, jpcol[..., None],
                                  cols[..., 26:27]))
     ncols = jnp.concatenate(newcols, axis=-1).reshape(L, -1)
+
+    grid = dataclasses.replace(grid, data={"m": gm, "v": gv})
+    return dataclasses.replace(st, cols=ncols, grid=grid, max_vel=max_vel,
+                               overflow=overflow, needs_rebin=escaped)
+
+
+def _step3d_chunked(sim: MPMSim, st, dt, cfg: BinnedConfig2):
+    """The 3-D step with the transfer pipeline chunked over bins.
+
+    Physics-identical to :func:`_step3d` (same helpers, same contraction
+    forms); only the iteration structure changes: two ``lax.scan`` passes
+    over bin-chunks of ``cfg.chunk_bins`` — P2G accumulating into one
+    [nb,64,4] grid buffer, then (after the global grid update) G2P
+    writing particle chunks back by ``dynamic_update_slice``.  Rationale
+    (probe_r4_hlo.py): the [B,K,·] intermediates get on-chip S(1) buffer
+    assignments only below ~300 MB of working set; past that every
+    stage's traffic spills to HBM and the step loses 1.6x per particle.
+    Chunking pins the working set at the chunk size for ANY problem
+    size.  fp32 sums are reassociated (chunk-major) relative to the
+    unchunked step, so results match to roundoff, not bitwise.
+    """
+    grid = st.grid
+    dx = grid.dx
+    origin_w = grid.transform.matrix[:3, 3]
+    B = cfg.bins_capacity
+    Bc = cfg.chunk_bins
+    assert B % Bc == 0, (B, Bc)
+    nchunks = B // Bc
+    side = cfg.side
+    nb = grid.table.capacity
+    L = B * K
+    W = st.cols.shape[-1]
+    lo_arr = jnp.arange(nchunks, dtype=jnp.int32) * Bc
+    Dinv = 4.0 / (dx * dx)
+
+    def chunk_particles(lo):
+        ctx = _make_ctx3(st, cfg, lo=lo, nbins=Bc)
+        cols = jax.lax.dynamic_slice_in_dim(
+            st.cols, lo * K, Bc * K, 0).reshape(Bc, K, -1)
+        lane_alive = ctx.lane_alive
+        mban = jnp.where(lane_alive, cols[..., 24], 0.0)
+        volb = jnp.where(lane_alive, cols[..., 25], 0.0)
+        return ctx, cols, mban, volb
+
+    # ---- pass 1: chunked P2G --------------------------------------------
+    def p2g_chunk(carry, lo):
+        acc, overflow = carry
+        ctx, cols, mban, volb = chunk_particles(lo)
+        vb = cols[..., 3:6]
+        Fb = cols[..., 6:15].reshape(Bc, K, 3, 3)
+        Cb = cols[..., 15:24].reshape(Bc, K, 3, 3)
+        tau = sim.model.kirchhoff(Fb)
+        A = mban[..., None, None] * Cb - \
+            (dt * Dinv * volb)[..., None, None] * tau
+        u0 = mban[..., None] * vb + jnp.einsum("bkij,bkj->bki", A,
+                                               ctx.rel0)
+        Q0 = jnp.concatenate([mban[..., None], u0], -1)       # [Bc,K,4]
+        QA = [dx * A[..., :, d] for d in range(3)]
+        acc = acc + _ctx_p2g(ctx, Q0, QA)
+        return (acc, overflow | ctx.overflow), None
+
+    acc0 = jnp.zeros((nb, 64, 4), jnp.float32)
+    (acc, overflow), _ = jax.lax.scan(p2g_chunk, (acc0, st.overflow),
+                                      lo_arr)
+    gm = acc[..., 0]
+    gmv = acc[..., 1:]
+
+    # ---- grid update (global, [nb]-sized) --------------------------------
+    has_mass = gm > 0.0
+    gv = jnp.where(has_mass[..., None],
+                   gmv / jnp.maximum(gm, 1e-30)[..., None], 0.0)
+    gv = gv + dt * sim.gravity[None, None, :]
+    # node positions need only the table, not a particle chunk
+    corners = jnp.asarray(neighbor_offsets(3, 0, 3))
+    node_x = (grid.table.active_coords[:, None, :] * 4 +
+              corners[None]).astype(jnp.float32) * dx + origin_w
+    gv = resolve_boundaries(sim.colliders, node_x, gv)
+    gv = jnp.where(has_mass[..., None], gv, 0.0)
+    max_vel = jnp.sqrt(jnp.max(jnp.sum(gv * gv, -1)))
+
+    # ---- pass 2: chunked G2P + advect ------------------------------------
+    eye = jnp.eye(3, dtype=st.cols.dtype)
+    big = jnp.int32(1 << 20)
+
+    def g2p_chunk(carry, lo):
+        ncols, off_min, off_max, osum, ocnt = carry
+        ctx, cols, mban, volb = chunk_particles(lo)
+        lane_alive = ctx.lane_alive
+        xb = cols[..., 0:3]
+        vb = cols[..., 3:6]
+        Fb = cols[..., 6:15].reshape(Bc, K, 3, 3)
+        Cb = cols[..., 15:24].reshape(Bc, K, 3, 3)
+        s0, sx, sy, sz = _ctx_g2p(ctx, gv)
+        v_new = s0
+        Bmat = v_new[..., :, None] * ctx.rel0[..., None, :] + \
+            dx * jnp.stack([sx, sy, sz], axis=-1)
+        C_new = Dinv * Bmat
+        F_new = mm(eye + dt * C_new, Fb)
+        if sim.plasticity is not None and st.has_jp:
+            Jpb = cols[..., 26]
+            F_new, Jp_new = sim.plasticity.project(F_new, Jpb)
+        x_new = xb + dt * v_new
+
+        base_new = jnp.floor((x_new - origin_w) / dx - 0.5
+                             ).astype(jnp.int32)
+        off_new = base_new - ctx.borigin[:, None, :]
+        mk = lane_alive[..., None]
+        off_min = jnp.minimum(off_min, jnp.min(
+            jnp.where(mk, off_new, big), axis=(0, 1)))
+        off_max = jnp.maximum(off_max, jnp.max(
+            jnp.where(mk, off_new, -big), axis=(0, 1)))
+        osum = osum + jnp.sum(jnp.where(mk, off_new, 0), axis=(0, 1))
+        ocnt = ocnt + jnp.sum(lane_alive.astype(jnp.int32))
+
+        newcols = [jnp.where(mk, x_new, xb), jnp.where(mk, v_new, vb),
+                   jnp.where(mk[..., None], F_new, Fb).reshape(Bc, K, 9),
+                   jnp.where(mk[..., None], C_new, Cb).reshape(Bc, K, 9),
+                   mban[..., None], volb[..., None]]
+        if st.has_jp:
+            jpcol = (Jp_new if sim.plasticity is not None
+                     else cols[..., 26])
+            newcols.append(jnp.where(mk, jpcol[..., None],
+                                     cols[..., 26:27]))
+        nc = jnp.concatenate(newcols, axis=-1).reshape(Bc * K, -1)
+        ncols = jax.lax.dynamic_update_slice_in_dim(ncols, nc, lo * K, 0)
+        return (ncols, off_min, off_max, osum, ocnt), None
+
+    carry0 = (jnp.zeros((L, W), st.cols.dtype),
+              jnp.full((3,), big), jnp.full((3,), -big),
+              jnp.zeros((3,), jnp.int32), jnp.int32(0))
+    (ncols, off_min, off_max, osum, ocnt), _ = jax.lax.scan(
+        g2p_chunk, carry0, lo_arr)
+
+    # ---- recenter + escape (global reductions from the chunk stats) ------
+    if cfg.recenter:
+        mean_off = osum.astype(jnp.float32) / jnp.maximum(ocnt, 1)
+        shift = jnp.clip(jnp.round(mean_off - 0.5 * (side - 3)),
+                         -1.0, 1.0).astype(jnp.int32)
+        off_min = off_min - shift
+        off_max = off_max - shift
+        tm = grid.transform.matrix.at[:3, 3].add(
+            shift.astype(jnp.float32) * dx)
+        grid = dataclasses.replace(
+            grid, transform=dataclasses.replace(grid.transform, matrix=tm))
+    escaped = jnp.any((off_min < 0) | (off_max > side - 3))
 
     grid = dataclasses.replace(grid, data={"m": gm, "v": gv})
     return dataclasses.replace(st, cols=ncols, grid=grid, max_vel=max_vel,

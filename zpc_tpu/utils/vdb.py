@@ -1,8 +1,10 @@
-"""VDB-lite: a pure-Python OpenVDB ``.vdb`` codec for float grids.
+"""VDB-lite: a pure-Python OpenVDB ``.vdb`` codec (float/int32/Vec3s).
 
-Replaces the reference's OpenVDB bridge (``geometry/VdbLevelSet.h:26-99``,
+Replaces the reference's OpenVDB bridge (``geometry/VdbLevelSet.h:26-99``
+— including the ``readVelVdb`` Vec3fGrid velocity surface,
 ``VdbLevelSet_Conversion.cpp``, ``SparseGrid_Conversion.cpp``) with a
-dependency-free reader/writer for the standard 5-4-3 ``FloatGrid`` tree
+dependency-free reader/writer for the standard 5-4-3 ``FloatGrid`` /
+``Int32Grid`` / ``Vec3SGrid`` trees
 (leaf 8^3, internal 16^3 / 32^3) so assets can round-trip between
 :class:`~zpc_tpu.geometry.sparse_grid.SparseGrid` /
 :class:`~zpc_tpu.geometry.sparse_levelset.SparseLevelSet` and DCC tools.
@@ -50,8 +52,12 @@ INT2_SPAN = INT1_SPAN * INT2_DIM    # 4096 voxels
 COMPRESS_NONE = 0
 COMPRESS_ZIP = 1
 
-_TREE_TYPES = {"Tree_float_5_4_3": np.float32,
-               "Tree_int32_5_4_3": np.int32}
+# tree type -> (element dtype, vector width).  Vec3s covers the
+# reference's velocity-grid surface (VdbLevelSet.h:26-99 readVelVdb /
+# readMeshVdb load Vec3fGrid alongside FloatGrid).
+_TREE_TYPES = {"Tree_float_5_4_3": (np.float32, 1),
+               "Tree_int32_5_4_3": (np.int32, 1),
+               "Tree_vec3s_5_4_3": (np.float32, 3)}
 
 
 class VdbFormatError(ValueError):
@@ -60,25 +66,32 @@ class VdbFormatError(ValueError):
 
 @dataclasses.dataclass
 class VdbGrid:
-    """One float grid: sparse 8^3 leaves keyed by leaf-origin voxel coord.
+    """One grid: sparse 8^3 leaves keyed by leaf-origin voxel coord.
 
     ``transform`` is (voxel_size, translation): world = ijk*voxel_size + t.
     ``masks`` (optional) holds per-leaf active-voxel booleans.
+    ``vec`` is the per-voxel vector width: 1 for float/int32 grids
+    (leaves [8,8,8]), 3 for Vec3s grids (leaves [8,8,8,3], background a
+    3-sequence).
     """
 
     name: str
-    leaves: Dict[Tuple[int, int, int], np.ndarray]    # [8,8,8] float32
+    leaves: Dict[Tuple[int, int, int], np.ndarray]    # [8,8,8(,vec)]
     voxel_size: float = 1.0
     translation: Tuple[float, float, float] = (0.0, 0.0, 0.0)
-    background: float = 0.0
+    background: object = 0.0
     grid_class: str = "unknown"     # "level set" / "fog volume" / "unknown"
     masks: Optional[Dict[Tuple[int, int, int], np.ndarray]] = None
     dtype: np.dtype = np.float32
+    vec: int = 1
 
     def mask_for(self, origin) -> np.ndarray:
         if self.masks is not None and origin in self.masks:
             return self.masks[origin]
-        return self.leaves[origin] != self.background
+        active = self.leaves[origin] != np.asarray(self.background)
+        if self.vec > 1:
+            active = np.any(active, axis=-1)
+        return active
 
 
 # --------------------------------------------------------------------------
@@ -234,7 +247,16 @@ def _offset_to_origin(origin, n, node_dim, child_span):
 
 def _write_tree(f, grid: VdbGrid, compression: int):
     dtype = np.dtype(grid.dtype)
+    vec = grid.vec
     bg = np.asarray(grid.background, dtype)
+    if vec > 1 and bg.shape != (vec,):
+        bg = np.broadcast_to(bg, (vec,))
+
+    def bg_node(size):
+        if vec == 1:
+            return np.full(size, bg, dtype)
+        return np.ascontiguousarray(np.broadcast_to(bg, (size, vec)))
+
     hier = _build_hierarchy(grid.leaves)
     f.write(struct.pack("<I", 1))                     # buffer count
     # RootNode topology
@@ -254,7 +276,7 @@ def _write_tree(f, grid: VdbGrid, compression: int):
             offs1[n] = i1_origin
         _w_mask(f, child_mask)
         _w_mask(f, np.zeros(INT2_SIZE, bool))          # value mask (tiles)
-        _w_values(f, np.full(INT2_SIZE, bg, dtype), compression)
+        _w_values(f, bg_node(INT2_SIZE), compression)
         for n in np.flatnonzero(child_mask):
             i1_origin = offs1[int(n)]
             # Internal1 topology
@@ -266,7 +288,7 @@ def _write_tree(f, grid: VdbGrid, compression: int):
                 offs0[m] = lo
             _w_mask(f, lmask)
             _w_mask(f, np.zeros(INT1_SIZE, bool))
-            _w_values(f, np.full(INT1_SIZE, bg, dtype), compression)
+            _w_values(f, bg_node(INT1_SIZE), compression)
             for m in np.flatnonzero(lmask):
                 lo = offs0[int(m)]
                 _w_mask(f, grid.mask_for(lo).reshape(-1))  # leaf topology
@@ -274,35 +296,39 @@ def _write_tree(f, grid: VdbGrid, compression: int):
     # buffers, in topology (depth-first) order
     for lo in leaf_write_order:
         vals = np.ascontiguousarray(grid.leaves[lo], dtype).reshape(-1)
-        if len(vals) != LEAF_SIZE:
-            raise ValueError(f"leaf {lo} is not 8x8x8")
+        if len(vals) != LEAF_SIZE * vec:
+            raise ValueError(f"leaf {lo} is not 8x8x8" +
+                             (f"x{vec}" if vec > 1 else ""))
         _w_values(f, vals, compression)
 
 
-def _read_tree(f, dtype, compression: int) -> VdbGrid:
+def _read_tree(f, dtype, compression: int, vec: int = 1) -> VdbGrid:
     dtype = np.dtype(dtype)
     (bufcount,) = struct.unpack("<I", _take(f, 4))
     if bufcount != 1:
         raise VdbFormatError(f"multi-buffer trees unsupported ({bufcount})")
-    background = np.frombuffer(_take(f, dtype.itemsize), dtype)[0]
+    bg_arr = np.frombuffer(_take(f, dtype.itemsize * vec), dtype)
+    background = (float(bg_arr[0]) if vec == 1
+                  else tuple(float(x) for x in bg_arr))
     (ntiles,) = struct.unpack("<I", _take(f, 4))
     (nchildren,) = struct.unpack("<I", _take(f, 4))
     for _ in range(ntiles):
-        _take(f, 12 + dtype.itemsize + 1)              # coord+value+active
+        _take(f, 12 + dtype.itemsize * vec + 1)        # coord+value+active
     leaves: Dict[Tuple[int, int, int], np.ndarray] = {}
     masks: Dict[Tuple[int, int, int], np.ndarray] = {}
     order: List[Tuple[int, int, int]] = []
+    leaf_shape = ((LEAF_DIM,) * 3 if vec == 1 else (LEAF_DIM,) * 3 + (vec,))
     for _ in range(nchildren):
         i2_origin = struct.unpack("<3i", _take(f, 12))
         cmask2 = _r_mask(f, INT2_SIZE)
         _r_mask(f, INT2_SIZE)
-        _r_values(f, INT2_SIZE, dtype, compression)
+        _r_values(f, INT2_SIZE * vec, dtype, compression)
         for n in np.flatnonzero(cmask2):
             i1_origin = _offset_to_origin(i2_origin, int(n), INT2_DIM,
                                           INT1_SPAN)
             cmask1 = _r_mask(f, INT1_SIZE)
             _r_mask(f, INT1_SIZE)
-            _r_values(f, INT1_SIZE, dtype, compression)
+            _r_values(f, INT1_SIZE * vec, dtype, compression)
             for m in np.flatnonzero(cmask1):
                 lo = _offset_to_origin(i1_origin, int(m), INT1_DIM,
                                        LEAF_DIM)
@@ -310,10 +336,10 @@ def _read_tree(f, dtype, compression: int) -> VdbGrid:
                     LEAF_DIM, LEAF_DIM, LEAF_DIM)
                 order.append(lo)
     for lo in order:
-        leaves[lo] = _r_values(f, LEAF_SIZE, dtype, compression).reshape(
-            LEAF_DIM, LEAF_DIM, LEAF_DIM)
-    g = VdbGrid("", leaves, background=float(background), masks=masks,
-                dtype=dtype)
+        leaves[lo] = _r_values(f, LEAF_SIZE * vec, dtype,
+                               compression).reshape(leaf_shape)
+    g = VdbGrid("", leaves, background=background, masks=masks,
+                dtype=dtype, vec=vec)
     return g
 
 
@@ -336,8 +362,14 @@ def write_vdb(path: str, grids: List[VdbGrid], *, compress: bool = False):
     # two-phase: descriptors hold absolute stream positions
     fixups = []
     for g in grids:
-        tname = {np.dtype(np.float32): "Tree_float_5_4_3",
-                 np.dtype(np.int32): "Tree_int32_5_4_3"}[np.dtype(g.dtype)]
+        if g.vec == 3:
+            if np.dtype(g.dtype) != np.float32:
+                raise TypeError("vec grids must be float32 (Vec3s)")
+            tname = "Tree_vec3s_5_4_3"
+        else:
+            tname = {np.dtype(np.float32): "Tree_float_5_4_3",
+                     np.dtype(np.int32): "Tree_int32_5_4_3"}[
+                         np.dtype(g.dtype)]
         _w_str(f, g.name)
         _w_str(f, tname)
         _w_str(f, "")                                 # instance parent
@@ -408,7 +440,7 @@ def read_vdb(path: str) -> List[VdbGrid]:
             struct.unpack("<3q", _take(f, 24))
         if tname not in _TREE_TYPES:
             raise VdbFormatError(f"unsupported tree type {tname!r}")
-        dtype = _TREE_TYPES[tname]
+        dtype, vec = _TREE_TYPES[tname]
         meta = _r_meta(f)
         map_name = _r_str(f)
         if map_name not in ("UniformScaleTranslateMap", "ScaleTranslateMap",
@@ -423,7 +455,7 @@ def read_vdb(path: str) -> List[VdbGrid]:
         _r_vec3d(f)                                   # scale inverse
         _r_vec3d(f)                                   # inv scale^2
         _r_vec3d(f)                                   # inv twice scale
-        g = _read_tree(f, dtype, compression)
+        g = _read_tree(f, dtype, compression, vec)
         g.name = str(meta.get("name", name))
         g.grid_class = str(meta.get("class", "unknown"))
         g.voxel_size = float(scale[0])
@@ -437,36 +469,47 @@ def read_vdb(path: str) -> List[VdbGrid]:
 # --------------------------------------------------------------------------
 
 def dense_to_leaves(arr: np.ndarray, origin_ijk=(0, 0, 0),
-                    background: float = 0.0):
-    """Dense [X,Y,Z] -> sparse leaf dict (empty leaves dropped)."""
+                    background=0.0):
+    """Dense [X,Y,Z] (or [X,Y,Z,C] vector) -> sparse leaf dict (empty
+    leaves dropped)."""
     arr = np.asarray(arr)
     ox, oy, oz = origin_ijk
     if any(o % LEAF_DIM for o in origin_ijk):
         raise ValueError("origin must be leaf-aligned (multiple of 8)")
-    pads = [(0, (-s) % LEAF_DIM) for s in arr.shape]
-    arr = np.pad(arr, pads, constant_values=background)
-    nx, ny, nz = [s // LEAF_DIM for s in arr.shape]
+    bg = np.asarray(background)
+    pads = [(0, (-s) % LEAF_DIM) for s in arr.shape[:3]] + \
+        [(0, 0)] * (arr.ndim - 3)
+    if bg.ndim:
+        arr = np.concatenate(
+            [np.pad(arr[..., c:c + 1], pads, constant_values=float(bg[c]))
+             for c in range(arr.shape[-1])], axis=-1)
+    else:
+        arr = np.pad(arr, pads, constant_values=background)
+    nx, ny, nz = [s // LEAF_DIM for s in arr.shape[:3]]
     leaves = {}
-    blocks = arr.reshape(nx, LEAF_DIM, ny, LEAF_DIM, nz, LEAF_DIM)
+    blocks = arr.reshape((nx, LEAF_DIM, ny, LEAF_DIM, nz, LEAF_DIM) +
+                         arr.shape[3:])
     for i in range(nx):
         for j in range(ny):
             for k in range(nz):
                 leaf = np.ascontiguousarray(blocks[i, :, j, :, k, :])
-                if np.any(leaf != background):
+                if np.any(leaf != bg):
                     leaves[(ox + i * LEAF_DIM, oy + j * LEAF_DIM,
                             oz + k * LEAF_DIM)] = leaf
     return leaves
 
 
-def leaves_to_dense(leaves, background: float = 0.0):
-    """Sparse leaf dict -> (dense array, origin_ijk)."""
+def leaves_to_dense(leaves, background=0.0):
+    """Sparse leaf dict -> (dense array, origin_ijk); vector leaves
+    ([8,8,8,C]) yield a [X,Y,Z,C] dense array."""
     if not leaves:
         return np.zeros((0, 0, 0), np.float32), (0, 0, 0)
     origins = np.asarray(sorted(leaves), np.int64)
     lo = origins.min(0)
     hi = origins.max(0) + LEAF_DIM
-    out = np.full(tuple(hi - lo), background,
-                  next(iter(leaves.values())).dtype)
+    proto = next(iter(leaves.values()))
+    out = np.full(tuple(hi - lo) + proto.shape[3:], background,
+                  proto.dtype)
     for o, leaf in leaves.items():
         s = np.asarray(o) - lo
         out[s[0]:s[0] + LEAF_DIM, s[1]:s[1] + LEAF_DIM,
