@@ -281,6 +281,47 @@ class TestSortedBandedJoin:
             checked += 1
         assert checked > 0.8 * nq
 
+    @pytest.mark.parametrize("decompose", [False, True])
+    def test_uniform_extent_matches_explicit_boxes(self, rng, decompose):
+        # broad-phase fast path: centers + one shared extent must give
+        # the same per-query answers as caller-computed p-r / p+r boxes
+        # (the join reconstructs the same f32 values bit-identically)
+        from zpc_tpu.containers.bvh import (build_lbvh,
+                                            query_overlaps_sorted)
+        n = 4096
+        c = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+        h = np.full((n, 3), 0.004, np.float32)
+        bvh = build_lbvh(jnp.asarray(c - h), jnp.asarray(c + h))
+        nq = 1024
+        pts = jnp.asarray(c[:nq])
+        r = jnp.float32(0.01)
+        kw = dict(tile=64, decompose=decompose)
+        if decompose:
+            kw["cells"] = 4
+        out_u = jax.jit(lambda *a: query_overlaps_sorted(
+            *a, 32, uniform_extent=r, **kw))(bvh, pts, pts)
+        out_e = jax.jit(lambda *a: query_overlaps_sorted(
+            *a, 32, **kw))(bvh, pts - r, pts + r)
+
+        def per_query(out):
+            qid, hits, cnt, band = (np.asarray(o) for o in out)
+            cnt_q = np.zeros(nq, np.int64)
+            band_q = np.ones(nq, bool)
+            sets = [set() for _ in range(nq)]
+            for row in range(len(qid)):
+                q = int(qid[row])
+                cnt_q[q] += cnt[row]
+                band_q[q] &= bool(band[row])
+                sets[q].update(int(p) for p in hits[row] if p >= 0)
+            return cnt_q, band_q, sets
+
+        cu, bu, su = per_query(out_u)
+        ce, be, se = per_query(out_e)
+        np.testing.assert_array_equal(cu, ce)
+        np.testing.assert_array_equal(bu, be)
+        assert su == se
+        assert bu.mean() > 0.8
+
     def test_band_overflow_flagged(self, rng):
         # one gigantic query box must fall out of the 3-tile band
         from zpc_tpu.containers.bvh import (build_lbvh,

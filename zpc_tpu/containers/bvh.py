@@ -510,6 +510,7 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
                           group: int = 128, extract: str = "peel",
                           decompose: bool = False, cells: int = 8,
                           compact: Optional[int] = None,
+                          uniform_extent=None,
                           _upto: str = ""):
     """High-throughput AABB overlap query: sorted banded tile join.
 
@@ -567,6 +568,17 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
     a wider morton interval and may fall out of band (flagged, caller
     falls back) — the measured in-band tradeoff lives in BENCHMARKS.md.
 
+    ``uniform_extent`` (round 4) is the broad-phase fast path: when every
+    query box is ``center +- r`` for one shared ``r`` (point-vs-mesh
+    contact, cloth vertex self-contact — the dominant consumers), pass
+    the CENTERS as ``q_lo`` (``q_hi`` is ignored) and ``r`` here (scalar
+    or per-axis).  Only the 3 center columns ride the entry sort (the
+    sort is the decomposed join's largest cost and is linear in operand
+    count: 9-op 30.3 ms / 5-op ~14 ms at 4M entries —
+    benchmarks/probe_r4_bvh3.py); the join reconstructs ``lo/hi =
+    c -+ r`` in f32, bit-identical to the caller's own ``p - r``/
+    ``p + r``, so exactness is unchanged.
+
     Reference analog: ``container/Bvh.hpp`` ``iter_neighbors`` (:662-733);
     the banded join is the TPU-first formulation of the same broad phase.
     """
@@ -577,6 +589,12 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
     leaf_hi = bvh.hi[n - 1:]
     leaf_prim = bvh.leaf_prim[n - 1:]
     big = jnp.asarray(3.4e38, q_lo.dtype)
+    if uniform_extent is not None:
+        uext = jnp.broadcast_to(
+            jnp.asarray(uniform_extent, q_lo.dtype), (dim,))
+        centers = q_lo
+        q_lo = centers - uext
+        q_hi = centers + uext
 
     def quant(x):
         return jnp.clip((x - bvh.scene_lo) / bvh.scene_extent * 1024.0,
@@ -592,47 +610,71 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
         # -> 0.76 measured).  The global entry sort is load-bearing.
         if cells not in (8, 4, 2):
             raise ValueError("decompose cells must be 8, 4 or 2")
+        if nq > (1 << 26):
+            raise ValueError("decompose packs qid into 26 bits of one "
+                             "sort operand; split batches beyond 2^26")
         R = cells
-        lo_c = quant(q_lo - bvh.half_max)
-        hi_c = quant(q_hi + bvh.half_max)
-        ext = jnp.max(hi_c - lo_c, axis=-1)             # [nq] cells
+        # Column-form generation (round 4): every array below is [nq]
+        # or [R, nq] — nq minor, lane-aligned.  The previous
+        # [nq, 3]/[nq, R, 3] forms lane-pad their 3/4-wide minor dims
+        # to 128 on TPU; the gen stage measured 7.2 ms of a 44 ms
+        # 1M query (probe_r4_bvh6.py), the same pathology the join
+        # operands hit in round 3.  Entries flatten R-MAJOR (entry
+        # order is irrelevant pre-sort).
+        from ..math.bits import expand_bits_3d
+
+        def quant_d(x, d):
+            return jnp.clip(
+                (x - bvh.scene_lo[d]) / bvh.scene_extent[d] * 1024.0,
+                0, 1023).astype(jnp.int32)
+
+        lo_cd = [quant_d(q_lo[:, d] - bvh.half_max[d], d)
+                 for d in range(dim)]
+        hi_cd = [quant_d(q_hi[:, d] + bvh.half_max[d], d)
+                 for d in range(dim)]
         # smallest 2^k >= ext so the box spans <= 2 cells per axis
+        ext = jnp.maximum(jnp.maximum(hi_cd[0] - lo_cd[0],
+                                      hi_cd[1] - lo_cd[1]),
+                          hi_cd[2] - lo_cd[2])
         k = jnp.maximum(
             32 - clz32(jnp.maximum(ext - 1, 0).astype(jnp.uint32)), 0)
         if R < 8:
             # lift k until <= log2(R) axes straddle: axis d stops
             # straddling exactly at level bitlen(lo_d ^ hi_d), so the
             # bound is the (3 - log2(R))-th smallest of those levels
-            h = (32 - clz32((lo_c ^ hi_c).astype(jnp.uint32)))  # [nq,3]
-            if R == 4:
-                lift = jnp.min(h, axis=-1)              # <= 2 straddle
-            else:
-                lift = (jnp.sum(h, axis=-1) - jnp.max(h, axis=-1)
-                        - jnp.min(h, axis=-1))          # median: <= 1
+            h = [32 - clz32((lo_cd[d] ^ hi_cd[d]).astype(jnp.uint32))
+                 for d in range(dim)]
+            hmax = jnp.maximum(jnp.maximum(h[0], h[1]), h[2])
+            hmin = jnp.minimum(jnp.minimum(h[0], h[1]), h[2])
+            lift = hmin if R == 4 else (h[0] + h[1] + h[2]
+                                        - hmax - hmin)   # median: <= 1
             k = jnp.maximum(k, lift)
         k = jnp.minimum(k, 10).astype(jnp.int32)
-        c0 = lo_c >> k[:, None]
-        c1 = hi_c >> k[:, None]
+        c0d = [lo_cd[d] >> k for d in range(dim)]
+        c1d = [hi_cd[d] >> k for d in range(dim)]
+        ii = jnp.arange(R, dtype=jnp.int32)[:, None]     # [R, 1]
         if R == 8:
-            offs = jnp.asarray(
-                [[0, 0, 0], [0, 0, 1], [0, 1, 0], [0, 1, 1],
-                 [1, 0, 0], [1, 0, 1], [1, 1, 0], [1, 1, 1]], jnp.int32)
-            cell_arr = c0[:, None, :] + offs[None]      # [nq, 8, 3]
-            valid = jnp.all(cell_arr <= c1[:, None, :], -1)
+            # entry r's bit (2-d) drives axis d
+            cell = [c0d[d][None, :] + ((ii >> (2 - d)) & 1)
+                    for d in range(dim)]                 # [R, nq]
+            valid = ((cell[0] <= c1d[0][None, :])
+                     & (cell[1] <= c1d[1][None, :])
+                     & (cell[2] <= c1d[2][None, :]))
         else:
             # entry i's bit j drives the j-th straddling axis; entries
             # past 2**nstraddle would duplicate earlier cells (entry i
             # repeats cell i mod 2**nstraddle) -> invalidated
-            s = (c1 > c0)                               # [nq, 3] (<= log2 R)
-            sidx = jnp.cumsum(s.astype(jnp.int32), -1) - s  # rank among
-            ii = jnp.arange(R, dtype=jnp.int32)             # straddlers
-            off = (jnp.right_shift(ii[None, :, None], sidx[:, None, :])
-                   & 1) * s[:, None, :]                 # [nq, R, 3]
-            cell_arr = c0[:, None, :] + off
-            nstraddle = jnp.sum(s.astype(jnp.int32), -1)
-            valid = ii[None, :] < jnp.left_shift(1, nstraddle)[:, None]
-        base = morton3d(cell_arr) << (3 * k)[:, None]   # [nq, R]
-        span = jnp.left_shift(jnp.int32(1), 3 * k)      # [nq]
+            s = [(c1d[d] > c0d[d]).astype(jnp.int32) for d in range(dim)]
+            sidx = [jnp.zeros_like(s[0]), s[0], s[0] + s[1]]
+            cell = [c0d[d][None, :]
+                    + ((ii >> sidx[d][None, :]) & 1) * s[d][None, :]
+                    for d in range(dim)]
+            nstraddle = s[0] + s[1] + s[2]
+            valid = ii < jnp.left_shift(1, nstraddle)[None, :]
+        base = (((expand_bits_3d(cell[0]) << 2)
+                 | (expand_bits_3d(cell[1]) << 1)
+                 | expand_bits_3d(cell[2])).astype(jnp.int32)
+                << (3 * k)[None, :])                     # [R, nq]
         # invalid entries take their query's primary cell base with an
         # EMPTY interval (m_hi < m_lo -> in_band, inverted boxes -> no
         # hits).  A far sentinel would pile all ~6/8 invalid entries at
@@ -640,20 +682,27 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
         # alignment the positional band depends on; anchored at the
         # query's own base they stay uniformly interleaved.
         if compact is None:
-            m_lo = jnp.where(valid, base, base[:, :1]).reshape(-1)
+            m_lo = jnp.where(valid, base, base[0:1, :]).reshape(-1)
         else:
             # under compaction invalid entries sort to the END (they are
             # sliced off, so the anchored-interleaving concern above is
             # moot) — the budget slice below keeps only live entries
             m_lo = jnp.where(valid, base,
                              jnp.int32(2 ** 31 - 1)).reshape(-1)
-        m_hi = jnp.where(valid, base + span[:, None] - 1,
-                         base[:, :1] - 1).reshape(-1)
-        q_lo = jnp.where(valid.reshape(-1)[:, None],
-                         jnp.repeat(q_lo, R, axis=0), big)
-        q_hi = jnp.where(valid.reshape(-1)[:, None],
-                         jnp.repeat(q_hi, R, axis=0), -big)
-        qid0 = jnp.repeat(jnp.arange(nq, dtype=jnp.int32), R)
+        vflat = valid.reshape(-1)
+        qid0 = jnp.tile(jnp.arange(nq, dtype=jnp.int32), R)
+        # pack (qid, k, valid) into ONE sort operand: the entry sort is
+        # the decomposed join's single largest cost and is LINEAR in
+        # operand count (probe_r4_bvh3.py: 9-op stable 30.3 ms, 8-op
+        # unstable 22.8, 5-op ~14 at 4M entries).  m_hi leaves the sort
+        # (and the generation) entirely — it is reconstructed post-sort
+        # as m_lo + valid * 2^{3k} - 1 (invalid entries keep their
+        # empty anchored interval).  Unstable is sound here: every
+        # entry's result is independent and consumers combine by
+        # qid-keyed segment ops, so equal-key permutation cannot change
+        # answers.
+        qidk = ((qid0 << 5) | (jnp.tile(k, R) << 1)
+                | vflat.astype(jnp.int32))
         nq = nq * R
         n_valid = jnp.sum(valid.astype(jnp.int32))
     else:
@@ -677,11 +726,33 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
         G -= 1
 
     # sort entries by interval start (wide sort: no gathers — a 3-op
-    # sort + post-gather of the 6 box columns measured 10x worse)
-    ops = jax.lax.sort(
-        (m_lo, m_hi, qid0,
-         *[q_lo[:, d] for d in range(dim)],
-         *[q_hi[:, d] for d in range(dim)]), num_keys=1, is_stable=True)
+    # sort + post-gather of the 6 box columns measured 10x worse; 32-B
+    # row gathers run 6.3 GB/s, probe_r4_bvh3.py).  Per-dimension 1-D
+    # columns throughout (NO [.., dim] stacks): a dim-minor array in
+    # the window gather / scan operands lane-pads 3 -> 128 on TPU —
+    # the compiled HLO showed f32[.,3,TL,3] gather outputs plus
+    # relayout copies, ~40x the logical HBM traffic
+    if uniform_extent is not None:
+        qcols_in = [centers[:, d] for d in range(dim)]
+        qfills = [big] * dim
+    else:
+        qcols_in = ([q_lo[:, d] for d in range(dim)]
+                    + [q_hi[:, d] for d in range(dim)])
+        qfills = [big] * dim + [-big] * dim
+    if decompose:
+        # per-1-D-column expansion to entries (R-major, matching m_lo);
+        # invalid entries get fill boxes that overlap nothing
+        qcols_in = [jnp.where(vflat, jnp.tile(c, R), f)
+                    for c, f in zip(qcols_in, qfills)]
+    if _upto == "gen":                           # perf bisection hook
+        return ((m_lo, qidk) if decompose else (m_lo, m_hi, qid0)
+                ) + tuple(qcols_in)
+    if decompose:
+        ops = jax.lax.sort((m_lo, qidk, *qcols_in),
+                           num_keys=1, is_stable=False)
+    else:
+        ops = jax.lax.sort((m_lo, m_hi, qid0, *qcols_in),
+                           num_keys=1, is_stable=True)
     if compact is not None:
         # valid-entry compaction to a budget (the overflow contract):
         # the decomposed join is entry-bound, so slicing the ~2-3
@@ -693,15 +764,25 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
         cut = n_valid > compact
         ops = tuple(o[:compact] for o in ops)
         nq = compact
-    sm_lo, sm_hi, qid = ops[0], ops[1], ops[2]
-    # per-dimension 1-D columns throughout (NO [.., dim] stacks): a
-    # dim-minor array in the window gather / scan operands lane-pads
-    # 3 -> 128 on TPU — the compiled HLO showed f32[.,3,TL,3] gather
-    # outputs plus relayout copies, ~40x the logical HBM traffic
-    sq_lo_d = list(ops[3:3 + dim])
-    sq_hi_d = list(ops[3 + dim:3 + 2 * dim])
+    if decompose:
+        sm_lo, sqidk = ops[0], ops[1]
+        qid = sqidk >> 5
+        sval = sqidk & 1
+        sm_hi = sm_lo + jax.lax.shift_left(
+            sval, ((sqidk >> 1) & 15) * 3) - 1
+        qcols_s = list(ops[2:])
+    else:
+        sm_lo, sm_hi, qid = ops[0], ops[1], ops[2]
+        qcols_s = list(ops[3:])
+    if uniform_extent is not None:
+        scent_d = qcols_s
+        sq_lo_d = [scent_d[d] - uext[d] for d in range(dim)]
+        sq_hi_d = [scent_d[d] + uext[d] for d in range(dim)]
+    else:
+        sq_lo_d = qcols_s[:dim]
+        sq_hi_d = qcols_s[dim:2 * dim]
     if _upto == "sort":                          # perf bisection hook
-        return qid, sq_lo_d[0], sm_lo, sm_hi
+        return (qid, sm_lo, sm_hi) + tuple(qcols_s)
 
     # leaf window per query tile, anchored at the tile's OWN smallest
     # interval start.  Round 2 anchored windows positionally
@@ -721,9 +802,19 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
     # per-tile min (decomposed entries are only 8-blockwise sorted;
     # for the globally sorted case the min IS the first entry)
     tile_min = jnp.min(sm_lo.reshape(ntiles, T), axis=1)
-    w0 = jnp.searchsorted(bvh.codes, tile_min,
-                          side="left").astype(jnp.int32)   # [ntiles]
-    w0 = jnp.clip(w0 // TL, 0, nlt - 3) * TL
+    # block-boundary rank (round 4): w0 is only needed at TL-block
+    # granularity, so rank tile_min against the ceil(n/TL) block-LEADING
+    # codes with one fused compare+sum instead of searchsorted into all
+    # n codes (whose ~20 dependent gather rounds were ~1/3 of an 8.4 ms
+    # front stage at 1M — probe_r4_bvh6.py).  With left-rank r in codes,
+    # #{j : codes[j*TL] < v} = ceil(r/TL), so blk = that - 1 equals
+    # r//TL except when r lands exactly on a block boundary, where the
+    # window shifts one block early — coverage the edge-code certificate
+    # below still validates exactly.
+    bound = bvh.codes[::TL]                                 # [ceil(n/TL)]
+    jstar = jnp.sum((bound[None, :] < tile_min[:, None])
+                    .astype(jnp.int32), axis=1)
+    w0 = jnp.clip(jstar - 1, 0, nlt - 3) * TL
     w0_q = jnp.repeat(w0, T)                     # [nq]
     # in-band certificate from the window's EDGE codes (per tile):
     # every leaf whose code falls in [m_lo, m_hi] lies inside
@@ -771,7 +862,11 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
         bh = (sm_hi >> 15).astype(leaf_lo.dtype)
         bl = (sm_hi & 0x7FFF).astype(leaf_lo.dtype)
     if _upto == "front":                         # perf bisection hook
-        return qid, wins[0], w0_q, in_band
+        return (qid, w0_q, in_band, sm_lo, sm_hi) + tuple(
+            sq_lo_d) + tuple(sq_hi_d)
+    if _upto == "win":                           # perf bisection hook
+        return (qid, w0_q, in_band, sm_lo, sm_hi) + tuple(
+            sq_lo_d) + tuple(sq_hi_d) + tuple(wins)
 
     def per_group(carry, tgroup):
         # positional unpack (all operands are per-dimension 2-D rows)
@@ -841,6 +936,56 @@ def query_overlaps_sorted(bvh: LBvh, q_lo: jax.Array, q_hi: jax.Array,
             # in the scan's stacked output (8x HBM write amplification
             # at mh=16; measured as the dominant cost of extraction)
             hits = jnp.stack(lanes_out, axis=1)    # [G, max_hits, T]
+            return carry, (hits, cnt)
+        if decompose and extract in ("none", "peel"):
+            # Transposed [G, 3TL, T] orientation (round 4): the
+            # decomposed window is NARROW (3TL = 3n/ntiles, e.g. 192
+            # lanes at cells=4/T=128) and as the MINOR dim it fills
+            # only 1.5 of a 128-lane register row — the G/T sweep in
+            # probe_r4_bvh3.py measured the join ~4x below the VPU
+            # roofline while the plain path's 768-lane windows run AT
+            # roofline.  Putting T (a 128 multiple) minor and the
+            # window on sublanes restores full-lane vectorization; the
+            # margin-min join is orientation-symmetric so only the
+            # broadcast axes change (bitpeel's mask already ran this
+            # way — its pathology was the bit-pack padding, not the
+            # orientation).
+            mg = jnp.broadcast_to(
+                wp.astype(wl[0].dtype)[:, :, None], (G, 3 * TL, T))
+            mg = jnp.minimum(
+                mg, (wc_h[:, :, None] - eah[:, None, :]) * 65536.0
+                + (wc_l[:, :, None] - eal[:, None, :]))
+            mg = jnp.minimum(
+                mg, (ebh[:, None, :] - wc_h[:, :, None]) * 65536.0
+                + (ebl[:, None, :] - wc_l[:, :, None]))
+            for d in range(dim):
+                mg = jnp.minimum(mg, wh[d][:, :, None] - ql[d][:, None, :])
+                mg = jnp.minimum(mg, qh[d][:, None, :] - wl[d][:, :, None])
+            ov = mg >= 0                           # [G, 3TL, T]
+            cnt = jnp.sum(ov, axis=1).astype(jnp.int32)      # [G, T]
+            if extract == "none":
+                return carry, (jnp.zeros((G, 1, T), jnp.int32), cnt)
+            # peel, transposed: same composite-key argmin rounds, over
+            # the SUBLANE (window) axis
+            prim_bits = max(1, int(n - 1).bit_length())
+            lane_bits = int(3 * TL - 1).bit_length()
+            if prim_bits + lane_bits > 31:
+                raise ValueError(
+                    f"peel extract: {n} prims x {3 * TL}-lane window "
+                    f"exceeds the 31-bit composite key; use "
+                    f"extract='topk' or a smaller tile")
+            big_c = jnp.int32(2 ** 31 - 1)
+            lane_ids = jnp.arange(3 * TL, dtype=jnp.int32)
+            comp = jnp.where(
+                ov, (lane_ids[None, :, None] << prim_bits)
+                | jnp.maximum(wp, 0)[:, :, None], big_c)
+            cols_out = []
+            for _ in range(max_hits):
+                m = jnp.min(comp, axis=1)          # [G, T]
+                cols_out.append(jnp.where(
+                    m < big_c, m & ((1 << prim_bits) - 1), -1))
+                comp = jnp.where(comp == m[:, None, :], big_c, comp)
+            hits = jnp.stack(cols_out, axis=1)     # [G, mh, T]
             return carry, (hits, cnt)
         # [G, T, 3TL] overlap mask, built per-dimension: a fused
         # jnp.all(..., -1) materializes [G,T,3TL,dim] whose dim-minor
