@@ -193,3 +193,59 @@ def test_self_contact_two_layers_no_interpenetration():
     for _ in range(40):
         x, v = step0(x, v)
     assert np.asarray(x)[25:, 1].min() < 0.2 - 0.02
+
+
+def test_assembled_operator_matches_autodiff_where_gn_exact():
+    """The assembled GN operator (round 4) equals the autodiff HVP
+    exactly in the regime where GN is exact: at the rest state the
+    bending E' = 0 (GN drop vanishes), stretch is at its clamp boundary
+    (l == L), ground barrier inactive, no friction/contact."""
+    from zpc_tpu.sim.cloth import apply_operator, assemble_operator
+    sim, x0 = make_cloth_grid(8, 8, 0.1, ground_off=-100.0, mu=0.0)
+    dt = jnp.float32(0.02)
+    m3 = sim.mass[:, None]
+
+    def grad_phi(y):
+        return (m3 / (dt * dt)) * (y - x0) + jax.grad(
+            lambda z: cloth_energy(sim, z))(y)
+
+    rng = np.random.default_rng(3)
+    p = jnp.asarray(rng.normal(size=x0.shape).astype(np.float32))
+    hvp_auto = jax.jit(
+        lambda y, q: jax.jvp(grad_phi, (y,), (q,))[1])(x0, p)
+    op = jax.jit(lambda y: assemble_operator(sim, y, y, dt))(x0)
+    hvp_asm = jax.jit(
+        lambda _op, q: apply_operator(sim, _op, q, dt))(op, p)
+    scale = float(jnp.max(jnp.abs(hvp_auto)))
+    np.testing.assert_allclose(np.asarray(hvp_asm),
+                               np.asarray(hvp_auto),
+                               rtol=2e-3, atol=2e-4 * scale)
+
+
+def test_assembled_operator_symmetric_psd_general_state():
+    """In a general deformed state with active contact and friction the
+    assembled operator must stay symmetric and PSD (that is its job —
+    the exact Hessian there is indefinite)."""
+    from zpc_tpu.sim.cloth import (apply_operator, assemble_operator,
+                                   self_contact_candidates)
+    nx = 8
+    sim, x0 = make_cloth_grid(nx, nx, 0.05, height=0.004, dhat=0.01,
+                              kappa=1e2, mu=0.3, k_stretch=2e2,
+                              k_bend=1e-4, mass=0.01)
+    rng = np.random.default_rng(5)
+    y = x0 + jnp.asarray(
+        0.02 * rng.normal(size=x0.shape).astype(np.float32))
+    cand, _ = self_contact_candidates(sim, y, 8)
+    lam = jnp.asarray(rng.uniform(0, 1, x0.shape[0]).astype(np.float32))
+    op = jax.jit(lambda z: assemble_operator(
+        sim, z, x0, 0.02, cand=cand, lam=lam))(y)
+    apply = jax.jit(lambda q: apply_operator(sim, op, q, 0.02))
+    for _ in range(5):
+        p = jnp.asarray(rng.normal(size=x0.shape).astype(np.float32))
+        q = jnp.asarray(rng.normal(size=x0.shape).astype(np.float32))
+        hp, hq = apply(p), apply(q)
+        a = float(jnp.vdot(q, hp))
+        b = float(jnp.vdot(p, hq))
+        assert abs(a - b) <= 1e-4 * max(abs(a), abs(b), 1.0)
+        assert float(jnp.vdot(p, hp)) >= 0.0
+    assert bool(jnp.all(op["diag"] > 0.0))

@@ -29,13 +29,16 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..geometry.contact import barrier, barrier_grad, friction_f0
-from ..geometry.dihedral import dihedral_angle, hinge_bending_energy
+from ..geometry.contact import (barrier, barrier_grad, barrier_hess,
+                                friction_f0, friction_f1_over_x)
+from ..geometry.dihedral import (dihedral_angle, dihedral_angle_gradient,
+                                 hinge_bending_energy)
 from ..geometry.distance import point_triangle_ccd, point_triangle_closest
 from ..math.solvers import cg
 
 __all__ = ["ClothSim", "make_cloth_grid", "cloth_energy", "implicit_step",
-           "self_contact_candidates", "self_contact_energy"]
+           "self_contact_candidates", "self_contact_energy",
+           "assemble_operator", "apply_operator"]
 
 
 @jax.tree_util.register_dataclass
@@ -156,12 +159,12 @@ def self_contact_candidates(sim: ClothSim, x: jax.Array,
     nq = -(-N // tile) * tile
     far = jnp.float32(1e9)
     pad = nq - N
-    qlo = jnp.concatenate([x - sim.dhat,
-                           jnp.full((pad, 3), far, x.dtype)])
-    qhi = jnp.concatenate([x + sim.dhat,
-                           jnp.full((pad, 3), far, x.dtype)])
+    # vertex +- dhat boxes share one extent -> uniform_extent fast path
+    # (3 center columns ride the entry sort instead of 6 box columns)
+    pts = jnp.concatenate([x, jnp.full((pad, 3), far, x.dtype)])
     qid, hits, cnt, band = query_overlaps_sorted(
-        bvh, qlo, qhi, max_cand + 3, tile=tile)
+        bvh, pts, pts, max_cand + 3, tile=tile,
+        uniform_extent=sim.dhat)
     hits_v = jnp.full((nq, max_cand + 3), -1, jnp.int32
                       ).at[qid].set(hits)[:N]
     cnt_v = jnp.zeros((nq,), jnp.int32).at[qid].set(cnt)[:N]
@@ -212,10 +215,141 @@ def _self_contact_alpha(sim: ClothSim, x, dx, cand):
     return jnp.minimum(1.0, 0.9 * jnp.min(toi))
 
 
+def assemble_operator(sim: ClothSim, y: jax.Array, x: jax.Array, dt,
+                      *, cand=None, lam=None):
+    """Cache per-element Gauss-Newton(-PSD) Hessian data at ``y``, ONCE
+    per Newton iteration (round 4).
+
+    The round-3 solver evaluated a full ``jvp``-of-grad per CG
+    iteration — ~50 autodiff energy/HVP sweeps per step, 257.6 ms at 8k
+    vertices (BENCHMARKS.md).  Every term of the incremental potential
+    has a standard assembled form whose CG-side application is a few
+    batched gathers/3-vector ops/scatter-adds:
+
+    * stretch (exact, PSD-clamped): per-edge ``k [d d^T + (1 - L/l)
+      (I - d d^T)]`` stored as the unit edge + two scalars (the
+      compression clamp is the standard spring PSD projection);
+    * bending (GN): ``E''(theta) grad-theta grad-theta^T`` with the
+      12-vector ``grad theta`` from one batched autodiff at assembly —
+      exact at the rest angle where ``E' = 0``;
+    * ground barrier (exact, clamped): ``(2 b' + 4 d^2 b'') n n^T``;
+    * lagged friction (standard IPC PSD form): ``mu lam f1(|u|)/|u|``
+      on the tangent plane (Friction.hpp's ``f1_SF_div_relDXNorm``);
+    * self-contact (GN-PSD, frozen barycentric weights): ``b''(s)
+      grad-s grad-s^T`` with ``grad s = 2 (c kron diff)``, the
+      ``b' * hess s`` term dropped (negative semi-definite, since
+      ``b' < 0`` and ``hess s`` is PSD) — the same projection
+      contact_implicit.py uses in the MPM coupling.
+
+    Returns an operator pytree consumed by :func:`apply_operator`; its
+    ``diag [N, 3]`` is the exact diagonal of the assembled operator and
+    serves as the Jacobi preconditioner (anisotropic, supersedes the
+    round-3 analytic guess).  The Newton GRADIENT stays exact autodiff,
+    so converged states are unchanged; only the search direction uses
+    the PSD model (the universal IPC practice — the exact projected
+    Hessian is what the reference's downstream codim solver builds).
+    """
+    dt = jnp.asarray(dt, y.dtype)
+    n_hat = sim.ground_n
+    e0, e1 = sim.edges[:, 0], sim.edges[:, 1]
+    d = y[e0] - y[e1]
+    l = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-20)
+    ed = d / l[:, None]
+    coef_a = jnp.broadcast_to(sim.k_stretch, l.shape)
+    coef_b = sim.k_stretch * jnp.maximum(0.0, 1.0 - sim.rest_len / l)
+
+    gth = dihedral_angle_gradient(
+        y[sim.hinges[:, 0]], y[sim.hinges[:, 1]],
+        y[sim.hinges[:, 2]], y[sim.hinges[:, 3]]).reshape(-1, 4, 3)
+    coef_h = 2.0 * sim.k_bend                    # E = k (theta-rest)^2
+
+    gap = y @ n_hat - sim.ground_off
+    g2 = gap * gap
+    d2h = sim.dhat * sim.dhat
+    curv = jnp.maximum(
+        2.0 * barrier_grad(g2, d2h, sim.kappa)
+        + 4.0 * g2 * barrier_hess(g2, d2h, sim.kappa), 0.0)
+
+    if lam is not None:
+        u = (y - x) - ((y - x) @ n_hat)[:, None] * n_hat[None, :]
+        un = jnp.sqrt(jnp.sum(u * u, axis=-1) + 1e-18)
+        fr_c = sim.mu * lam * friction_f1_over_x(un, sim.epsv * dt)
+    else:
+        fr_c = jnp.zeros(y.shape[:1], y.dtype)
+
+    if cand is not None:
+        tidx = sim.tris[jnp.maximum(cand, 0)]     # [N, C, 3]
+        tv = y[tidx]                              # [N, C, 3, 3]
+        bary, cl = point_triangle_closest(y[:, None, :], tv[:, :, 0],
+                                          tv[:, :, 1], tv[:, :, 2])
+        diff = y[:, None, :] - cl                 # [N, C, 3]
+        s = jnp.sum(diff * diff, axis=-1)
+        bpp = jnp.maximum(barrier_hess(s, d2h, sim.kappa), 0.0)
+        bpp = jnp.where(cand >= 0, bpp, 0.0)
+        contact = (tidx, jax.lax.stop_gradient(bary),
+                   jax.lax.stop_gradient(diff), bpp)
+    else:
+        contact = None
+
+    # exact diagonal of the assembled operator -> Jacobi preconditioner
+    N = y.shape[0]
+    diag = (sim.mass / (dt * dt))[:, None] * jnp.ones((1, 3), y.dtype)
+    ds = (coef_b[:, None] + (coef_a - coef_b)[:, None] * ed * ed)
+    diag = diag.at[e0].add(ds).at[e1].add(ds)
+    diag = diag.at[sim.hinges.reshape(-1)].add(
+        (coef_h * gth * gth).reshape(-1, 3))
+    diag = diag + curv[:, None] * (n_hat * n_hat)[None, :]
+    diag = diag + fr_c[:, None] * (1.0 - n_hat * n_hat)[None, :]
+    if contact is not None:
+        tidx, bary, diff, bpp = contact
+        dv = 4.0 * bpp[..., None] * diff * diff            # [N, C, 3]
+        diag = diag + jnp.sum(dv, axis=1)
+        dtk = (4.0 * bpp[..., None, None] * (bary * bary)[..., None]
+               * (diff * diff)[:, :, None, :])             # [N, C, 3, 3]
+        diag = diag.at[tidx.reshape(-1)].add(dtk.reshape(-1, 3))
+    return dict(ed=ed, coef_a=coef_a, coef_b=coef_b, gth=gth,
+                coef_h=coef_h, curv=curv, fr_c=fr_c, contact=contact,
+                diag=diag)
+
+
+def apply_operator(sim: ClothSim, op, p: jax.Array, dt) -> jax.Array:
+    """Apply the assembled GN operator (see :func:`assemble_operator`):
+    a handful of batched gathers, 3-vector arithmetic, and scatter-adds
+    — no autodiff in the CG loop."""
+    dt = jnp.asarray(dt, p.dtype)
+    n_hat = sim.ground_n
+    q = (sim.mass / (dt * dt))[:, None] * p
+    e0, e1 = sim.edges[:, 0], sim.edges[:, 1]
+    u = p[e0] - p[e1]
+    du = jnp.sum(op["ed"] * u, axis=-1)
+    f = (op["coef_b"][:, None] * u
+         + ((op["coef_a"] - op["coef_b"]) * du)[:, None] * op["ed"])
+    q = q.at[e0].add(f).at[e1].add(-f)
+    ph = p[sim.hinges]                            # [H, 4, 3]
+    w = jnp.sum(op["gth"] * ph, axis=(-1, -2))
+    q = q.at[sim.hinges.reshape(-1)].add(
+        ((op["coef_h"] * w)[:, None, None] * op["gth"]).reshape(-1, 3))
+    pn = p @ n_hat
+    q = q + (op["curv"] * pn)[:, None] * n_hat[None, :]
+    q = q + op["fr_c"][:, None] * (p - pn[:, None] * n_hat[None, :])
+    if op["contact"] is not None:
+        tidx, bary, diff, bpp = op["contact"]
+        pt = p[tidx]                              # [N, C, 3, 3]
+        rel = p[:, None, :] - jnp.sum(bary[..., None] * pt, axis=2)
+        dots = 2.0 * jnp.sum(diff * rel, axis=-1)            # grad s . p
+        coef = bpp * dots                                    # [N, C]
+        q = q + jnp.sum(2.0 * coef[..., None] * diff, axis=1)
+        ct = (-2.0 * coef[..., None, None] * bary[..., None]
+              * diff[:, :, None, :])                         # [N, C, 3, 3]
+        q = q.at[tidx.reshape(-1)].add(ct.reshape(-1, 3))
+    return q
+
+
 def implicit_step(sim: ClothSim, x: jax.Array, v: jax.Array,
                   dt, *, newton_iters: int = 2,
                   cg_iters: int = 40, self_contact: bool = False,
-                  max_cand: int = 8, precondition: bool = True):
+                  max_cand: int = 8, precondition: bool = True,
+                  operator: str = "assembled"):
     """One implicit-Euler step: minimize the incremental potential with
     ``newton_iters`` Newton-CG rounds; a half-space step limiter keeps
     iterates strictly outside the ground (IPC line-search analog,
@@ -227,7 +361,17 @@ def implicit_step(sim: ClothSim, x: jax.Array, v: jax.Array,
     curvature.  The un-preconditioned solve is stiffness-dominated
     (k/m dt^2 >> 1 near contact), so this cuts CG iterations at equal
     tolerance rather than changing the converged step (reference
-    contract: ``A.precondition`` in ConjugateGradient.hpp:61-70)."""
+    contract: ``A.precondition`` in ConjugateGradient.hpp:61-70).
+
+    ``operator`` (round 4): ``"assembled"`` (default) builds the
+    GN-PSD element operator once per Newton iteration
+    (:func:`assemble_operator`) so each CG iteration is a few batched
+    gathers/scatters instead of a full ``jvp``-of-grad autodiff sweep
+    — the round-3 cost model was ~50 autodiff evals/step.  With the
+    assembled operator the Jacobi preconditioner is its exact
+    anisotropic diagonal.  ``"autodiff"`` keeps the exact-Hessian HVP
+    (the test oracle: the two agree exactly where GN is exact —
+    tests/test_cloth.py)."""
     dt = jnp.asarray(dt, x.dtype)
     free3 = sim.free[:, None]
     m3 = sim.mass[:, None]
@@ -268,7 +412,7 @@ def implicit_step(sim: ClothSim, x: jax.Array, v: jax.Array,
         return jnp.where(free3, p, 0.0)
 
     M_pre = None
-    if precondition:
+    if precondition and operator != "assembled":
         N = x.shape[0]
         deg = jnp.zeros((N,), x.dtype).at[sim.edges.reshape(-1)].add(1.0)
         g2 = gap0 * gap0
@@ -286,8 +430,19 @@ def implicit_step(sim: ClothSim, x: jax.Array, v: jax.Array,
     y = x
     for _ in range(newton_iters):
         g = phi_grad(y)
-        hvp = lambda p: project(jax.jvp(phi_grad, (y,), (project(p),))[1])
-        res = cg(hvp, -g, project=project, precondition=M_pre,
+        if operator == "assembled":
+            op = assemble_operator(
+                sim, y, x, dt, cand=cand if self_contact else None,
+                lam=lam)
+            hvp = lambda p, _op=op: project(
+                apply_operator(sim, _op, project(p), dt))
+            pre = ((lambda r, _d=op["diag"]: r / _d)
+                   if precondition else None)
+        else:
+            hvp = lambda p: project(
+                jax.jvp(phi_grad, (y,), (project(p),))[1])
+            pre = M_pre
+        res = cg(hvp, -g, project=project, precondition=pre,
                  max_iters=cg_iters, rel_tol=1e-3)
         dx = project(res.x)
         # plane step limiter: keep gap(y + a dx) >= 0.1 * current gap

@@ -79,21 +79,23 @@ class MeshContact:
         f32 = jnp.float32
         dx = ctx.dx
         bin_live = jnp.any(lane_alive, axis=1)
-        win_lo = ctx.borigin.astype(f32) * dx + ctx.origin_w - self.dhat
-        win_hi = (ctx.borigin + (ctx.side - 1)).astype(f32) * dx + \
-            ctx.origin_w + self.dhat
+        # per-bin windows share one extent -> uniform_extent fast path;
+        # the 1e-5 relative inflation keeps the reconstructed c -+ ext
+        # conservatively OUTSIDE the exact window under f32 rounding
+        # (the narrow phase re-tests d < dhat exactly anyway)
+        half = 0.5 * (ctx.side - 1) * dx
+        cen = ctx.borigin.astype(f32) * dx + ctx.origin_w + half
+        ext = (half + self.dhat) * (1.0 + 1e-5)
         far = jnp.float32(1e9)
         T = self.tile
         nq = -(-B // T) * T
         pad = nq - B
-        qlo = jnp.concatenate(
-            [jnp.where(bin_live[:, None], win_lo, far),
-             jnp.full((pad, 3), far, f32)])
-        qhi = jnp.concatenate(
-            [jnp.where(bin_live[:, None], win_hi, far),
+        pts = jnp.concatenate(
+            [jnp.where(bin_live[:, None], cen, far),
              jnp.full((pad, 3), far, f32)])
         qid, hits, counts, in_band = query_overlaps_sorted(
-            self.bvh, qlo, qhi, self.max_tris, tile=T)
+            self.bvh, pts, pts, self.max_tris, tile=T,
+            uniform_extent=ext)
         hits_b = jnp.full((nq, self.max_tris), -1, jnp.int32
                           ).at[qid].set(hits)[:B]
         cnt_b = jnp.zeros((nq,), jnp.int32).at[qid].set(counts)[:B]
