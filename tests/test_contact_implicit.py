@@ -118,8 +118,15 @@ class TestContactCoupledSolve:
         sim, st = _setup(rng, n=512, ylo=0.22, yhi=0.42)
         cfg = BinnedConfig2(bins_capacity=96)
         floor_y, dhat = 0.2, 0.02
+        # the d^2 barrier is sign-blind once a point crosses, so IPC's
+        # non-penetration guarantee is barrier + CCD advection clamp
+        # (use_ccd) — this test runs the full mechanism.  kappa is sized
+        # from physics: barrier force ~ 7.7e-5 * kappa at gap dhat/4 vs
+        # ~1.2 N column weight -> kappa ~ 2e4 for support INSIDE the
+        # dhat shell (a too-weak kappa leaves CCD holding a falling
+        # pile, which is exactly the failure this test must catch)
         mc = MeshContact.build(_floor_mesh(y=floor_y), dhat=dhat,
-                               kappa=5e-2, max_tris=4)
+                               kappa=2e4, max_tris=4, use_ccd=True)
         dt = jnp.float32(2e-3)
         roll = jax.jit(lambda s: implicit_rollout_binned2(
             sim, s, dt, cfg, 10, cg_iters=30, contact=mc))
@@ -151,3 +158,25 @@ class TestContactCoupledSolve:
         vy_c = np.asarray(out_c.particles["v"])[:, 1].mean()
         vy_f = np.asarray(out_f.particles["v"])[:, 1].mean()
         assert vy_c > vy_f
+
+
+def test_contact_precond_variant_converges(rng):
+    """The barrier-diag Jacobi variant (round-4 study: a documented
+    NEGATIVE result at stiff kappa — docs/design.md) must still compile
+    and converge; it is kept as evidence, not as the default."""
+    x = np.stack([rng.uniform(0.3, 0.7, 512),
+                  rng.uniform(0.21, 0.3, 512),
+                  rng.uniform(0.3, 0.7, 512)], -1)
+    st = make_mpm_state(jnp.asarray(x, jnp.float32), dx=0.05,
+                        block_capacity=512)
+    sim = MPMSim(model=FixedCorotated.from_young_poisson(1e4, 0.3),
+                 gravity=jnp.asarray([0.0, -9.8, 0.0]))
+    cfg = BinnedConfig2(bins_capacity=96)
+    mc = MeshContact.build(_floor_mesh(), dhat=0.02, kappa=5e-2,
+                           max_tris=4)
+    bst = bin_state(sim, st, cfg)
+    out, it = implicit_step_binned2(
+        sim, bst, jnp.float32(2e-3), cfg, cg_iters=40, contact=mc,
+        rebin=False, with_stats=True, contact_precond=True)
+    assert int(it) <= 40
+    assert bool(jnp.isfinite(out.cols).all())

@@ -35,7 +35,8 @@ __all__ = ["implicit_step_binned2", "implicit_rollout_binned2"]
 
 def _implicit_bin_step(sim: MPMSim, st: BinState, dt, cfg: BinnedConfig2,
                        cg_iters: int, cg_tol: float,
-                       contact=None, with_stats: bool = False) -> BinState:
+                       contact=None, with_stats: bool = False,
+                       contact_precond: bool = False) -> BinState:
     """One implicit step on a BinState (bin order in/out).
 
     ``contact``: optional :class:`~zpc_tpu.sim.contact_implicit.
@@ -75,11 +76,23 @@ def _implicit_bin_step(sim: MPMSim, st: BinState, dt, cfg: BinnedConfig2,
     # contact forces at t^n ride the SAME transfer: fc is plain-weight
     # (no affine plane), so folding it into the f channels costs nothing
     # while a separate plain P2G pass cost ~3 ms/step at 1M
+    pdiag = None
     if contact is not None:
         cset = contact.broad_phase(ctx, lane_alive)
         overflow = overflow | cset.overflow
         fc, Hc = contact.forces_and_hessians(cset, xb, lane_alive)
         f0 = f0 + fc
+        if contact_precond:
+            # barrier-diag Jacobi (VERDICT r3 item 5 re-test): grid
+            # row-norm estimate of diag(dt^2 Kc) via the squared-weight
+            # P2G the round-2 stiffness study built — once per STEP,
+            # not per CG iteration.  The barrier Hessian is rank-1-ish
+            # per particle (kappa n n^T scale), so unlike the elastic
+            # K (whose diag estimate HURT — see the note below), its
+            # diagonal is an honest row norm.
+            dHc = jnp.maximum(
+                jnp.diagonal(Hc, axis1=-2, axis2=-1), 0.0)   # [B,K,3]
+            pdiag = _ctx_p2g(ctx, dHc, None, squared=True, chunk=chunk)
     Q0 = jnp.concatenate([mban[..., None], mom0, f0], -1)      # [B,K,7]
     # mass plane of the index-weighted transfer is structurally zero —
     # pass the 6 live channels, _ctx_p2g pads
@@ -149,8 +162,14 @@ def _implicit_bin_step(sim: MPMSim, st: BinState, dt, cfg: BinnedConfig2,
     # near-null bending modes, and distorting the mass balance slows
     # exactly those.  Mass-only converges in <= 7 iters at rel_tol 1e-3
     # across the probe regimes; the solver stops on tolerance.
-    def precondition(r):
-        return scale_trailing(minv, r)
+    if pdiag is not None:
+        pd = jnp.maximum(gm[..., None] + (dt * dt) * pdiag, 1e-30)
+
+        def precondition(r):
+            return jnp.where(has_mass[..., None], r / pd, 0.0)
+    else:
+        def precondition(r):
+            return scale_trailing(minv, r)
 
     rhs = project(scale_trailing(gm, v_pred))
     res = cg(A_op, rhs, x0=project(v_pred), project=project,
@@ -215,17 +234,23 @@ def _implicit_bin_step(sim: MPMSim, st: BinState, dt, cfg: BinnedConfig2,
 def implicit_step_binned2(sim: MPMSim, state, dt, cfg: BinnedConfig2,
                           cg_iters: int = 50, cg_tol: float = 1e-3,
                           contact=None, *, rebin: bool = True,
-                          with_stats: bool = False):
+                          with_stats: bool = False,
+                          contact_precond: bool = False):
     """Implicit step: MPMState -> (MPMState, overflow), or BinState ->
     BinState when called with a BinState (rollout-internal form).
     ``with_stats=True`` (BinState form) also returns the CG iteration
-    count the solve actually used (tol-based early exit)."""
+    count the solve actually used (tol-based early exit).
+    ``contact_precond``: add the barrier Hessian's squared-weight grid
+    diagonal to the Jacobi preconditioner (see the round-4 study in
+    benchmarks/probe_r4_precond2.py / docs/design.md)."""
     if isinstance(state, BinState):
         st = _rebin(sim, state, cfg) if rebin else state
         return _implicit_bin_step(sim, st, dt, cfg, cg_iters, cg_tol,
-                                  contact, with_stats=with_stats)
+                                  contact, with_stats=with_stats,
+                                  contact_precond=contact_precond)
     bst = bin_state(sim, state, cfg)
-    out = _implicit_bin_step(sim, bst, dt, cfg, cg_iters, cg_tol, contact)
+    out = _implicit_bin_step(sim, bst, dt, cfg, cg_iters, cg_tol, contact,
+                             contact_precond=contact_precond)
     return unbin_state(out, state), out.overflow
 
 
