@@ -66,5 +66,74 @@ def main():
     chained_ms(app, (x,), iters=16, marginal=True, label="one apply")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--split" not in sys.argv:
     main()
+
+
+def split():
+    """Stage split at the bench shapes: bp, grad, ccd, one full CG."""
+    from zpc_tpu.geometry.contact import barrier_grad
+    from zpc_tpu.math.solvers import cg
+    from zpc_tpu.sim.cloth import (_self_contact_alpha, cloth_energy,
+                                   self_contact_energy)
+    sim, x0 = build_two_layer()
+    dt = jnp.float32(0.005)
+    v0 = jnp.zeros_like(x0)
+
+    def stepfn(i, c):
+        x, v = c
+        x, v, _ = implicit_step(sim, x, v, dt, newton_iters=2,
+                                cg_iters=24, self_contact=True)
+        return x, v
+    c0 = jax.block_until_ready(
+        jax.jit(lambda c: jax.lax.fori_loop(0, 40, stepfn, c))((x0, v0)))
+    x, v = c0
+
+    def bp(i, c):
+        xx, = c
+        cand, ovf = self_contact_candidates(sim, xx, 8)
+        return (xx + dep_scalar(cand) + 1e-30 * ovf,)
+    chained_ms(bp, (x,), iters=6, marginal=True, label="broad phase")
+
+    cand, _ = jax.jit(lambda xx: self_contact_candidates(sim, xx, 8))(x)
+    cand = jax.block_until_ready(cand)
+    free3 = sim.free[:, None]
+    m3 = sim.mass[:, None]
+    xhat = jnp.where(free3, x + dt * v + dt * dt * sim.gravity[None, :],
+                     x)
+
+    def phi_grad(y):
+        def e(z):
+            return cloth_energy(sim, z) + self_contact_energy(sim, z,
+                                                              cand)
+        return jnp.where(free3, (m3 / (dt * dt)) * (y - xhat)
+                         + jax.grad(e)(y), 0.0)
+
+    def pg(i, c):
+        y, = c
+        return (y + 1e-20 * phi_grad(y),)
+    chained_ms(pg, (x,), iters=8, marginal=True, label="one phi_grad")
+
+    def ccd(i, c):
+        y, = c
+        a = _self_contact_alpha(sim, y, y * 1e-3, cand)
+        return (y + 1e-20 * a,)
+    chained_ms(ccd, (x,), iters=8, marginal=True, label="CCD alpha")
+
+    lam = jnp.zeros(x.shape[:1], x.dtype)
+    proj = lambda p: jnp.where(free3, p, 0.0)
+
+    def onecg(i, c):
+        y, = c
+        op = assemble_operator(sim, y, y, dt, cand=cand, lam=lam)
+        hvp = lambda p: proj(apply_operator(sim, op, proj(p), dt))
+        res = cg(hvp, -phi_grad(y), project=proj,
+                 precondition=lambda r: r / op["diag"],
+                 max_iters=24, rel_tol=1e-3)
+        return (y + 1e-20 * res.x,)
+    chained_ms(onecg, (x,), iters=4, marginal=True,
+               label="assemble+grad+CG(tol)")
+
+
+if __name__ == "__main__" and "--split" in sys.argv:
+    split()

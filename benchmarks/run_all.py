@@ -313,29 +313,35 @@ def bench_bvh(n=1_048_576, quick=False):
     # at this scale (plain corner-span bands measured in-band 0.002 at
     # 1M — the round-2 rows were measuring compares, not answers).  The
     # in-band fraction is printed alongside so the rows certify answers.
-    def band_frac(**kw):
+    def band_frac(qa, qb, **kw):
         qid, _, _, ok = jax.jit(lambda a, c: query_overlaps_sorted(
-            bvh, a, c, 16, **kw))(qlo, qhi)
+            bvh, a, c, 16, **kw))(qa, qb)
         if kw.get("decompose"):
             # entry-granular returns: a query is exact only if ALL its
             # covering-cell entries are in-band -> per-query scatter-AND
             ok = jnp.ones((nq,), bool).at[qid].min(ok)
         return float(jnp.mean(ok.astype(jnp.float32)))
 
+    # this scene's query boxes share one extent (prim half 0.002 + pad
+    # 0.004) -> the decomposed rows ride the round-4 uniform_extent
+    # fast path (5-operand entry sort; see docs/design.md round 4)
+    pts = jnp.asarray(c)
+    uext = jnp.float32(0.006)
+
     def q_sorted(i, q, consts):
         b, = consts
-        ql, qh = q
-        qid, hits, cnt, ok = query_overlaps_sorted(b, ql, qh, 16,
-                                                   tile=128, group=64,
-                                                   extract="peel",
-                                                   decompose=True)
+        p, = q
+        qid, hits, cnt, ok = query_overlaps_sorted(
+            b, p, p, 16, tile=128, group=512, extract="peel",
+            decompose=True, cells=4, uniform_extent=uext)
         eps = dep_scalar(cnt) + dep_scalar(hits[:, 0])
-        return ql + eps, qh + eps
+        return (p + eps,)
 
-    ms = chained_ms(q_sorted, (qlo, qhi), iters=3, const=(bvh,), marginal=True)
-    bf = band_frac(tile=128, group=64, extract="peel", decompose=True)
-    rows.append((f"AABB query (banded join, 16 hits) {nq // 1000}k",
-                 f"{ms:.1f} ms",
+    ms = chained_ms(q_sorted, (pts,), iters=3, const=(bvh,), marginal=True)
+    bf = band_frac(pts, pts, tile=128, group=512, extract="peel",
+                   decompose=True, cells=4, uniform_extent=uext)
+    rows.append((f"AABB query (banded join c4 uniform, 16 hits) "
+                 f"{nq // 1000}k", f"{ms:.1f} ms",
                  f"{nq / (ms / 1e3) / 1e6:.2f} Mq/s (in-band {bf:.3f})"))
 
     # plain-band rows: the throughput where the band holds (clustered
@@ -372,17 +378,17 @@ def bench_bvh(n=1_048_576, quick=False):
 
     def q_counts(i, q, consts):
         b, = consts
-        ql, qh = q
-        qid, hits, cnt, ok = query_overlaps_sorted(b, ql, qh, 16,
-                                                   tile=256, group=32,
-                                                   extract="none",
-                                                   decompose=True)
+        p, = q
+        qid, hits, cnt, ok = query_overlaps_sorted(
+            b, p, p, 16, tile=128, group=512, extract="none",
+            decompose=True, uniform_extent=uext)
         eps = dep_scalar(cnt)
-        return ql + eps, qh + eps
+        return (p + eps,)
 
-    ms = chained_ms(q_counts, (qlo, qhi), iters=3, const=(bvh,), marginal=True)
-    bf = band_frac(tile=256, group=32, extract="none", decompose=True)
-    rows.append((f"AABB query (counts only) {nq // 1000}k",
+    ms = chained_ms(q_counts, (pts,), iters=3, const=(bvh,), marginal=True)
+    bf = band_frac(pts, pts, tile=128, group=512, extract="none",
+                   decompose=True, uniform_extent=uext)
+    rows.append((f"AABB query (counts c8 uniform) {nq // 1000}k",
                  f"{ms:.1f} ms",
                  f"{nq / (ms / 1e3) / 1e6:.2f} Mq/s (in-band {bf:.3f})"))
 
@@ -391,34 +397,40 @@ def bench_bvh(n=1_048_576, quick=False):
     # modestly lower in-band fraction (flagged residue falls back)
     def q_counts4(i, q, consts):
         b, = consts
-        ql, qh = q
-        qid, hits, cnt, ok = query_overlaps_sorted(b, ql, qh, 16,
-                                                   tile=256, group=32,
-                                                   extract="none",
-                                                   decompose=True, cells=4)
+        p, = q
+        qid, hits, cnt, ok = query_overlaps_sorted(
+            b, p, p, 16, tile=128, group=512, extract="none",
+            decompose=True, cells=4, uniform_extent=uext)
         eps = dep_scalar(cnt)
-        return ql + eps, qh + eps
+        return (p + eps,)
 
-    ms = chained_ms(q_counts4, (qlo, qhi), iters=3, const=(bvh,),
+    ms = chained_ms(q_counts4, (pts,), iters=3, const=(bvh,),
                     marginal=True)
-    bf = band_frac(tile=256, group=32, extract="none", decompose=True,
-                   cells=4)
-    rows.append((f"AABB query (counts, cells=4) {nq // 1000}k",
+    bf = band_frac(pts, pts, tile=128, group=512, extract="none",
+                   decompose=True, cells=4, uniform_extent=uext)
+    rows.append((f"AABB query (counts c4 uniform) {nq // 1000}k",
                  f"{ms:.1f} ms",
                  f"{nq / (ms / 1e3) / 1e6:.2f} Mq/s (in-band {bf:.3f})"))
 
-    nq2 = 8192
+    # exact driver: banded join + bounded walk residue — EVERY query
+    # answered exactly, static shapes (the rope walk's round-4 role:
+    # residue engine + oracle, not a query path; docs/design.md)
+    from zpc_tpu.containers.bvh import query_overlaps_exact
 
-    def q_rope(i, q, consts):
+    def q_exact(i, q, consts):
         b, = consts
-        ql, qh = q
-        hits, cnt = query_overlaps(b, ql, qh, 16)
-        return ql + dep_scalar(cnt), qh + dep_scalar(cnt)
+        p, = q
+        qid, hits, cnt, ovf = query_overlaps_exact(
+            b, p, p, 16, tile=128, group=512, cells=8,
+            residue_budget=16384, uniform_extent=uext)
+        eps = dep_scalar(cnt) + 1e-30 * ovf
+        return (p + eps,)
 
-    ms = chained_ms(q_rope, (qlo[:nq2], qhi[:nq2]), iters=2, reps=2,
-                    const=(bvh,), marginal=True)
-    rows.append((f"AABB query (rope walk) {nq2 // 1000}k",
-                 f"{ms:.1f} ms", f"{nq2 / (ms / 1e3) / 1e6:.3f} Mq/s"))
+    ms = chained_ms(q_exact, (pts,), iters=2, reps=2, const=(bvh,),
+                    marginal=True)
+    rows.append((f"AABB query (EXACT driver c8 + walk residue, 16 hits) "
+                 f"{nq // 1000}k", f"{ms:.1f} ms",
+                 f"{nq / (ms / 1e3) / 1e6:.2f} Mq/s (every query exact)"))
     return rows
 
 
@@ -617,7 +629,8 @@ def bench_cloth(nx=64, quick=False):
     ms = chained_ms(step, c0, iters=5 if quick else 10, reps=3,
                     marginal=True)
     return [(f"cloth two-layer self-contact {nv // 1000}k verts "
-             f"({ntris} tris, Newton 2 x CG 24)", f"{ms:.1f} ms/step",
+             f"({ntris} tris, Newton 2 x CG 24, assembled GN operator)",
+             f"{ms:.1f} ms/step",
              f"{nv / (ms / 1e3) / 1e6:.2f} M vert-steps/s")]
 
 

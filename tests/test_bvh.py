@@ -548,3 +548,61 @@ class TestNearestBanded:
         dd = ((np.asarray(qs)[:, None, :] - pts[None, :, :]) ** 2
               ).sum(-1)
         np.testing.assert_array_equal(prim_f, dd.argmin(1))
+
+
+class TestExactDriver:
+    """query_overlaps_exact: banded join + bounded walk residue — every
+    query answered exactly, no in_band for the caller to handle."""
+
+    def test_every_query_exact_including_residue(self, rng):
+        from zpc_tpu.containers.bvh import (build_lbvh,
+                                            query_overlaps_exact)
+        n = 4096
+        c = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+        h = np.full((n, 3), 0.002, np.float32)
+        lo, hi = jnp.asarray(c - h), jnp.asarray(c + h)
+        bvh = build_lbvh(lo, hi)
+        nq = 700                           # deliberate non-tile-multiple
+        qlo = (c[:nq] - 0.004).copy()
+        qhi = (c[:nq] + 0.004).copy()
+        for i in (0, 13, 250):             # pathological: whole scene
+            qlo[i] = -0.1
+            qhi[i] = 1.1
+        max_hits = 64
+        qid_r, hits_r, cnt, ovf = jax.jit(
+            lambda *a: query_overlaps_exact(*a, max_hits, tile=64,
+                                            residue_budget=64))(
+            bvh, jnp.asarray(qlo), jnp.asarray(qhi))
+        assert not bool(ovf)
+        qid_r, hits_r = np.asarray(qid_r), np.asarray(hits_r)
+        cnt = np.asarray(cnt)
+        lo_n, hi_n = np.asarray(lo), np.asarray(hi)
+        sets = [set() for _ in range(nq)]
+        for row in range(len(qid_r)):
+            q = int(qid_r[row])
+            if q < nq:
+                for p in hits_r[row]:
+                    if p >= 0:
+                        assert int(p) not in sets[q], "duplicate hit"
+                        sets[q].add(int(p))
+        for q in range(nq):
+            ref = np.where(np.all((lo_n <= qhi[q]) & (hi_n >= qlo[q]),
+                                  axis=1))[0]
+            assert cnt[q] == len(ref), q   # counts EXACT for every query
+            if len(ref) <= max_hits:
+                assert sets[q] == set(ref.tolist()), q
+
+    def test_residue_budget_overflow_flagged(self, rng):
+        from zpc_tpu.containers.bvh import (build_lbvh,
+                                            query_overlaps_exact)
+        n = 2048
+        c = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+        h = np.full((n, 3), 0.002, np.float32)
+        bvh = build_lbvh(jnp.asarray(c - h), jnp.asarray(c + h))
+        nq = 256
+        qlo = np.full((nq, 3), -0.1, np.float32)   # ALL pathological
+        qhi = np.full((nq, 3), 1.1, np.float32)
+        *_, ovf = query_overlaps_exact(bvh, jnp.asarray(qlo),
+                                       jnp.asarray(qhi), 16, tile=64,
+                                       residue_budget=64)
+        assert bool(ovf)
