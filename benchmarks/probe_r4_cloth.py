@@ -43,6 +43,8 @@ def build_two_layer(nx=64):
         gravity=simA.gravity, ground_n=simA.ground_n,
         ground_off=simA.ground_off, dhat=simA.dhat, kappa=simA.kappa,
         mu=simA.mu, epsv=simA.epsv)
+    from zpc_tpu.sim.cloth import build_incidence
+    sim = build_incidence(sim)
     return sim, jnp.concatenate([xA, xB])
 
 

@@ -66,7 +66,7 @@ def main():
     chained_ms(app, (x,), iters=16, marginal=True, label="one apply")
 
 
-if __name__ == "__main__" and "--split" not in sys.argv:
+if __name__ == "__main__" and "--split" not in sys.argv and "--scale" not in sys.argv:
     main()
 
 
@@ -135,5 +135,31 @@ def split():
                label="assemble+grad+CG(tol)")
 
 
-if __name__ == "__main__" and "--split" in sys.argv:
+if __name__ == "__main__" and "--split" in sys.argv and "--scale" not in sys.argv:
     split()
+
+
+def scale():
+    """Full assembled step at 8k and 32k verts: the 8k step is op-count
+    latency-bound (probe_r4_cloth4 ablation), so per-vertex throughput
+    should rise steeply with mesh size."""
+    for nx, iters in ((64, 4), (128, 3)):
+        sim, x0 = build_two_layer(nx)
+        dt = jnp.float32(0.005)
+
+        def stepfn(i, c):
+            x, v = c
+            x, v, _ = implicit_step(sim, x, v, dt, newton_iters=2,
+                                    cg_iters=24, self_contact=True)
+            return x, v
+        c0 = jax.block_until_ready(jax.jit(
+            lambda c: jax.lax.fori_loop(0, 30, stepfn, c))(
+            (x0, jnp.zeros_like(x0))))
+        ms = chained_ms(stepfn, c0, iters=iters, reps=3, marginal=True,
+                        label=f"full step assembled {2 * nx * nx} verts")
+        print(f"    -> {x0.shape[0] / (ms / 1e3) / 1e6:.3f} "
+              f"M vert-steps/s", flush=True)
+
+
+if __name__ == "__main__" and "--scale" in sys.argv:
+    scale()

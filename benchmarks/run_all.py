@@ -613,6 +613,8 @@ def bench_cloth(nx=64, quick=False):
         gravity=simA.gravity, ground_n=simA.ground_n,
         ground_off=simA.ground_off, dhat=simA.dhat, kappa=simA.kappa,
         mu=simA.mu, epsv=simA.epsv)
+    from zpc_tpu.sim.cloth import build_incidence
+    sim = build_incidence(sim)
     x0 = jnp.concatenate([xA, xB])
     nv, ntris = 2 * N, int(sim.tris.shape[0])
     dtj = jnp.float32(0.005)

@@ -23,7 +23,7 @@ path is acceptable here.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import jax
@@ -38,7 +38,7 @@ from ..math.solvers import cg
 
 __all__ = ["ClothSim", "make_cloth_grid", "cloth_energy", "implicit_step",
            "self_contact_candidates", "self_contact_energy",
-           "assemble_operator", "apply_operator"]
+           "assemble_operator", "apply_operator", "build_incidence"]
 
 
 @jax.tree_util.register_dataclass
@@ -62,6 +62,12 @@ class ClothSim:
     kappa: jax.Array       # barrier stiffness
     mu: jax.Array          # ground friction coefficient (0 = off)
     epsv: jax.Array        # friction velocity mollifier (m/s)
+    # static transpose tables (round 4, see build_incidence): TPU
+    # scatter-adds serialize (~2.6 of the 3.8 ms apply at 8k verts,
+    # probe_r4_cloth4.py) — with these, every scatter in the CG
+    # operator becomes a bounded gather.  None -> scatter fallback.
+    edge_inc: Optional[jax.Array] = None    # [N, De] side*E+e, -1 pad
+    hinge_inc: Optional[jax.Array] = None   # [N, Dh] h*4+slot, -1 pad
 
 
 def make_cloth_grid(nx: int, ny: int, spacing: float, *,
@@ -116,7 +122,42 @@ def make_cloth_grid(nx: int, ny: int, spacing: float, *,
         ground_n=jnp.asarray(ground_n, f32), ground_off=f32(ground_off),
         dhat=f32(dhat), kappa=f32(kappa), mu=f32(mu),
         epsv=f32(epsv))
-    return sim, x0
+    return build_incidence(sim), x0
+
+
+def build_incidence(sim: ClothSim) -> ClothSim:
+    """Host-side static transpose tables (round 4).
+
+    TPU scatter-adds serialize on duplicate indices: the assembled CG
+    operator's three scatters measured 2.6 of its 3.8 ms at 8k verts
+    (probe_r4_cloth4.py).  Topology is static, so the transposes are
+    precomputable: per vertex, the incident (edge, side) and
+    (hinge, slot) contributions, padded to the max degree — apply
+    becomes bounded row-gathers + masked sums, bit-equivalent up to f32
+    summation order.  Call once per topology (make_cloth_grid does;
+    call directly after hand-assembling a ClothSim, e.g. multi-layer
+    scenes)."""
+    N = int(sim.mass.shape[0])
+    edges = np.asarray(sim.edges)
+    hinges = np.asarray(sim.hinges)
+    E = len(edges)
+    einc = [[] for _ in range(N)]
+    for e in range(E):
+        einc[int(edges[e, 0])].append(e)          # +f side
+        einc[int(edges[e, 1])].append(E + e)      # -f side
+    hinc = [[] for _ in range(N)]
+    for hg in range(len(hinges)):
+        for slot in range(4):
+            hinc[int(hinges[hg, slot])].append(hg * 4 + slot)
+    de = max(1, max((len(l) for l in einc), default=1))
+    dh = max(1, max((len(l) for l in hinc), default=1))
+    et = np.full((N, de), -1, np.int32)
+    ht = np.full((N, dh), -1, np.int32)
+    for i in range(N):
+        et[i, :len(einc[i])] = einc[i]
+        ht[i, :len(hinc[i])] = hinc[i]
+    return dataclasses.replace(sim, edge_inc=jnp.asarray(et),
+                               hinge_inc=jnp.asarray(ht))
 
 
 def cloth_energy(sim: ClothSim, x: jax.Array) -> jax.Array:
@@ -324,11 +365,23 @@ def apply_operator(sim: ClothSim, op, p: jax.Array, dt) -> jax.Array:
     du = jnp.sum(op["ed"] * u, axis=-1)
     f = (op["coef_b"][:, None] * u
          + ((op["coef_a"] - op["coef_b"]) * du)[:, None] * op["ed"])
-    q = q.at[e0].add(f).at[e1].add(-f)
     ph = p[sim.hinges]                            # [H, 4, 3]
     w = jnp.sum(op["gth"] * ph, axis=(-1, -2))
-    q = q.at[sim.hinges.reshape(-1)].add(
-        ((op["coef_h"] * w)[:, None, None] * op["gth"]).reshape(-1, 3))
+    hv = ((op["coef_h"] * w)[:, None, None] * op["gth"]).reshape(-1, 3)
+    if sim.edge_inc is not None and sim.hinge_inc is not None:
+        # scatter-free transpose (round 4): bounded row-gathers via the
+        # static incidence tables — TPU scatter-adds with duplicate
+        # indices serialize (probe_r4_cloth4.py)
+        ft = jnp.concatenate([f, -f], axis=0)     # [2E, 3]
+        gi = sim.edge_inc
+        q = q + jnp.sum(jnp.where((gi >= 0)[..., None],
+                                  ft[jnp.maximum(gi, 0)], 0.0), axis=1)
+        gj = sim.hinge_inc
+        q = q + jnp.sum(jnp.where((gj >= 0)[..., None],
+                                  hv[jnp.maximum(gj, 0)], 0.0), axis=1)
+    else:
+        q = q.at[e0].add(f).at[e1].add(-f)
+        q = q.at[sim.hinges.reshape(-1)].add(hv)
     pn = p @ n_hat
     q = q + (op["curv"] * pn)[:, None] * n_hat[None, :]
     q = q + op["fr_c"][:, None] * (p - pn[:, None] * n_hat[None, :])
