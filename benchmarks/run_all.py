@@ -619,10 +619,11 @@ def bench_cloth(nx=64, quick=False):
     nv, ntris = 2 * N, int(sim.tris.shape[0])
     dtj = jnp.float32(0.005)
 
-    def step(i, c):
+    def step(i, c, budget=None):
         x, v = c
         x, v, _ = implicit_step(sim, x, v, dtj, newton_iters=2,
-                                cg_iters=24, self_contact=True)
+                                cg_iters=24, self_contact=True,
+                                contact_budget=budget)
         return x, v
 
     # settle layer B onto A so the row measures the in-contact regime
@@ -630,10 +631,23 @@ def bench_cloth(nx=64, quick=False):
     c0 = jax.block_until_ready(warm((x0, jnp.zeros_like(x0))))
     ms = chained_ms(step, c0, iters=5 if quick else 10, reps=3,
                     marginal=True)
-    return [(f"cloth two-layer self-contact {nv // 1000}k verts "
+    rows = [(f"cloth two-layer self-contact {nv // 1000}k verts "
              f"({ntris} tris, Newton 2 x CG 24, assembled GN operator)",
              f"{ms:.1f} ms/step",
              f"{nv / (ms / 1e3) / 1e6:.2f} M vert-steps/s")]
+    # contact active-set compaction (round 4): this resting scene is
+    # LIVE-DENSE (dhat ~ spacing -> 45021 of 65536 slots live,
+    # probe_r4_cloth5.py census), so only a covering budget (6N) is a
+    # legitimate physics row here; compaction's real regime is
+    # live-sparse states where max_cand >> live (docs/design.md)
+    stepb = lambda i, c: step(i, c, budget=6 * nv)
+    ms = chained_ms(stepb, c0, iters=5 if quick else 10, reps=3,
+                    marginal=True)
+    rows.append((f"cloth two-layer self-contact {nv // 1000}k verts "
+                 f"(compacted contact, covering budget 6N)",
+                 f"{ms:.1f} ms/step",
+                 f"{nv / (ms / 1e3) / 1e6:.2f} M vert-steps/s"))
+    return rows
 
 
 def main():

@@ -249,3 +249,86 @@ def test_assembled_operator_symmetric_psd_general_state():
         assert abs(a - b) <= 1e-4 * max(abs(a), abs(b), 1.0)
         assert float(jnp.vdot(p, hp)) >= 0.0
     assert bool(jnp.all(op["diag"] > 0.0))
+
+
+def test_contact_active_set_compaction_matches_dense():
+    """assemble_operator(contact_budget=K): the compacted apply equals
+    the dense apply (dropped rows have bpp == 0 exactly), the diag and
+    non-contact blocks are untouched, and the overflow flag fires
+    exactly when live rows exceed the budget."""
+    from zpc_tpu.sim.cloth import (apply_operator, assemble_operator,
+                                   self_contact_candidates)
+    nx = 8
+    sim, x0 = make_cloth_grid(nx, nx, 0.05, height=0.004, dhat=0.01,
+                              kappa=1e2, mu=0.3, k_stretch=2e2,
+                              k_bend=1e-4, mass=0.01)
+    rng = np.random.default_rng(7)
+    y = x0 + jnp.asarray(
+        0.02 * rng.normal(size=x0.shape).astype(np.float32))
+    cand, _ = self_contact_candidates(sim, y, 8)
+    lam = jnp.asarray(rng.uniform(0, 1, x0.shape[0]).astype(np.float32))
+    dense = jax.jit(lambda z: assemble_operator(
+        sim, z, x0, 0.02, cand=cand, lam=lam))(y)
+    n_live = int(jnp.sum((jnp.asarray(dense["contact"][3]) > 0)
+                         .astype(jnp.int32)))
+    assert n_live > 0  # the scene must actually exercise contact
+    comp = jax.jit(lambda z: assemble_operator(
+        sim, z, x0, 0.02, cand=cand, lam=lam,
+        contact_budget=n_live + 3))(y)
+    assert comp["contact"] is None and comp["contact_c"] is not None
+    assert not bool(comp["act_ovf"])
+    np.testing.assert_array_equal(np.asarray(comp["diag"]),
+                                  np.asarray(dense["diag"]))
+    for _ in range(4):
+        p = jnp.asarray(rng.normal(size=x0.shape).astype(np.float32))
+        qd = jax.jit(lambda q: apply_operator(sim, dense, q, 0.02))(p)
+        qc = jax.jit(lambda q: apply_operator(sim, comp, q, 0.02))(p)
+        scale = float(jnp.max(jnp.abs(qd)))
+        np.testing.assert_allclose(np.asarray(qc), np.asarray(qd),
+                                   rtol=1e-5, atol=1e-6 * scale)
+    # overflow contract: budget below the live count flags
+    tight = jax.jit(lambda z: assemble_operator(
+        sim, z, x0, 0.02, cand=cand, lam=lam,
+        contact_budget=max(1, n_live - 1)))(y)
+    assert bool(tight["act_ovf"])
+
+
+def test_implicit_step_contact_budget_matches_dense():
+    """implicit_step(contact_budget=K) with an ample budget reproduces
+    the dense two-layer trajectory bit-for-bit up to f32 summation
+    order, and reports no overflow."""
+    nx = 6
+    spacing, gap, dhat = 0.3 / nx, 0.01, 0.008
+    simA, xA = make_cloth_grid(nx, nx, spacing, height=0.2, dhat=dhat,
+                               ground_off=-10.0, k_stretch=2e2,
+                               k_bend=1e-4, mass=0.01)
+    N = xA.shape[0]
+    xB = xA + jnp.asarray([0.5 * spacing, gap, 0.5 * spacing])
+    free = np.concatenate([np.zeros(N, bool), np.ones(N, bool)])
+    import dataclasses
+    from zpc_tpu.sim.cloth import build_incidence
+    sim = build_incidence(dataclasses.replace(
+        simA,
+        tris=jnp.concatenate([simA.tris, simA.tris + N]),
+        edges=jnp.concatenate([simA.edges, simA.edges + N]),
+        hinges=jnp.concatenate([simA.hinges, simA.hinges + N]),
+        rest_len=jnp.concatenate([simA.rest_len, simA.rest_len]),
+        rest_angle=jnp.concatenate([simA.rest_angle, simA.rest_angle]),
+        mass=jnp.concatenate([simA.mass, simA.mass]),
+        free=jnp.asarray(free), edge_inc=None, hinge_inc=None))
+    x = jnp.concatenate([xA, xB])
+    v = jnp.zeros_like(x)
+    dt = jnp.float32(0.005)
+    step_d = jax.jit(lambda c: implicit_step(
+        sim, c[0], c[1], dt, newton_iters=2, cg_iters=12,
+        self_contact=True))
+    step_c = jax.jit(lambda c: implicit_step(
+        sim, c[0], c[1], dt, newton_iters=2, cg_iters=12,
+        self_contact=True, contact_budget=2 * int(x.shape[0])))
+    xd, vd, xc, vc = x, v, x, v
+    for _ in range(8):
+        xd, vd, _ = step_d((xd, vd))
+        xc, vc, ovf = step_c((xc, vc))
+        assert not bool(ovf)
+    np.testing.assert_allclose(np.asarray(xc), np.asarray(xd),
+                               rtol=3e-4, atol=3e-6)

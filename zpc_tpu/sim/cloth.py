@@ -257,7 +257,7 @@ def _self_contact_alpha(sim: ClothSim, x, dx, cand):
 
 
 def assemble_operator(sim: ClothSim, y: jax.Array, x: jax.Array, dt,
-                      *, cand=None, lam=None):
+                      *, cand=None, lam=None, contact_budget=None):
     """Cache per-element Gauss-Newton(-PSD) Hessian data at ``y``, ONCE
     per Newton iteration (round 4).
 
@@ -289,6 +289,25 @@ def assemble_operator(sim: ClothSim, y: jax.Array, x: jax.Array, dt,
     so converged states are unchanged; only the search direction uses
     the PSD model (the universal IPC practice — the exact projected
     Hessian is what the reference's downstream codim solver builds).
+
+    ``contact_budget`` (round 4, active-set compaction): the round-4
+    ablation (docs/design.md) showed the CG apply is indexed-ROW-rate
+    bound and the self-contact term holds most of the rows (4 x N x C
+    per apply).  With a budget K, the live (``bpp > 0``) rows are
+    compacted ONCE at assembly (stable sort over the liveness mask)
+    and the apply touches 4 x K rows instead — bit-equivalent up to
+    f32 summation order, since dropped rows have ``bpp == 0`` exactly.
+    This decouples apply cost from the CANDIDATE budget; its winning
+    regime is live-SPARSE states (draping, glancing/early contact)
+    where ``max_cand`` is sized for the worst vertex but few barriers
+    are active.  Resting contact with ``dhat ~ spacing`` is live-DENSE
+    (probe_r4_cloth5.py census: 69% of slots live in the two-layer
+    bench), where only a covering budget is legitimate and the win is
+    small — measured in docs/design.md.  ``act_ovf`` in the returned
+    operator is True when live rows exceeded K (the standard overflow
+    contract: caller re-traces with a larger budget; padding rows
+    carry ``bpp = 0`` so a clipped apply stays PSD — it under-models
+    contact stiffness, never corrupts it).
     """
     dt = jnp.asarray(dt, y.dtype)
     n_hat = sim.ground_n
@@ -327,10 +346,27 @@ def assemble_operator(sim: ClothSim, y: jax.Array, x: jax.Array, dt,
         s = jnp.sum(diff * diff, axis=-1)
         bpp = jnp.maximum(barrier_hess(s, d2h, sim.kappa), 0.0)
         bpp = jnp.where(cand >= 0, bpp, 0.0)
-        contact = (tidx, jax.lax.stop_gradient(bary),
-                   jax.lax.stop_gradient(diff), bpp)
+        bary = jax.lax.stop_gradient(bary)
+        diff = jax.lax.stop_gradient(diff)
+        contact = (tidx, bary, diff, bpp)
     else:
         contact = None
+
+    contact_c = act_ovf = None
+    if contact is not None and contact_budget is not None:
+        # active-set compaction: stable-sort the [N*C] rows by liveness
+        # and keep the first K.  Non-live rows carry bpp == 0 exactly,
+        # so any non-live rows inside the budget are harmless padding.
+        C = cand.shape[1]
+        R = y.shape[0] * C
+        live = (bpp > 0.0).reshape(R)
+        perm = jnp.argsort(jnp.where(live, 0, 1).astype(jnp.int32),
+                           stable=True)[:contact_budget]
+        cvid = (perm // C).astype(jnp.int32)
+        contact_c = (cvid, tidx.reshape(R, 3)[perm],
+                     bary.reshape(R, 3)[perm], diff.reshape(R, 3)[perm],
+                     bpp.reshape(R)[perm])
+        act_ovf = jnp.sum(live.astype(jnp.int32)) > contact_budget
 
     # exact diagonal of the assembled operator -> Jacobi preconditioner
     N = y.shape[0]
@@ -349,8 +385,9 @@ def assemble_operator(sim: ClothSim, y: jax.Array, x: jax.Array, dt,
                * (diff * diff)[:, :, None, :])             # [N, C, 3, 3]
         diag = diag.at[tidx.reshape(-1)].add(dtk.reshape(-1, 3))
     return dict(ed=ed, coef_a=coef_a, coef_b=coef_b, gth=gth,
-                coef_h=coef_h, curv=curv, fr_c=fr_c, contact=contact,
-                diag=diag)
+                coef_h=coef_h, curv=curv, fr_c=fr_c,
+                contact=None if contact_c is not None else contact,
+                contact_c=contact_c, act_ovf=act_ovf, diag=diag)
 
 
 def apply_operator(sim: ClothSim, op, p: jax.Array, dt) -> jax.Array:
@@ -385,7 +422,19 @@ def apply_operator(sim: ClothSim, op, p: jax.Array, dt) -> jax.Array:
     pn = p @ n_hat
     q = q + (op["curv"] * pn)[:, None] * n_hat[None, :]
     q = q + op["fr_c"][:, None] * (p - pn[:, None] * n_hat[None, :])
-    if op["contact"] is not None:
+    if op.get("contact_c") is not None:
+        # compacted active set (round 4): 4K indexed rows per apply
+        # instead of 4NC — see assemble_operator(contact_budget=...)
+        cvid, tidx, bary, diff, bpp = op["contact_c"]
+        pt = p[tidx]                              # [K, 3, 3]
+        rel = p[cvid] - jnp.sum(bary[..., None] * pt, axis=1)
+        dots = 2.0 * jnp.sum(diff * rel, axis=-1)            # grad s . p
+        coef = bpp * dots                                    # [K]
+        q = q.at[cvid].add(2.0 * coef[:, None] * diff)
+        ct = (-2.0 * coef[:, None, None] * bary[:, :, None]
+              * diff[:, None, :])                            # [K, 3, 3]
+        q = q.at[tidx.reshape(-1)].add(ct.reshape(-1, 3))
+    elif op["contact"] is not None:
         tidx, bary, diff, bpp = op["contact"]
         pt = p[tidx]                              # [N, C, 3, 3]
         rel = p[:, None, :] - jnp.sum(bary[..., None] * pt, axis=2)
@@ -402,7 +451,8 @@ def implicit_step(sim: ClothSim, x: jax.Array, v: jax.Array,
                   dt, *, newton_iters: int = 2,
                   cg_iters: int = 40, self_contact: bool = False,
                   max_cand: int = 8, precondition: bool = True,
-                  operator: str = "assembled"):
+                  operator: str = "assembled",
+                  contact_budget: Optional[int] = None):
     """One implicit-Euler step: minimize the incremental potential with
     ``newton_iters`` Newton-CG rounds; a half-space step limiter keeps
     iterates strictly outside the ground (IPC line-search analog,
@@ -424,7 +474,12 @@ def implicit_step(sim: ClothSim, x: jax.Array, v: jax.Array,
     assembled operator the Jacobi preconditioner is its exact
     anisotropic diagonal.  ``"autodiff"`` keeps the exact-Hessian HVP
     (the test oracle: the two agree exactly where GN is exact —
-    tests/test_cloth.py)."""
+    tests/test_cloth.py).
+
+    ``contact_budget`` (round 4): compact the self-contact rows of the
+    assembled operator to the live active set (see
+    :func:`assemble_operator`); the returned overflow flag then also
+    covers active-set overflow (re-trace with a larger budget)."""
     dt = jnp.asarray(dt, x.dtype)
     free3 = sim.free[:, None]
     m3 = sim.mass[:, None]
@@ -486,7 +541,10 @@ def implicit_step(sim: ClothSim, x: jax.Array, v: jax.Array,
         if operator == "assembled":
             op = assemble_operator(
                 sim, y, x, dt, cand=cand if self_contact else None,
-                lam=lam)
+                lam=lam,
+                contact_budget=contact_budget if self_contact else None)
+            if self_contact and op["act_ovf"] is not None:
+                sc_ovf = sc_ovf | op["act_ovf"]
             hvp = lambda p, _op=op: project(
                 apply_operator(sim, _op, project(p), dt))
             pre = ((lambda r, _d=op["diag"]: r / _d)
