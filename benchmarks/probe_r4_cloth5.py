@@ -36,7 +36,8 @@ def setup(nx=64):
         rest_len=jnp.concatenate([simA.rest_len, simA.rest_len]),
         rest_angle=jnp.concatenate([simA.rest_angle, simA.rest_angle]),
         mass=jnp.concatenate([simA.mass, simA.mass]),
-        free=jnp.asarray(free), edge_inc=None, hinge_inc=None))
+        free=jnp.asarray(free), edge_inc=None, hinge_inc=None,
+        stencil=None))
     x0 = jnp.concatenate([xA, xB])
     return sim, x0
 

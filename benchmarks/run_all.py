@@ -613,8 +613,11 @@ def bench_cloth(nx=64, quick=False):
         gravity=simA.gravity, ground_n=simA.ground_n,
         ground_off=simA.ground_off, dhat=simA.dhat, kappa=simA.kappa,
         mu=simA.mu, epsv=simA.epsv)
-    from zpc_tpu.sim.cloth import build_incidence
-    sim = build_incidence(sim)
+    from zpc_tpu.sim.cloth import build_grid_stencil, build_incidence
+    # round 4: slice-form stretch/bend (zero indexed rows) for the
+    # two-layer grid union; incidence tables kept as the fallback path
+    sim = build_grid_stencil(build_incidence(sim),
+                             ((0, nx, nx), (N, nx, nx)))
     x0 = jnp.concatenate([xA, xB])
     nv, ntris = 2 * N, int(sim.tris.shape[0])
     dtj = jnp.float32(0.005)

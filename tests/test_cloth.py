@@ -315,7 +315,8 @@ def test_implicit_step_contact_budget_matches_dense():
         rest_len=jnp.concatenate([simA.rest_len, simA.rest_len]),
         rest_angle=jnp.concatenate([simA.rest_angle, simA.rest_angle]),
         mass=jnp.concatenate([simA.mass, simA.mass]),
-        free=jnp.asarray(free), edge_inc=None, hinge_inc=None))
+        free=jnp.asarray(free), edge_inc=None, hinge_inc=None,
+        stencil=None))
     x = jnp.concatenate([xA, xB])
     v = jnp.zeros_like(x)
     dt = jnp.float32(0.005)
@@ -332,3 +333,74 @@ def test_implicit_step_contact_budget_matches_dense():
         assert not bool(ovf)
     np.testing.assert_allclose(np.asarray(xc), np.asarray(xd),
                                rtol=3e-4, atol=3e-6)
+
+
+def test_grid_stencil_matches_edge_list_operator():
+    """The slice-form (stencil) energy, assembled operator, its
+    application, and its exact diagonal equal the edge/hinge-list forms
+    up to f32 summation order — on a single grid and on a two-grid
+    union (the bench topology)."""
+    import dataclasses
+    from zpc_tpu.sim.cloth import (assemble_operator, apply_operator,
+                                   build_grid_stencil)
+    # single grid (make_cloth_grid attaches the stencil)
+    sim, x0 = make_cloth_grid(9, 7, 0.05, dhat=0.008, kappa=50.0)
+    assert sim.stencil is not None
+    sim0 = dataclasses.replace(sim, stencil=None)
+    y = x0 + 0.01 * jax.random.normal(jax.random.PRNGKey(0), x0.shape)
+    p = jax.random.normal(jax.random.PRNGKey(1), x0.shape)
+    np.testing.assert_allclose(float(cloth_energy(sim, y)),
+                               float(cloth_energy(sim0, y)), rtol=1e-6)
+    op1 = assemble_operator(sim, y, x0, 0.01)
+    op0 = assemble_operator(sim0, y, x0, 0.01)
+    np.testing.assert_allclose(
+        np.asarray(apply_operator(sim, op1, p, 0.01)),
+        np.asarray(apply_operator(sim0, op0, p, 0.01)),
+        rtol=2e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(op1["diag"]),
+                               np.asarray(op0["diag"]),
+                               rtol=2e-5, atol=1e-4)
+    # two-grid union: the bench two-layer topology
+    nx = 6
+    simT, xT = _two_layer(nx, nx, 0.05, 0.012, 0.01, k_stretch=2e2,
+                          k_bend=1e-4, mass=0.01)
+    N = nx * nx
+    simS = build_grid_stencil(simT, ((0, nx, nx), (N, nx, nx)))
+    yT = xT + 0.005 * jax.random.normal(jax.random.PRNGKey(2), xT.shape)
+    pT = jax.random.normal(jax.random.PRNGKey(3), xT.shape)
+    np.testing.assert_allclose(float(cloth_energy(simS, yT)),
+                               float(cloth_energy(simT, yT)), rtol=1e-6)
+    opS = assemble_operator(simS, yT, xT, 0.005)
+    opT = assemble_operator(simT, yT, xT, 0.005)
+    np.testing.assert_allclose(
+        np.asarray(apply_operator(simS, opS, pT, 0.005)),
+        np.asarray(apply_operator(simT, opT, pT, 0.005)),
+        rtol=2e-5, atol=1e-4)
+
+
+def test_grid_stencil_trajectory_and_guards():
+    """implicit_step trajectories agree stencil vs edge-list (same CG,
+    same states to tolerance); stale/invalid stencils fail loudly."""
+    import dataclasses
+    import pytest
+    from zpc_tpu.sim.cloth import build_grid_stencil
+    sim, x0 = make_cloth_grid(7, 7, 0.05, height=0.05, dhat=0.01,
+                              kappa=100.0)
+    sim0 = dataclasses.replace(sim, stencil=None)
+    v0 = jnp.zeros_like(x0)
+    xs, vs = x0, v0
+    xe, ve = x0, v0
+    for _ in range(5):
+        xs, vs = implicit_step(sim, xs, vs, 0.005)
+        xe, ve = implicit_step(sim0, xe, ve, 0.005)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(xe),
+                               rtol=1e-4, atol=1e-6)
+    # stale stencil (wrong vertex count) raises, not corrupts
+    bad = dataclasses.replace(
+        sim0, mass=jnp.concatenate([sim.mass, sim.mass]),
+        stencil=sim.stencil)
+    with pytest.raises(ValueError, match="stale"):
+        cloth_energy(bad, jnp.concatenate([x0, x0]))
+    # non-grid topology: build_grid_stencil refuses
+    with pytest.raises(ValueError):
+        build_grid_stencil(sim, ((0, 7, 7), (49, 1, 1)))

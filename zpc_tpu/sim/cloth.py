@@ -36,9 +36,140 @@ from ..geometry.dihedral import (dihedral_angle, dihedral_angle_gradient,
 from ..geometry.distance import point_triangle_ccd, point_triangle_closest
 from ..math.solvers import cg
 
-__all__ = ["ClothSim", "make_cloth_grid", "cloth_energy", "implicit_step",
-           "self_contact_candidates", "self_contact_energy",
-           "assemble_operator", "apply_operator", "build_incidence"]
+__all__ = ["ClothSim", "ClothStencil", "make_cloth_grid", "cloth_energy",
+           "implicit_step", "self_contact_candidates", "self_contact_energy",
+           "assemble_operator", "apply_operator", "build_incidence",
+           "build_grid_stencil"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ClothStencil:
+    """Stencil (slice-form) topology for unions of regular grids.
+
+    The round-4 cloth ablation (docs/design.md) pinned the CG apply to
+    the indexed-ROW rate (~15-20 ns/row on v5e regardless of gather vs
+    scatter direction); rearranging which side indexes conserves rows.
+    The only way OUT is structure: on a regular ``nx x ny`` grid every
+    edge and hinge family lives at a static (i, j) offset, so the
+    stretch/bend terms of the energy, the assembled GN operator, its
+    application, and its diagonal are pure SLICE arithmetic — zero
+    indexed rows (the same structured/unstructured split the MPM grid
+    exploits; reference analog: regular-lattice cloth in zeno's codim
+    scenes).  Families per grid, with ``vid(i,j) = start + i*ny + j``:
+
+    * stretch: horizontal ``(i,j)-(i+1,j)``, vertical ``(i,j)-(i,j+1)``,
+      diagonal ``(i,j)-(i+1,j+1)`` (the cell-split diagonal);
+    * bending (hinge rows ``(v2, v0, v1, v3) = (opp0, a, b, opp1)``):
+      over interior horizontal / vertical / diagonal edges, each with
+      all four vertices at static offsets.
+
+    ``rest_len`` / ``rest_angle`` hold the per-family rest quantities
+    reshaped to the family's ``[sx, sy]`` patch, gathered host-side
+    from the sim's edge/hinge-ordered arrays (build_grid_stencil
+    verifies the family decomposition covers the topology EXACTLY —
+    every edge and hinge claimed once, hinge vertex order matching —
+    so the stencil operator equals the edge-list operator up to f32
+    summation order; oracle: tests/test_cloth.py).
+    """
+
+    rest_len: Tuple[jax.Array, ...]     # 3 per grid (h, v, d), [sx, sy]
+    rest_angle: Tuple[jax.Array, ...]   # 3 per grid (bh, bv, bd)
+    grids: Tuple[Tuple[int, int, int], ...] = dataclasses.field(
+        metadata=dict(static=True), default=())   # (start, nx, ny)
+
+
+def _stretch_slices(nx, ny):
+    """(s0, s1) index tuples per stretch family on a [nx, ny, ...]
+    grid view (h, v, d — see ClothStencil)."""
+    a = slice(None)
+    return (((slice(0, nx - 1), a), (slice(1, nx), a)),
+            ((a, slice(0, ny - 1)), (a, slice(1, ny))),
+            ((slice(0, nx - 1), slice(0, ny - 1)),
+             (slice(1, nx), slice(1, ny))))
+
+
+def _bend_slices(nx, ny):
+    """(s_v2, s_v0, s_v1, s_v3) per bend family (bh, bv, bd), matching
+    make_cloth_grid's hinge construction (opp0 = first triangle in
+    cell-iteration order)."""
+    return (
+        # over horizontal interior edges (i,j)-(i+1,j), j in [1, ny-2]:
+        # (opp0=(i,j-1), a=(i,j), b=(i+1,j), opp1=(i+1,j+1))
+        ((slice(0, nx - 1), slice(0, ny - 2)),
+         (slice(0, nx - 1), slice(1, ny - 1)),
+         (slice(1, nx), slice(1, ny - 1)),
+         (slice(1, nx), slice(2, ny))),
+        # over vertical interior edges (i,j)-(i,j+1), i in [1, nx-2]:
+        # (opp0=(i-1,j), a=(i,j), b=(i,j+1), opp1=(i+1,j+1))
+        ((slice(0, nx - 2), slice(0, ny - 1)),
+         (slice(1, nx - 1), slice(0, ny - 1)),
+         (slice(1, nx - 1), slice(1, ny)),
+         (slice(2, nx), slice(1, ny))),
+        # over diagonal edges (i,j)-(i+1,j+1) (both triangles share the
+        # cell): (opp0=(i+1,j), a=(i,j), b=(i+1,j+1), opp1=(i,j+1))
+        ((slice(1, nx), slice(0, ny - 1)),
+         (slice(0, nx - 1), slice(0, ny - 1)),
+         (slice(1, nx), slice(1, ny)),
+         (slice(0, nx - 1), slice(1, ny))))
+
+
+def build_grid_stencil(sim: ClothSim, grids) -> ClothSim:
+    """Attach a :class:`ClothStencil` for a union of regular grids.
+
+    ``grids``: iterable of ``(start, nx, ny)`` vertex-id ranges that
+    must PARTITION ``[0, N)`` contiguously (multi-layer scenes pass one
+    tuple per layer).  Host-side: maps every family position to its
+    edge/hinge index in ``sim`` and verifies exact coverage — raises if
+    the mesh is not the union of make_cloth_grid topologies."""
+    grids = tuple((int(s), int(a), int(b)) for s, a, b in grids)
+    N = int(sim.mass.shape[0])
+    off = 0
+    for s, gx, gy in grids:      # diag/apply concatenate in grid order
+        if s != off:
+            raise ValueError("grids must partition [0, N) contiguously"
+                             " in increasing-start order")
+        off += gx * gy
+    if off != N:
+        raise ValueError("grids must partition [0, N)")
+    edges = np.asarray(sim.edges)
+    hinges = np.asarray(sim.hinges)
+    e_ix = {(int(a), int(b)): k for k, (a, b) in enumerate(edges)}
+    h_ix = {(int(r[1]), int(r[2])): k for k, r in enumerate(hinges)}
+    rl = np.asarray(sim.rest_len)
+    ra = np.asarray(sim.rest_angle)
+    rest_len, rest_angle = [], []
+    e_used = np.zeros(len(edges), bool)
+    h_used = np.zeros(len(hinges), bool)
+    for start, nx, ny in grids:
+        vid = start + (np.arange(nx)[:, None] * ny
+                       + np.arange(ny)[None, :]).astype(np.int64)
+        for s0, s1 in _stretch_slices(nx, ny):
+            ks = np.asarray([[e_ix[(int(a), int(b))]
+                              for a, b in zip(ra_, rb_)]
+                             for ra_, rb_ in zip(vid[s0], vid[s1])],
+                            np.int64)
+            if e_used[ks.ravel()].any():
+                raise ValueError("edge claimed twice")
+            e_used[ks.ravel()] = True
+            rest_len.append(jnp.asarray(rl[ks], jnp.float32))
+        for s2, s0, s1, s3 in _bend_slices(nx, ny):
+            rows = np.stack([vid[s2], vid[s0], vid[s1], vid[s3]], -1)
+            sx, sy = rows.shape[:2]
+            ks = np.asarray([[h_ix[(int(r[1]), int(r[2]))]
+                              for r in row] for row in rows], np.int64)
+            if not np.array_equal(hinges[ks.reshape(-1)],
+                                  rows.reshape(-1, 4)):
+                raise ValueError("hinge vertex order mismatch")
+            if h_used[ks.ravel()].any():
+                raise ValueError("hinge claimed twice")
+            h_used[ks.ravel()] = True
+            rest_angle.append(jnp.asarray(ra[ks], jnp.float32))
+    if not (e_used.all() and h_used.all()):
+        raise ValueError("mesh has edges/hinges outside the grid union")
+    sten = ClothStencil(rest_len=tuple(rest_len),
+                        rest_angle=tuple(rest_angle), grids=grids)
+    return dataclasses.replace(sim, stencil=sten)
 
 
 @jax.tree_util.register_dataclass
@@ -68,6 +199,10 @@ class ClothSim:
     # operator becomes a bounded gather.  None -> scatter fallback.
     edge_inc: Optional[jax.Array] = None    # [N, De] side*E+e, -1 pad
     hinge_inc: Optional[jax.Array] = None   # [N, Dh] h*4+slot, -1 pad
+    # slice-form topology for unions of regular grids (round 4):
+    # stretch/bend with ZERO indexed rows — see ClothStencil /
+    # build_grid_stencil.  None -> incidence/scatter paths.
+    stencil: Optional["ClothStencil"] = None
 
 
 def make_cloth_grid(nx: int, ny: int, spacing: float, *,
@@ -122,7 +257,7 @@ def make_cloth_grid(nx: int, ny: int, spacing: float, *,
         ground_n=jnp.asarray(ground_n, f32), ground_off=f32(ground_off),
         dhat=f32(dhat), kappa=f32(kappa), mu=f32(mu),
         epsv=f32(epsv))
-    return build_incidence(sim), x0
+    return build_grid_stencil(build_incidence(sim), ((0, nx, ny),)), x0
 
 
 def build_incidence(sim: ClothSim) -> ClothSim:
@@ -160,21 +295,59 @@ def build_incidence(sim: ClothSim) -> ClothSim:
                                hinge_inc=jnp.asarray(ht))
 
 
+def _grid_views(sten: ClothStencil, x: jax.Array):
+    """Per-grid [nx, ny, 3] views of a [N, 3] field (grids partition
+    [0, N) contiguously — enforced by build_grid_stencil)."""
+    if sum(nx * ny for _, nx, ny in sten.grids) != x.shape[0]:
+        raise ValueError(
+            "stale ClothStencil: grids cover {} vertices but the field "
+            "has {} — after dataclasses.replace on topology, rebuild "
+            "with build_grid_stencil or set stencil=None".format(
+                sum(nx * ny for _, nx, ny in sten.grids), x.shape[0]))
+    return [x[s:s + nx * ny].reshape(nx, ny, 3)
+            for s, nx, ny in sten.grids]
+
+
+def _stencil_elastic_energy(sim: ClothSim, x: jax.Array) -> jax.Array:
+    """Stretch + bend energy in slice form (zero indexed rows); equals
+    the edge/hinge-list energy up to f32 summation order, so autodiff
+    through it yields the same gradient with slice-scatter adjoints."""
+    sten = sim.stencil
+    e = jnp.float32(0.0)
+    views = _grid_views(sten, x)
+    for g, (_, nx, ny) in enumerate(sten.grids):
+        X = views[g]
+        for f, (s0, s1) in enumerate(_stretch_slices(nx, ny)):
+            d = X[s0] - X[s1]
+            lens = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-20)
+            e = e + 0.5 * sim.k_stretch * jnp.sum(
+                (lens - sten.rest_len[3 * g + f]) ** 2)
+        for f, (s2, s0, s1, s3) in enumerate(_bend_slices(nx, ny)):
+            e = e + jnp.sum(hinge_bending_energy(
+                X[s2], X[s0], X[s1], X[s3],
+                sten.rest_angle[3 * g + f], sim.k_bend))
+    return e
+
+
 def cloth_energy(sim: ClothSim, x: jax.Array) -> jax.Array:
     """Elastic + barrier energy (gravity enters through the inertia
     target, the standard incremental-potential split)."""
-    d = x[sim.edges[:, 0]] - x[sim.edges[:, 1]]
-    lens = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-20)
-    e_stretch = 0.5 * sim.k_stretch * jnp.sum(
-        (lens - sim.rest_len) ** 2)
-    e_bend = jnp.sum(hinge_bending_energy(
-        x[sim.hinges[:, 0]], x[sim.hinges[:, 1]],
-        x[sim.hinges[:, 2]], x[sim.hinges[:, 3]],
-        sim.rest_angle, sim.k_bend))
+    if sim.stencil is not None:
+        e_elastic = _stencil_elastic_energy(sim, x)
+    else:
+        d = x[sim.edges[:, 0]] - x[sim.edges[:, 1]]
+        lens = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-20)
+        e_stretch = 0.5 * sim.k_stretch * jnp.sum(
+            (lens - sim.rest_len) ** 2)
+        e_bend = jnp.sum(hinge_bending_energy(
+            x[sim.hinges[:, 0]], x[sim.hinges[:, 1]],
+            x[sim.hinges[:, 2]], x[sim.hinges[:, 3]],
+            sim.rest_angle, sim.k_bend))
+        e_elastic = e_stretch + e_bend
     gap = x @ sim.ground_n - sim.ground_off
     e_contact = jnp.sum(barrier(gap * gap, sim.dhat * sim.dhat,
                                 sim.kappa))
-    return e_stretch + e_bend + e_contact
+    return e_elastic + e_contact
 
 
 def self_contact_candidates(sim: ClothSim, x: jax.Array,
@@ -311,17 +484,51 @@ def assemble_operator(sim: ClothSim, y: jax.Array, x: jax.Array, dt,
     """
     dt = jnp.asarray(dt, y.dtype)
     n_hat = sim.ground_n
-    e0, e1 = sim.edges[:, 0], sim.edges[:, 1]
-    d = y[e0] - y[e1]
-    l = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-20)
-    ed = d / l[:, None]
-    coef_a = jnp.broadcast_to(sim.k_stretch, l.shape)
-    coef_b = sim.k_stretch * jnp.maximum(0.0, 1.0 - sim.rest_len / l)
-
-    gth = dihedral_angle_gradient(
-        y[sim.hinges[:, 0]], y[sim.hinges[:, 1]],
-        y[sim.hinges[:, 2]], y[sim.hinges[:, 3]]).reshape(-1, 4, 3)
     coef_h = 2.0 * sim.k_bend                    # E = k (theta-rest)^2
+    if sim.stencil is not None:
+        # slice-form stretch/bend element data + diagonal (round 4):
+        # per-family (ed, coef_b) and gth patches, diag accumulated on
+        # per-grid [nx, ny, 3] blocks — zero indexed rows
+        sten = sim.stencil
+        views = _grid_views(sten, y)
+        s_fam, b_fam, dblk = [], [], []
+        for g, (_, nx, ny) in enumerate(sten.grids):
+            Y = views[g]
+            Dg = jnp.zeros((nx, ny, 3), y.dtype)
+            for f, (s0, s1) in enumerate(_stretch_slices(nx, ny)):
+                d = Y[s0] - Y[s1]
+                l = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-20)
+                ed_f = d / l[..., None]
+                cb = sim.k_stretch * jnp.maximum(
+                    0.0, 1.0 - sten.rest_len[3 * g + f] / l)
+                s_fam.append((ed_f, cb))
+                ds = (cb[..., None]
+                      + (sim.k_stretch - cb)[..., None] * ed_f * ed_f)
+                Dg = Dg.at[s0].add(ds).at[s1].add(ds)
+            for f, sl in enumerate(_bend_slices(nx, ny)):
+                gth_f = dihedral_angle_gradient(
+                    Y[sl[0]], Y[sl[1]], Y[sl[2]], Y[sl[3]]
+                ).reshape(Y[sl[0]].shape[:2] + (4, 3))
+                b_fam.append(gth_f)
+                dv = coef_h * gth_f * gth_f
+                for k in range(4):
+                    Dg = Dg.at[sl[k]].add(dv[:, :, k, :])
+            dblk.append(Dg.reshape(-1, 3))
+        sten_op = (tuple(s_fam), tuple(b_fam))
+        diag_elastic = jnp.concatenate(dblk, axis=0)
+        ed = coef_a = coef_b = gth = None
+    else:
+        sten_op = None
+        e0, e1 = sim.edges[:, 0], sim.edges[:, 1]
+        d = y[e0] - y[e1]
+        l = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-20)
+        ed = d / l[:, None]
+        coef_a = jnp.broadcast_to(sim.k_stretch, l.shape)
+        coef_b = sim.k_stretch * jnp.maximum(0.0, 1.0 - sim.rest_len / l)
+
+        gth = dihedral_angle_gradient(
+            y[sim.hinges[:, 0]], y[sim.hinges[:, 1]],
+            y[sim.hinges[:, 2]], y[sim.hinges[:, 3]]).reshape(-1, 4, 3)
 
     gap = y @ n_hat - sim.ground_off
     g2 = gap * gap
@@ -371,10 +578,13 @@ def assemble_operator(sim: ClothSim, y: jax.Array, x: jax.Array, dt,
     # exact diagonal of the assembled operator -> Jacobi preconditioner
     N = y.shape[0]
     diag = (sim.mass / (dt * dt))[:, None] * jnp.ones((1, 3), y.dtype)
-    ds = (coef_b[:, None] + (coef_a - coef_b)[:, None] * ed * ed)
-    diag = diag.at[e0].add(ds).at[e1].add(ds)
-    diag = diag.at[sim.hinges.reshape(-1)].add(
-        (coef_h * gth * gth).reshape(-1, 3))
+    if sten_op is not None:
+        diag = diag + diag_elastic
+    else:
+        ds = (coef_b[:, None] + (coef_a - coef_b)[:, None] * ed * ed)
+        diag = diag.at[e0].add(ds).at[e1].add(ds)
+        diag = diag.at[sim.hinges.reshape(-1)].add(
+            (coef_h * gth * gth).reshape(-1, 3))
     diag = diag + curv[:, None] * (n_hat * n_hat)[None, :]
     diag = diag + fr_c[:, None] * (1.0 - n_hat * n_hat)[None, :]
     if contact is not None:
@@ -385,7 +595,7 @@ def assemble_operator(sim: ClothSim, y: jax.Array, x: jax.Array, dt,
                * (diff * diff)[:, :, None, :])             # [N, C, 3, 3]
         diag = diag.at[tidx.reshape(-1)].add(dtk.reshape(-1, 3))
     return dict(ed=ed, coef_a=coef_a, coef_b=coef_b, gth=gth,
-                coef_h=coef_h, curv=curv, fr_c=fr_c,
+                coef_h=coef_h, curv=curv, fr_c=fr_c, sten=sten_op,
                 contact=None if contact_c is not None else contact,
                 contact_c=contact_c, act_ovf=act_ovf, diag=diag)
 
@@ -397,28 +607,61 @@ def apply_operator(sim: ClothSim, op, p: jax.Array, dt) -> jax.Array:
     dt = jnp.asarray(dt, p.dtype)
     n_hat = sim.ground_n
     q = (sim.mass / (dt * dt))[:, None] * p
-    e0, e1 = sim.edges[:, 0], sim.edges[:, 1]
-    u = p[e0] - p[e1]
-    du = jnp.sum(op["ed"] * u, axis=-1)
-    f = (op["coef_b"][:, None] * u
-         + ((op["coef_a"] - op["coef_b"]) * du)[:, None] * op["ed"])
-    ph = p[sim.hinges]                            # [H, 4, 3]
-    w = jnp.sum(op["gth"] * ph, axis=(-1, -2))
-    hv = ((op["coef_h"] * w)[:, None, None] * op["gth"]).reshape(-1, 3)
-    if sim.edge_inc is not None and sim.hinge_inc is not None:
-        # scatter-free transpose (round 4): bounded row-gathers via the
-        # static incidence tables — TPU scatter-adds with duplicate
-        # indices serialize (probe_r4_cloth4.py)
-        ft = jnp.concatenate([f, -f], axis=0)     # [2E, 3]
-        gi = sim.edge_inc
-        q = q + jnp.sum(jnp.where((gi >= 0)[..., None],
-                                  ft[jnp.maximum(gi, 0)], 0.0), axis=1)
-        gj = sim.hinge_inc
-        q = q + jnp.sum(jnp.where((gj >= 0)[..., None],
-                                  hv[jnp.maximum(gj, 0)], 0.0), axis=1)
+    if op.get("sten") is not None:
+        # slice-form stretch/bend (round 4): pure slicing + fma on the
+        # per-grid [nx, ny, 3] views — ZERO indexed rows (the indexed-
+        # row rate is the apply's measured floor; docs/design.md)
+        sten = sim.stencil
+        s_fam, b_fam = op["sten"]
+        views = _grid_views(sten, p)
+        qblk, fi, bi = [], 0, 0
+        for g, (_, nx, ny) in enumerate(sten.grids):
+            P = views[g]
+            Qg = jnp.zeros((nx, ny, 3), p.dtype)
+            for s0, s1 in _stretch_slices(nx, ny):
+                ed_f, cb = s_fam[fi]
+                fi += 1
+                u = P[s0] - P[s1]
+                du = jnp.sum(ed_f * u, axis=-1)
+                f = (cb[..., None] * u
+                     + ((sim.k_stretch - cb) * du)[..., None] * ed_f)
+                Qg = Qg.at[s0].add(f).at[s1].add(-f)
+            for sl in _bend_slices(nx, ny):
+                gth_f = b_fam[bi]
+                bi += 1
+                ph = jnp.stack([P[sl[k]] for k in range(4)], axis=2)
+                w = jnp.sum(gth_f * ph, axis=(-1, -2))
+                hv = (op["coef_h"] * w)[..., None, None] * gth_f
+                for k in range(4):
+                    Qg = Qg.at[sl[k]].add(hv[:, :, k, :])
+            qblk.append(Qg.reshape(-1, 3))
+        q = q + jnp.concatenate(qblk, axis=0)
     else:
-        q = q.at[e0].add(f).at[e1].add(-f)
-        q = q.at[sim.hinges.reshape(-1)].add(hv)
+        e0, e1 = sim.edges[:, 0], sim.edges[:, 1]
+        u = p[e0] - p[e1]
+        du = jnp.sum(op["ed"] * u, axis=-1)
+        f = (op["coef_b"][:, None] * u
+             + ((op["coef_a"] - op["coef_b"]) * du)[:, None] * op["ed"])
+        ph = p[sim.hinges]                        # [H, 4, 3]
+        w = jnp.sum(op["gth"] * ph, axis=(-1, -2))
+        hv = ((op["coef_h"] * w)[:, None, None]
+              * op["gth"]).reshape(-1, 3)
+        if sim.edge_inc is not None and sim.hinge_inc is not None:
+            # scatter-free transpose (round 4): bounded row-gathers via
+            # the static incidence tables — TPU scatter-adds with
+            # duplicate indices serialize (probe_r4_cloth4.py)
+            ft = jnp.concatenate([f, -f], axis=0)  # [2E, 3]
+            gi = sim.edge_inc
+            q = q + jnp.sum(jnp.where((gi >= 0)[..., None],
+                                      ft[jnp.maximum(gi, 0)], 0.0),
+                            axis=1)
+            gj = sim.hinge_inc
+            q = q + jnp.sum(jnp.where((gj >= 0)[..., None],
+                                      hv[jnp.maximum(gj, 0)], 0.0),
+                            axis=1)
+        else:
+            q = q.at[e0].add(f).at[e1].add(-f)
+            q = q.at[sim.hinges.reshape(-1)].add(hv)
     pn = p @ n_hat
     q = q + (op["curv"] * pn)[:, None] * n_hat[None, :]
     q = q + op["fr_c"][:, None] * (p - pn[:, None] * n_hat[None, :])
