@@ -36,10 +36,11 @@ from ..geometry.dihedral import (dihedral_angle, dihedral_angle_gradient,
 from ..geometry.distance import point_triangle_ccd, point_triangle_closest
 from ..math.solvers import cg
 
-__all__ = ["ClothSim", "ClothStencil", "make_cloth_grid", "cloth_energy",
-           "implicit_step", "self_contact_candidates", "self_contact_energy",
-           "assemble_operator", "apply_operator", "build_incidence",
-           "build_grid_stencil"]
+__all__ = ["ClothSim", "ClothStencil", "ContactWindow", "make_cloth_grid",
+           "cloth_energy", "implicit_step", "self_contact_candidates",
+           "self_contact_energy", "assemble_operator", "apply_operator",
+           "build_incidence", "build_grid_stencil",
+           "window_contact_energy", "classify_window_residue"]
 
 
 @jax.tree_util.register_dataclass
@@ -77,6 +78,12 @@ class ClothStencil:
     rest_angle: Tuple[jax.Array, ...]   # 3 per grid (bh, bv, bd)
     grids: Tuple[Tuple[int, int, int], ...] = dataclasses.field(
         metadata=dict(static=True), default=())   # (start, nx, ny)
+    # triangle-id base per grid when sim.tris follows make_cloth_grid's
+    # cell-raster order (tri = base + 2*(ci*(ny-1)+cj) + parity) — the
+    # window-stencil contact path needs this id <-> cell bijection;
+    # None when sim.tris is ordered differently (window unavailable).
+    tri_starts: Optional[Tuple[int, ...]] = dataclasses.field(
+        metadata=dict(static=True), default=None)
 
 
 def _stretch_slices(nx, ny):
@@ -167,8 +174,29 @@ def build_grid_stencil(sim: ClothSim, grids) -> ClothSim:
             rest_angle.append(jnp.asarray(ra[ks], jnp.float32))
     if not (e_used.all() and h_used.all()):
         raise ValueError("mesh has edges/hinges outside the grid union")
+    # triangle-id <-> (cell, parity) bijection check (window contact)
+    tris = np.asarray(sim.tris)
+    tri_starts, t0, ok = [], 0, True
+    for start, nx, ny in grids:
+        vid = start + (np.arange(nx)[:, None] * ny
+                       + np.arange(ny)[None, :]).astype(np.int64)
+        a = vid[:-1, :-1].reshape(-1)
+        b = vid[1:, :-1].reshape(-1)
+        d = vid[1:, 1:].reshape(-1)
+        c = vid[:-1, 1:].reshape(-1)
+        exp = np.stack([np.stack([a, b, d], -1),
+                        np.stack([a, d, c], -1)], 1).reshape(-1, 3)
+        nt = exp.shape[0]
+        if t0 + nt > len(tris) or not np.array_equal(
+                tris[t0:t0 + nt], exp):
+            ok = False
+            break
+        tri_starts.append(t0)
+        t0 += nt
+    tri_starts = tuple(tri_starts) if ok and t0 == len(tris) else None
     sten = ClothStencil(rest_len=tuple(rest_len),
-                        rest_angle=tuple(rest_angle), grids=grids)
+                        rest_angle=tuple(rest_angle), grids=grids,
+                        tri_starts=tri_starts)
     return dataclasses.replace(sim, stencil=sten)
 
 
@@ -415,6 +443,357 @@ def self_contact_energy(sim: ClothSim, x: jax.Array,
     return jnp.sum(jnp.where(valid, e, 0.0))
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ContactWindow:
+    """Static config for window-stencil self-contact (round 4).
+
+    The round-4 cloth ablation pinned the step cost to indexed-row
+    rate, and after the grid stencil removed the stretch/bend rows the
+    CONTACT rows (4 x N x C per CG apply) are the floor.  For layered
+    regular-grid cloth — the codim-IPC regime the bench models — a
+    vertex's contact partners in another layer sit at STATIC grid
+    offsets from its own (i, j): triangles of cells
+    ``(i+di, j+dj, parity)`` for ``|di|,|dj| <= radius``.  The window
+    term therefore evaluates ALL in-window pairs in slice form (zero
+    indexed rows; out-of-range cells masked, barriers beyond dhat are
+    exactly zero), and the LBVH broad phase — still run — certifies
+    completeness: any candidate NOT covered by the window (own-layer
+    folds, slid-apart layers) is compacted into an indexed RESIDUE of
+    budget ``max_residue`` under the standard overflow contract.
+    window + residue == the LBVH candidate set exactly (in-window
+    non-candidates are farther than dhat -> barrier contributes 0), so
+    the energy/operator equal the gathered path up to f32 summation
+    order (oracle: tests/test_cloth.py).
+
+    Requires ``sim.stencil`` with ``tri_starts`` (make_cloth_grid /
+    build_grid_stencil meshes).  Reference lineage: the same
+    structured/unstructured split as MPM's fixed B-spline stencil vs
+    scattered particles.
+    """
+
+    radius: int = dataclasses.field(        # offsets in [-r, r] cells
+        metadata=dict(static=True), default=1)
+    max_residue: int = dataclasses.field(   # indexed residue budget
+        metadata=dict(static=True), default=64)
+
+
+_FAR = 1.0e6               # padding sentinel: farther than any dhat
+
+
+# own-grid offsets whose triangle CONTAINS vertex (i, j) — static per
+# (di, dj, parity): par 0 corners (0,0),(1,0),(1,1); par 1 corners
+# (0,0),(1,1),(0,1); the triangle of cell (i+di, j+dj) contains the
+# vertex iff (di+u, dj+v) == (0, 0) for one of its corners (u, v).
+_INCIDENT = ({(0, 0), (-1, 0), (-1, -1)},      # parity 0
+             {(0, 0), (-1, -1), (0, -1)})      # parity 1
+
+
+def _window_offsets(sten: ClothStencil, cw: ContactWindow):
+    """Static (g, gp, di, dj, par) list over same-shape grid pairs
+    (including g == gp, with the vertex-incident offsets statically
+    excluded — the compile-time form of the broad phase's incident-
+    triangle filter); the per-offset triangle is cell (i+di, j+dj)
+    parity ``par`` of grid ``gp`` seen from vertex (i, j) of ``g``."""
+    out = []
+    r = cw.radius
+    for g, (_, nx, ny) in enumerate(sten.grids):
+        for gp, (_, mx, my) in enumerate(sten.grids):
+            if (nx, ny) != (mx, my):
+                continue
+            for di in range(-r, r + 1):
+                for dj in range(-r, r + 1):
+                    for par in (0, 1):
+                        if g == gp and (di, dj) in _INCIDENT[par]:
+                            continue
+                        out.append((g, gp, di, dj, par))
+    return out
+
+
+def _pad_grid(view, r, fill):
+    return jnp.pad(view, ((r, r + 1), (r, r + 1), (0, 0)),
+                   constant_values=fill)
+
+
+_CORNER_UV = (((0, 0), (1, 0), (1, 1)),        # parity 0: (a, b, d)
+              ((0, 0), (1, 1), (0, 1)))        # parity 1: (a, d, c)
+
+
+def _window_groups(sten: ClothStencil, cw: ContactWindow):
+    """Offsets grouped by (g, gp) pair: [(g, gp, [(di, dj, par)...])].
+    Grouping lets each pair run ONE batched [O, nx, ny, .] kernel —
+    per-offset subgraphs blow up compile time ~60x."""
+    groups = {}
+    for g, gp, di, dj, par in _window_offsets(sten, cw):
+        groups.setdefault((g, gp), []).append((di, dj, par))
+    return [(g, gp, offs) for (g, gp), offs in groups.items()]
+
+
+def _stack_corners(pad_view, nx, ny, r, offs):
+    """Corner stacks (A, B, C) each [O, nx, ny, 3] for a batch of
+    offsets, in sim.tris row order."""
+    cols = [[], [], []]
+    for di, dj, par in offs:
+        for c, (u, v) in enumerate(_CORNER_UV[par]):
+            i0, j0 = r + di + u, r + dj + v
+            cols[c].append(pad_view[i0:i0 + nx, j0:j0 + ny, :])
+    return tuple(jnp.stack(col, axis=0) for col in cols)
+
+
+def _stack_masks(nx, ny, offs):
+    """Static [O, nx, ny] validity (cell exists).  Masking — not the
+    FAR padding — guarantees exactness: a partially-padded triangle
+    can pass arbitrarily near a vertex."""
+    i = np.arange(nx)[:, None]
+    j = np.arange(ny)[None, :]
+    m = np.stack([(i + di >= 0) & (i + di <= nx - 2)
+                  & (j + dj >= 0) & (j + dj <= ny - 2)
+                  for di, dj, _ in offs], axis=0)
+    return jnp.asarray(m)
+
+
+_SAFE_TRI = (jnp.asarray([1.0, 0.0, 0.0]),     # masked-pair dummy
+             jnp.asarray([1.0, 0.1, 0.0]),     # triangle offsets from
+             jnp.asarray([1.0, 0.0, 0.1]))     # the query vertex
+
+
+def _sanitize_tri(mask3, xv, A, B, C):
+    """Replace masked/invalid triangles by a well-conditioned dummy at
+    ~unit distance from the query vertex.  The output mask already
+    zeroes their contribution; this input-side mask is the standard
+    double-where: grad(point_triangle_closest) is NaN on degenerate
+    (e.g. FAR-padded) triangles, and 0 * NaN = NaN would leak through
+    the output where()."""
+    return (jnp.where(mask3, A, xv + _SAFE_TRI[0]),
+            jnp.where(mask3, B, xv + _SAFE_TRI[1]),
+            jnp.where(mask3, C, xv + _SAFE_TRI[2]))
+
+
+def window_contact_energy(sim: ClothSim, cw: ContactWindow,
+                          x: jax.Array) -> jax.Array:
+    """IPC barrier energy over all in-window vertex-triangle pairs,
+    slice form (autodiff adjoint is pad-add — no gathers)."""
+    sten = sim.stencil
+    views = _grid_views(sten, x)
+    r = cw.radius
+    pads = [_pad_grid(v, r, _FAR) for v in views]
+    d2h = sim.dhat * sim.dhat
+    e = jnp.float32(0.0)
+    for g, gp, offs in _window_groups(sten, cw):
+        _, nx, ny = sten.grids[g]
+        xv = views[g][None]
+        mask = _stack_masks(nx, ny, offs)
+        A, B, C = _sanitize_tri(mask[..., None], xv,
+                                *_stack_corners(pads[gp], nx, ny, r,
+                                                offs))
+        _, cl = point_triangle_closest(xv, A, B, C)
+        diff = xv - cl
+        d2 = jnp.sum(diff * diff, axis=-1)
+        e = e + jnp.sum(jnp.where(mask, barrier(d2, d2h, sim.kappa),
+                                  0.0))
+    return e
+
+
+def _window_gn(sim: ClothSim, cw: ContactWindow, y: jax.Array):
+    """Frozen GN-PSD data per (g, gp) group: (bary, diff, bpp) stacks
+    [O, nx, ny, ...] (the same projection as the gathered contact
+    term)."""
+    sten = sim.stencil
+    views = _grid_views(sten, y)
+    r = cw.radius
+    pads = [_pad_grid(v, r, _FAR) for v in views]
+    d2h = sim.dhat * sim.dhat
+    data = []
+    for g, gp, offs in _window_groups(sten, cw):
+        _, nx, ny = sten.grids[g]
+        A, B, C = _stack_corners(pads[gp], nx, ny, r, offs)
+        bary, cl = point_triangle_closest(views[g][None], A, B, C)
+        diff = views[g][None] - cl
+        s = jnp.sum(diff * diff, axis=-1)
+        bpp = jnp.where(_stack_masks(nx, ny, offs),
+                        jnp.maximum(barrier_hess(s, d2h, sim.kappa),
+                                    0.0), 0.0)
+        data.append((jax.lax.stop_gradient(bary),
+                     jax.lax.stop_gradient(diff), bpp))
+    return tuple(data)
+
+
+def _window_apply(sim: ClothSim, cw: ContactWindow, data, p: jax.Array):
+    """Window contact term of the CG apply: batched slice reads of the
+    partner grids, elementwise GN algebra, slice-add accumulation into
+    padded per-grid buffers — zero indexed rows."""
+    sten = sim.stencil
+    views = _grid_views(sten, p)
+    r = cw.radius
+    pads = [_pad_grid(v, r, 0.0) for v in views]
+    outs = [jnp.zeros_like(v) for v in views]
+    accs = [jnp.zeros_like(pv) for pv in pads]
+    for k, (g, gp, offs) in enumerate(_window_groups(sten, cw)):
+        _, nx, ny = sten.grids[g]
+        bary, diff, bpp = data[k]
+        A, B, C = _stack_corners(pads[gp], nx, ny, r, offs)
+        rel = (views[g][None]
+               - (bary[..., 0:1] * A + bary[..., 1:2] * B
+                  + bary[..., 2:3] * C))
+        coef = bpp * (2.0 * jnp.sum(diff * rel, axis=-1))  # [O, nx, ny]
+        outs[g] = outs[g] + jnp.sum(
+            2.0 * coef[..., None] * diff, axis=0)
+        ct = (-2.0 * coef[..., None, None]
+              * bary[..., :, None] * diff[..., None, :])   # [O,nx,ny,3,3]
+        for o, (di, dj, par) in enumerate(offs):
+            for c, (u, v) in enumerate(_CORNER_UV[par]):
+                i0, j0 = r + di + u, r + dj + v
+                accs[gp] = accs[gp].at[i0:i0 + nx, j0:j0 + ny, :].add(
+                    ct[o, :, :, c, :])
+    for g, (_, nx, ny) in enumerate(sten.grids):
+        outs[g] = outs[g] + accs[g][r:r + nx, r:r + ny, :]
+    return jnp.concatenate([o.reshape(-1, 3) for o in outs], axis=0)
+
+
+def _window_diag(sim: ClothSim, cw: ContactWindow, data):
+    """Exact diagonal contribution of the window term."""
+    sten = sim.stencil
+    r = cw.radius
+    shapes = [(nx, ny) for _, nx, ny in sten.grids]
+    outs = [jnp.zeros((nx, ny, 3), jnp.float32) for nx, ny in shapes]
+    accs = [jnp.zeros((nx + 2 * r + 1, ny + 2 * r + 1, 3), jnp.float32)
+            for nx, ny in shapes]
+    for k, (g, gp, offs) in enumerate(_window_groups(sten, cw)):
+        nx, ny = shapes[g]
+        bary, diff, bpp = data[k]
+        dv = 4.0 * bpp[..., None] * diff * diff            # [O, nx, ny, 3]
+        outs[g] = outs[g] + jnp.sum(dv, axis=0)
+        dt_ = (bary ** 2)[..., :, None] * dv[..., None, :]  # [O,nx,ny,3,3]
+        for o, (di, dj, par) in enumerate(offs):
+            for c, (u, v) in enumerate(_CORNER_UV[par]):
+                i0, j0 = r + di + u, r + dj + v
+                accs[gp] = accs[gp].at[i0:i0 + nx, j0:j0 + ny, :].add(
+                    dt_[o, :, :, c, :])
+    for g, (nx, ny) in enumerate(shapes):
+        outs[g] = outs[g] + accs[g][r:r + nx, r:r + ny, :]
+    return jnp.concatenate([o.reshape(-1, 3) for o in outs], axis=0)
+
+
+def _window_ccd_alpha(sim: ClothSim, cw: ContactWindow, x, dx):
+    """CCD step limit over the in-window pairs, batched slice form
+    (one conservative-advancement loop per grid pair)."""
+    sten = sim.stencil
+    vx = _grid_views(sten, x)
+    vd = _grid_views(sten, dx)
+    r = cw.radius
+    px = [_pad_grid(v, r, _FAR) for v in vx]
+    pd = [_pad_grid(v, r, 0.0) for v in vd]
+    alpha = jnp.float32(1.0)
+    for g, gp, offs in _window_groups(sten, cw):
+        _, nx, ny = sten.grids[g]
+        A, B, C = _stack_corners(px[gp], nx, ny, r, offs)
+        dA, dB, dC = _stack_corners(pd[gp], nx, ny, r, offs)
+        toi = point_triangle_ccd(vx[g][None], A, B, C,
+                                 vd[g][None], dA, dB, dC, min_sep=1e-5)
+        toi = jnp.where(_stack_masks(nx, ny, offs), toi, 1.0)
+        alpha = jnp.minimum(alpha, 0.9 * jnp.min(toi))
+    return alpha
+
+
+def classify_window_residue(sim: ClothSim, cw: ContactWindow,
+                            cand: jax.Array):
+    """Split the LBVH candidate set into window-covered pairs (handled
+    in slice form) and an indexed RESIDUE of budget ``max_residue``.
+
+    Returns ``(vid [K], tidx [K, 3], valid [K], overflow)`` — the
+    overflow flag is True when live residue pairs exceed the budget
+    (caller re-traces with a larger budget or radius)."""
+    sten = sim.stencil
+    if sten is None or sten.tri_starts is None:
+        raise ValueError("window contact needs a grid stencil with "
+                         "make_cloth_grid triangle ordering")
+    N, C = cand.shape
+    G = len(sten.grids)
+    r = cw.radius
+    # vertex -> (g, i, j): static concatenation over grids
+    gv = jnp.concatenate([jnp.full((nx * ny,), g, jnp.int32)
+                          for g, (_, nx, ny) in enumerate(sten.grids)])
+    iv = jnp.concatenate([jnp.arange(nx * ny, dtype=jnp.int32) // ny
+                          for _, nx, ny in sten.grids])
+    jv = jnp.concatenate([jnp.arange(nx * ny, dtype=jnp.int32) % ny
+                          for _, nx, ny in sten.grids])
+    # candidate triangle -> (g', ci, cj)
+    t = jnp.maximum(cand, 0)
+    gt = jnp.zeros(cand.shape, jnp.int32)
+    for k, ts in enumerate(sten.tri_starts[1:], 1):
+        gt = jnp.where(t >= ts, k, gt)
+    ci = jnp.zeros(cand.shape, jnp.int32)
+    cj = jnp.zeros(cand.shape, jnp.int32)
+    for k, (_, nx, ny) in enumerate(sten.grids):
+        lk = (t - sten.tri_starts[k]) // 2
+        ci = jnp.where(gt == k, lk // (ny - 1), ci)
+        cj = jnp.where(gt == k, lk % (ny - 1), cj)
+    shp = [s[1:] for s in sten.grids]
+    pair_ok = np.array([[shp[g] == shp[gp] for gp in range(G)]
+                        for g in range(G)])
+    di = ci - iv[:, None]
+    dj = cj - jv[:, None]
+    par = t % 2
+    own = gv[:, None] == gt
+    incident = jnp.zeros(cand.shape, bool)
+    for p_, combos in enumerate(_INCIDENT):
+        for (ui, uj) in combos:
+            incident = incident | ((par == p_) & (di == ui)
+                                   & (dj == uj))
+    covered = (jnp.asarray(pair_ok)[gv[:, None], gt]
+               & (jnp.abs(di) <= r) & (jnp.abs(dj) <= r)
+               & ~(own & incident))
+    live = ((cand >= 0) & ~covered).reshape(-1)
+    K = cw.max_residue
+    perm = jnp.argsort(jnp.where(live, 0, 1).astype(jnp.int32),
+                       stable=True)[:K]
+    vid = (perm // C).astype(jnp.int32)
+    tri = cand.reshape(-1)[perm]
+    valid = live[perm]
+    overflow = jnp.sum(live.astype(jnp.int32)) > K
+    tidx = sim.tris[jnp.maximum(tri, 0)]
+    return vid, tidx, valid, overflow
+
+
+def _pair_contact_energy(sim: ClothSim, x, vid, tidx, valid):
+    """Barrier energy over an explicit (vertex, triangle) pair list
+    (the window residue)."""
+    tv = x[tidx]                                        # [K, 3, 3]
+    xv = x[vid]
+    a, b, c = _sanitize_tri(valid[:, None], xv,
+                            tv[:, 0], tv[:, 1], tv[:, 2])
+    _, cl = point_triangle_closest(xv, a, b, c)
+    diff = xv - cl
+    d2 = jnp.sum(diff * diff, axis=-1)
+    e = barrier(d2, sim.dhat * sim.dhat, sim.kappa)
+    return jnp.sum(jnp.where(valid, e, 0.0))
+
+
+def _pair_gn(sim: ClothSim, y, vid, tidx, valid):
+    """GN-PSD data for a pair list in the ``contact_c`` layout consumed
+    by apply_operator: (vid, tidx, bary, diff, bpp)."""
+    tv = y[tidx]
+    yv = y[vid]
+    bary, cl = point_triangle_closest(yv, tv[:, 0], tv[:, 1], tv[:, 2])
+    diff = yv - cl
+    s = jnp.sum(diff * diff, axis=-1)
+    bpp = jnp.where(valid, jnp.maximum(
+        barrier_hess(s, sim.dhat * sim.dhat, sim.kappa), 0.0), 0.0)
+    return (vid, tidx, jax.lax.stop_gradient(bary),
+            jax.lax.stop_gradient(diff), bpp)
+
+
+def _pair_ccd_alpha(sim: ClothSim, x, dx, vid, tidx, valid):
+    v3 = valid[:, None]
+    a, b, c = _sanitize_tri(v3, x[vid],
+                            *(x[tidx[:, k]] for k in range(3)))
+    da, db, dc = (jnp.where(v3, dx[tidx[:, k]], 0.0) for k in range(3))
+    toi = point_triangle_ccd(x[vid], a, b, c, dx[vid], da, db, dc,
+                             min_sep=1e-5)
+    toi = jnp.where(valid, toi, 1.0)
+    return jnp.minimum(1.0, 0.9 * jnp.min(toi))
+
+
 def _self_contact_alpha(sim: ClothSim, x, dx, cand):
     """CCD step limit over the candidate set (ccd_tight lineage via
     point_triangle_ccd's conservative advancement)."""
@@ -430,7 +809,8 @@ def _self_contact_alpha(sim: ClothSim, x, dx, cand):
 
 
 def assemble_operator(sim: ClothSim, y: jax.Array, x: jax.Array, dt,
-                      *, cand=None, lam=None, contact_budget=None):
+                      *, cand=None, lam=None, contact_budget=None,
+                      window=None, window_res=None):
     """Cache per-element Gauss-Newton(-PSD) Hessian data at ``y``, ONCE
     per Newton iteration (round 4).
 
@@ -559,7 +939,16 @@ def assemble_operator(sim: ClothSim, y: jax.Array, x: jax.Array, dt,
     else:
         contact = None
 
+    win = None
+    if window is not None:
+        # window-stencil contact (round 4, see ContactWindow): in-
+        # window pairs in slice form + indexed residue in contact_c
+        # layout; mutually exclusive with the cand-based dense path
+        win = (window, _window_gn(sim, window, y))
+
     contact_c = act_ovf = None
+    if window_res is not None:
+        contact_c = _pair_gn(sim, y, *window_res)
     if contact is not None and contact_budget is not None:
         # active-set compaction: stable-sort the [N*C] rows by liveness
         # and keep the first K.  Non-live rows carry bpp == 0 exactly,
@@ -594,8 +983,18 @@ def assemble_operator(sim: ClothSim, y: jax.Array, x: jax.Array, dt,
         dtk = (4.0 * bpp[..., None, None] * (bary * bary)[..., None]
                * (diff * diff)[:, :, None, :])             # [N, C, 3, 3]
         diag = diag.at[tidx.reshape(-1)].add(dtk.reshape(-1, 3))
+    if win is not None:
+        diag = diag + _window_diag(sim, win[0], win[1])
+    if window_res is not None:
+        cvid_r, tidx_r, bary_r, diff_r, bpp_r = contact_c
+        dv_r = 4.0 * bpp_r[:, None] * diff_r * diff_r      # [K, 3]
+        diag = diag.at[cvid_r].add(dv_r)
+        dtk_r = ((bary_r * bary_r)[..., None]
+                 * dv_r[:, None, :])                       # [K, 3, 3]
+        diag = diag.at[tidx_r.reshape(-1)].add(dtk_r.reshape(-1, 3))
     return dict(ed=ed, coef_a=coef_a, coef_b=coef_b, gth=gth,
                 coef_h=coef_h, curv=curv, fr_c=fr_c, sten=sten_op,
+                win=win,
                 contact=None if contact_c is not None else contact,
                 contact_c=contact_c, act_ovf=act_ovf, diag=diag)
 
@@ -665,6 +1064,11 @@ def apply_operator(sim: ClothSim, op, p: jax.Array, dt) -> jax.Array:
     pn = p @ n_hat
     q = q + (op["curv"] * pn)[:, None] * n_hat[None, :]
     q = q + op["fr_c"][:, None] * (p - pn[:, None] * n_hat[None, :])
+    if op.get("win") is not None:
+        # window-stencil contact (round 4): slice form, zero indexed
+        # rows; the indexed residue (if any) rides contact_c below
+        cw, wdata = op["win"]
+        q = q + _window_apply(sim, cw, wdata, p)
     if op.get("contact_c") is not None:
         # compacted active set (round 4): 4K indexed rows per apply
         # instead of 4NC — see assemble_operator(contact_budget=...)
@@ -695,7 +1099,8 @@ def implicit_step(sim: ClothSim, x: jax.Array, v: jax.Array,
                   cg_iters: int = 40, self_contact: bool = False,
                   max_cand: int = 8, precondition: bool = True,
                   operator: str = "assembled",
-                  contact_budget: Optional[int] = None):
+                  contact_budget: Optional[int] = None,
+                  contact_window: Optional[ContactWindow] = None):
     """One implicit-Euler step: minimize the incremental potential with
     ``newton_iters`` Newton-CG rounds; a half-space step limiter keeps
     iterates strictly outside the ground (IPC line-search analog,
@@ -734,6 +1139,17 @@ def implicit_step(sim: ClothSim, x: jax.Array, v: jax.Array,
         # practice), indices are non-differentiable
         cand, sc_ovf = self_contact_candidates(sim, x, max_cand)
         cand = jax.lax.stop_gradient(cand)
+        wres = None
+        if contact_window is not None:
+            # window-stencil mode (round 4): the LBVH set certifies
+            # completeness; out-of-window pairs become the indexed
+            # residue, everything else runs in slice form
+            res_vid, res_tidx, res_valid, r_ovf = \
+                classify_window_residue(sim, contact_window, cand)
+            wres = (jax.lax.stop_gradient(res_vid),
+                    jax.lax.stop_gradient(res_tidx),
+                    jax.lax.stop_gradient(res_valid))
+            sc_ovf = sc_ovf | r_ovf
 
     # lagged IPC friction (Friction.hpp consumed here): normal force
     # magnitude from the START-of-step barrier (constant through the
@@ -754,7 +1170,12 @@ def implicit_step(sim: ClothSim, x: jax.Array, v: jax.Array,
         def energy(z):
             e = cloth_energy(sim, z) + friction_energy(z)
             if self_contact:
-                e = e + self_contact_energy(sim, z, cand)
+                if contact_window is not None:
+                    e = (e + window_contact_energy(
+                            sim, contact_window, z)
+                         + _pair_contact_energy(sim, z, *wres))
+                else:
+                    e = e + self_contact_energy(sim, z, cand)
             return e
         g = (m3 / (dt * dt)) * (y - xhat) + jax.grad(energy)(y)
         return jnp.where(free3, g, 0.0)
@@ -782,10 +1203,16 @@ def implicit_step(sim: ClothSim, x: jax.Array, v: jax.Array,
     for _ in range(newton_iters):
         g = phi_grad(y)
         if operator == "assembled":
+            win_mode = self_contact and contact_window is not None
             op = assemble_operator(
-                sim, y, x, dt, cand=cand if self_contact else None,
+                sim, y, x, dt,
+                cand=cand if self_contact and not win_mode else None,
                 lam=lam,
-                contact_budget=contact_budget if self_contact else None)
+                contact_budget=(contact_budget
+                                if self_contact and not win_mode
+                                else None),
+                window=contact_window if win_mode else None,
+                window_res=wres if win_mode else None)
             if self_contact and op["act_ovf"] is not None:
                 sc_ovf = sc_ovf | op["act_ovf"]
             hvp = lambda p, _op=op: project(
@@ -808,8 +1235,14 @@ def implicit_step(sim: ClothSim, x: jax.Array, v: jax.Array,
         alpha = jnp.minimum(1.0, jnp.min(jnp.where(sim.free, a_vert,
                                                    jnp.inf)))
         if self_contact:
-            alpha = jnp.minimum(alpha,
-                                _self_contact_alpha(sim, y, dx, cand))
+            if contact_window is not None:
+                alpha = jnp.minimum(alpha, _window_ccd_alpha(
+                    sim, contact_window, y, dx))
+                alpha = jnp.minimum(alpha, _pair_ccd_alpha(
+                    sim, y, dx, *wres))
+            else:
+                alpha = jnp.minimum(
+                    alpha, _self_contact_alpha(sim, y, dx, cand))
         y = y + alpha * dx
     v_new = jnp.where(free3, (y - x) / dt, 0.0)
     if self_contact:
