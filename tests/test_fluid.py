@@ -163,6 +163,18 @@ class TestFluidBinned2:
         self._compare(sim, st, jnp.float32(1e-4),
                       BinnedConfig2(bins_capacity=64, slack=0), steps=2)
 
+    def test_chunked_matches(self, rng):
+        # cfg.chunk_bins on the FLUID path (round-5: the fluid pipeline
+        # rides the shared chunked-scan transfer helpers)
+        from zpc_tpu.sim.mpm_binned2 import BinnedConfig2
+        sim = _sim()
+        x = _block(rng, 768)
+        v0 = jnp.broadcast_to(jnp.asarray([0.2, -0.5, 0.1]), (768, 3))
+        st = make_fluid_state(x, dx=0.05, block_capacity=256, velocity=v0)
+        self._compare(sim, st, jnp.float32(1e-4),
+                      BinnedConfig2(bins_capacity=64, use_segments=True,
+                                    chunk_bins=16), steps=5)
+
     def test_collider(self, rng):
         from zpc_tpu.sim.mpm_binned2 import BinnedConfig2
         floor = Collider(HalfSpace(origin=jnp.asarray([0.0, 0.28, 0.0]),

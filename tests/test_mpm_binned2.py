@@ -131,6 +131,28 @@ class TestBinned2MatchesBaseline:
         _compare(_sim(), st, jnp.float32(1e-4),
                  BinnedConfig2(bins_capacity=64, use_segments=True))
 
+    def test_chunked_path(self, rng):
+        # chunk_bins is the bench-critical round-4 working-set fix: the
+        # chunked scan pipeline must match the oracle (fp32 sums are
+        # chunk-major reassociated — roundoff, not bitwise)
+        x = jnp.asarray(rng.uniform(0.3, 0.7, (768, 3)), jnp.float32)
+        st = make_mpm_state(x, dx=0.05, block_capacity=256)
+        _compare(_sim(), st, jnp.float32(1e-4),
+                 BinnedConfig2(bins_capacity=64, use_segments=True,
+                               chunk_bins=16), steps=3)
+
+    def test_chunked_collider_plasticity(self, rng):
+        x = jnp.asarray(rng.uniform(0.1, 0.4, (500, 3)), jnp.float32)
+        st = make_mpm_state(x, dx=0.02, block_capacity=1024, capacity=640,
+                            with_Jp=True, Jp0=1.0)
+        ground = Collider(HalfSpace(jnp.asarray([0.0, 0.12, 0.0]),
+                                    jnp.asarray([0.0, 1.0, 0.0])),
+                          ColliderType.slip)
+        _compare(_sim((ground,), plasticity=SnowPlasticity()), st,
+                 jnp.float32(2e-4),
+                 BinnedConfig2(bins_capacity=128, use_segments=True,
+                               chunk_bins=32), steps=4)
+
 
 def test_2d_matches_baseline(rng):
     """2-D fast path vs explicit_step oracle (drops the dim==3 limit)."""

@@ -26,7 +26,8 @@ from ..math.interpolation import bspline_weights
 from ..models.constitutive import EquationOfState
 from .mpm import MPMSim, MPMState
 from .mpm_binned2 import (BinnedConfig2, BinState, K, _axis_stencils,
-                          _rebin, _sort_into_bins, _spill_sel)
+                          _ctx_g2p, _ctx_p2g, _make_ctx3, _node_positions,
+                          _rebin, _sort_into_bins)
 
 __all__ = ["bin_fluid_state", "explicit_fluid_step_binned2",
            "rollout_fluid_binned2", "unbin_fluid_state"]
@@ -97,105 +98,95 @@ def unbin_fluid_state(st: BinState, template: MPMState) -> MPMState:
 def explicit_fluid_step_binned2(sim: MPMSim, state: BinState, dt,
                                 cfg: BinnedConfig2, *, rebin: bool = True,
                                 j_clamp: float = 0.1) -> BinState:
-    """One explicit J-only EOS step on a fluid BinState."""
+    """One explicit J-only EOS step on a fluid BinState.
+
+    The 3-D transfers ride the shared mpm_binned2 context machinery
+    (`_ctx_p2g` / `_ctx_g2p`), so `cfg.chunk_bins` and `cfg.recenter`
+    mean the same thing here as on the elastic path — the round-4
+    on-chip working-set fix (docs/design.md "Round 4") applies to the
+    fluid pipeline unchanged.
+    """
     assert isinstance(sim.model, EquationOfState)
     st = state
     if rebin:
         st = _rebin(sim, st, cfg)
     if st.grid.dim == 2:
         return _fluid_step2d(sim, st, dt, cfg, j_clamp)
-    grid = st.grid
-    table = grid.table
-    nb = table.capacity
-    dx = grid.dx
-    origin_w = grid.transform.matrix[:3, 3]
-    B = cfg.bins_capacity
-    L = B * K
-    side = cfg.side
+    if cfg.chunk_bins and cfg.chunk_bins < cfg.bins_capacity:
+        return _fluid_step3d_chunked(sim, st, dt, cfg, j_clamp)
+    return _fluid_step3d(sim, st, dt, cfg, j_clamp)
 
-    cols = st.cols.reshape(B, K, _W)
-    xb = cols[..., 0:3]
+
+def _fluid_p2g_inputs(sim: MPMSim, ctx, cols, dt, dx):
+    """Per-chunk fluid P2G operands: Q0/QA planes from the J-only EOS.
+
+    The stress term is one scalar on A's diagonal (tau = -p(J)·J·I),
+    vs. the elastic path's full kirchhoff(F) — the only physics
+    difference between the two pipelines' P2G.
+    """
+    lane_alive = ctx.lane_alive
     vb = cols[..., 3:6]
-    Jb = cols[..., _J]
-    Cb = cols[..., _C0:_C0 + 9].reshape(B, K, 3, 3)
-    mban = cols[..., _M]
-    volb = cols[..., _VOL]
-    lane_alive = (st.pid >= 0).reshape(B, K)
-    mban = jnp.where(lane_alive, mban, 0.0)
-    volb = jnp.where(lane_alive, volb, 0.0)
     # dead lanes carry J = 0 and pressure(0) is inf: 0 * inf = NaN would
     # contaminate the einsums even though vol masks the magnitude
-    Jb = jnp.where(lane_alive, Jb, 1.0)
-
-    bin_live = jnp.any(lane_alive, axis=1)
-    bin_block = jnp.where(bin_live, st.bin_block, -1)
-    bad_bin = bin_live & (bin_block < 0)
-    overflow = st.overflow | jnp.any(bad_bin)
-    bin_block_safe = jnp.clip(bin_block, 0, nb - 1)
-    borigin = table.active_coords[bin_block_safe] * 4
-
-    xib = (xb - origin_w) / dx
-    ws, wis, rel0i = _axis_stencils(xib, borigin, side)
-    wx, wy, wz = ws
-    wx_i, wy_i, wz_i = wis
-    rel0 = rel0i * dx
-    wx = wx * lane_alive[..., None]
-    wx_i = wx_i * lane_alive[..., None]
-
-    # ---- P2G: diagonal stress — one scalar shifts A's diagonal ---------
+    Jb = jnp.where(lane_alive, cols[..., _J], 1.0)
+    Cb = cols[..., _C0:_C0 + 9].reshape(*cols.shape[:2], 3, 3)
+    mban = jnp.where(lane_alive, cols[..., _M], 0.0)
+    volb = jnp.where(lane_alive, cols[..., _VOL], 0.0)
     Dinv = 4.0 / (dx * dx)
-    tau_s = -sim.model.pressure(Jb) * Jb                     # [B,K]
+    tau_s = -sim.model.pressure(Jb) * Jb
     stress_s = -dt * Dinv * volb * tau_s
     A = mban[..., None, None] * Cb
     A = A + stress_s[..., None, None] * jnp.eye(3, dtype=A.dtype)
-    u0 = mban[..., None] * vb + jnp.einsum("bkij,bkj->bki", A, rel0)
+    u0 = mban[..., None] * vb + jnp.einsum("bkij,bkj->bki", A, ctx.rel0)
     Q0 = jnp.concatenate([mban[..., None], u0], -1)
-    zero = jnp.zeros_like(mban)[..., None]
-    QA = [jnp.concatenate([zero, dx * A[..., :, d]], -1) for d in range(3)]
+    QA = [dx * A[..., :, d] for d in range(3)]
+    return Q0, QA, Jb, mban, volb
 
-    def plane_scale(w6, q):
-        return (w6[..., :, None] * q[..., None, :]).reshape(B, K, 4 * side)
 
-    sq = side * side
-    R1 = plane_scale(wx, Q0) + plane_scale(wx_i, QA[0])
-    R2 = plane_scale(wx, QA[1])
-    R3 = plane_scale(wx, QA[2])
-    S0 = (wy[:, :, :, None] * wz[:, :, None, :]).reshape(B, K, sq)
-    fidx = jnp.arange(side, dtype=S0.dtype)
-    fy_m = jnp.repeat(fidx, side)
-    fz_m = jnp.tile(fidx, side)
-    out = (jnp.einsum("bkm,bkA->bmA", S0, R1, precision=_PREC,
-                      preferred_element_type=jnp.float32) +
-           fy_m[None, :, None] *
-           jnp.einsum("bkm,bkA->bmA", S0, R2, precision=_PREC,
-                      preferred_element_type=jnp.float32) +
-           fz_m[None, :, None] *
-           jnp.einsum("bkm,bkA->bmA", S0, R3, precision=_PREC,
-                      preferred_element_type=jnp.float32))
-    cube = jnp.moveaxis(out.reshape(B, sq, side, 4), 2, 1
-                        ).reshape(B, side ** 3, 4)
+def _fluid_advect(ctx, cols, s0, sx, sy, sz, Jb, dt, dx, j_clamp):
+    """G2P tail: new v/C/J/x for one bin-chunk, plus its stencil offsets."""
+    xb = cols[..., 0:3]
+    Dinv = 4.0 / (dx * dx)
+    v_new = s0
+    Bmat = v_new[..., :, None] * ctx.rel0[..., None, :] + \
+        dx * jnp.stack([sx, sy, sz], axis=-1)
+    C_new = Dinv * Bmat
+    J_new = Jb * (1.0 + dt * jnp.trace(C_new, axis1=-2, axis2=-1))
+    J_new = jnp.maximum(J_new, j_clamp)
+    x_new = xb + dt * v_new
+    base_new = jnp.floor((x_new - ctx.origin_w) / dx - 0.5
+                         ).astype(jnp.int32)
+    off_new = base_new - ctx.borigin[:, None, :]
+    return x_new, v_new, C_new, J_new, off_new
 
-    sel, tgt8, use_seg = _spill_sel(st.nbr8, bin_block_safe,
-                                    bin_live & ~bad_bin, nb, cfg)
-    if side == 8:
-        spilled = cube.reshape(B, 2, 4, 2, 4, 2, 4, 4).transpose(
-            1, 3, 5, 0, 2, 4, 6, 7).reshape(8, B, 64, 4)
-    else:
-        from ..ops.spill_tables import _SPILL_ALL
-        spill = jnp.asarray(_SPILL_ALL[:, :, :216])
-        spilled = jnp.einsum("dts,nsc->dntc", spill, cube, precision=_PREC,
-                             preferred_element_type=jnp.float32)
-    if use_seg:
-        seg = jnp.where(tgt8 >= 0, tgt8, nb).reshape(-1)
-        acc = jax.ops.segment_sum(
-            spilled.reshape(8 * B, 64 * 4), seg,
-            num_segments=nb + 1)[:nb].reshape(nb, 64, 4)
-    else:
-        acc = jax.lax.dot_general(
-            sel, spilled.reshape(8 * B, 64 * 4),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_PREC).reshape(nb, 64, 4)
+
+def _fluid_newcols(ctx, cols, x_new, v_new, C_new, J_new, mban, volb):
+    Bc = cols.shape[0]
+    ok3 = ctx.lane_alive[..., None]
+    return jnp.concatenate(
+        [jnp.where(ok3, x_new, cols[..., 0:3]),
+         jnp.where(ok3, v_new, cols[..., 3:6]),
+         jnp.where(ctx.lane_alive, J_new, cols[..., _J])[..., None],
+         jnp.where(ok3[..., None], C_new,
+                   cols[..., _C0:_C0 + 9].reshape(Bc, K, 3, 3)
+                   ).reshape(Bc, K, 9),
+         mban[..., None], volb[..., None]], axis=-1).reshape(Bc * K, _W)
+
+
+def _fluid_step3d(sim: MPMSim, st: BinState, dt, cfg: BinnedConfig2,
+                  j_clamp: float) -> BinState:
+    grid = st.grid
+    dx = grid.dx
+    B = cfg.bins_capacity
+    side = cfg.side
+
+    cols = st.cols.reshape(B, K, _W)
+    ctx = _make_ctx3(st, cfg)
+    lane_alive = ctx.lane_alive
+    overflow = ctx.overflow
+
+    Q0, QA, Jb, mban, volb = _fluid_p2g_inputs(sim, ctx, cols, dt, dx)
+    acc = _ctx_p2g(ctx, Q0, QA)
     gm = acc[..., 0]
     gmv = acc[..., 1:]
 
@@ -204,66 +195,133 @@ def explicit_fluid_step_binned2(sim: MPMSim, state: BinState, dt,
     gv = jnp.where(has_mass[..., None],
                    gmv / jnp.maximum(gm, 1e-30)[..., None], 0.0)
     gv = gv + dt * sim.gravity[None, None, :]
+    gv = resolve_boundaries(sim.colliders, _node_positions(ctx), gv)
+    gv = jnp.where(has_mass[..., None], gv, 0.0)
+    max_vel = jnp.sqrt(jnp.max(jnp.sum(gv * gv, -1)))
+
+    # ---- G2P ---------------------------------------------------------------
+    s0, sx, sy, sz = _ctx_g2p(ctx, gv)
+    x_new, v_new, C_new, J_new, off_new = _fluid_advect(
+        ctx, cols, s0, sx, sy, sz, Jb, dt, dx, j_clamp)
+    if cfg.recenter:
+        # Galilean recentering — see the elastic step / BinnedConfig2
+        asum = jnp.maximum(jnp.sum(lane_alive.astype(jnp.int32)), 1)
+        mean_off = (jnp.sum(jnp.where(lane_alive[..., None], off_new, 0),
+                            axis=(0, 1)).astype(jnp.float32) / asum)
+        shift = jnp.clip(jnp.round(mean_off - 0.5 * (side - 3)),
+                         -1.0, 1.0).astype(jnp.int32)
+        off_new = off_new - shift[None, None, :]
+        tm = grid.transform.matrix.at[:3, 3].add(
+            shift.astype(jnp.float32) * dx)
+        grid = dataclasses.replace(
+            grid, transform=dataclasses.replace(grid.transform, matrix=tm))
+    escaped = jnp.any(lane_alive[..., None] &
+                      ((off_new < 0) | (off_new > side - 3)))
+
+    ncols = _fluid_newcols(ctx, cols, x_new, v_new, C_new, J_new,
+                           mban, volb)
+    grid = dataclasses.replace(grid, data={"m": gm, "v": gv})
+    return dataclasses.replace(st, cols=ncols, grid=grid, max_vel=max_vel,
+                               overflow=overflow, needs_rebin=escaped)
+
+
+def _fluid_step3d_chunked(sim: MPMSim, st: BinState, dt,
+                          cfg: BinnedConfig2, j_clamp: float) -> BinState:
+    """The fluid 3-D step with the transfer pipeline chunked over bins.
+
+    Physics-identical to :func:`_fluid_step3d` (same helpers); two
+    ``lax.scan`` passes over bin-chunks of ``cfg.chunk_bins`` pin the
+    [B,K,·] working set at the chunk size so it keeps on-chip S(1)
+    buffers at any problem scale — the same scratch-cliff fix the
+    elastic `_step3d_chunked` carries (docs/design.md "Round 4").
+    fp32 sums are chunk-major reassociated: roundoff, not bitwise.
+    """
+    grid = st.grid
+    dx = grid.dx
+    B = cfg.bins_capacity
+    Bc = cfg.chunk_bins
+    assert B % Bc == 0, (B, Bc)
+    side = cfg.side
+    nb = grid.table.capacity
+    L = B * K
+    lo_arr = jnp.arange(B // Bc, dtype=jnp.int32) * Bc
+
+    def chunk_particles(lo):
+        ctx = _make_ctx3(st, cfg, lo=lo, nbins=Bc)
+        cols = jax.lax.dynamic_slice_in_dim(
+            st.cols, lo * K, Bc * K, 0).reshape(Bc, K, _W)
+        return ctx, cols
+
+    # ---- pass 1: chunked P2G --------------------------------------------
+    def p2g_chunk(carry, lo):
+        acc, overflow = carry
+        ctx, cols = chunk_particles(lo)
+        Q0, QA, _, _, _ = _fluid_p2g_inputs(sim, ctx, cols, dt, dx)
+        return (acc + _ctx_p2g(ctx, Q0, QA),
+                overflow | ctx.overflow), None
+
+    acc0 = jnp.zeros((nb, 64, 4), jnp.float32)
+    (acc, overflow), _ = jax.lax.scan(p2g_chunk, (acc0, st.overflow),
+                                      lo_arr)
+    gm = acc[..., 0]
+    gmv = acc[..., 1:]
+
+    # ---- grid update (global, [nb]-sized) --------------------------------
+    origin_w = grid.transform.matrix[:3, 3]
+    has_mass = gm > 0.0
+    gv = jnp.where(has_mass[..., None],
+                   gmv / jnp.maximum(gm, 1e-30)[..., None], 0.0)
+    gv = gv + dt * sim.gravity[None, None, :]
     corners = jnp.asarray(neighbor_offsets(3, 0, 3))
-    node_x = (table.active_coords[:, None, :] * 4 +
-              corners[None]).astype(gv.dtype) * dx + origin_w
+    node_x = (grid.table.active_coords[:, None, :] * 4 +
+              corners[None]).astype(jnp.float32) * dx + origin_w
     gv = resolve_boundaries(sim.colliders, node_x, gv)
     gv = jnp.where(has_mass[..., None], gv, 0.0)
     max_vel = jnp.sqrt(jnp.max(jnp.sum(gv * gv, -1)))
 
-    # ---- G2P --------------------------------------------------------------
-    if use_seg:
-        safe = jnp.clip(tgt8, 0, nb - 1)
-        Vd = jnp.where((tgt8 >= 0)[..., None, None], gv[safe], 0.0)
-    else:
-        Vd = jax.lax.dot_general(
-            sel, gv.reshape(nb, 64 * 3),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_PREC).reshape(8, B, 64, 3)
-    if side == 8:
-        Vbin = Vd.reshape(2, 2, 2, B, 4, 4, 4, 3).transpose(
-            3, 0, 4, 1, 5, 2, 6, 7).reshape(B, 512, 3)
-    else:
-        from ..ops.spill_tables import _PULL_ALL
-        pull = jnp.asarray(_PULL_ALL[:, :, :64])
-        Vbin = jnp.einsum("dst,dnte->nse", pull, Vd, precision=_PREC,
-                          preferred_element_type=jnp.float32)
-    Vac = jnp.moveaxis(Vbin.reshape(B, side, sq, 3), 1, 2
-                       ).reshape(B, sq, 3 * side)
-    P0 = jnp.einsum("bkm,bmA->bkA", S0, Vac, precision=_PREC,
-                    preferred_element_type=jnp.float32)
-    P1 = jnp.einsum("bkm,bmA->bkA", S0, fy_m[None, :, None] * Vac,
-                    precision=_PREC, preferred_element_type=jnp.float32)
-    P2 = jnp.einsum("bkm,bmA->bkA", S0, fz_m[None, :, None] * Vac,
-                    precision=_PREC, preferred_element_type=jnp.float32)
-    P0r = P0.reshape(B, K, side, 3)
-    P1r = P1.reshape(B, K, side, 3)
-    P2r = P2.reshape(B, K, side, 3)
-    s0 = jnp.einsum("bka,bkac->bkc", wx, P0r)
-    sx = jnp.einsum("bka,bkac->bkc", wx_i, P0r)
-    sy = jnp.einsum("bka,bkac->bkc", wx, P1r)
-    sz = jnp.einsum("bka,bkac->bkc", wx, P2r)
+    # ---- pass 2: chunked G2P + advect ------------------------------------
+    big = jnp.int32(1 << 20)
 
-    v_new = s0
-    Bmat = v_new[..., :, None] * rel0[..., None, :] + \
-        dx * jnp.stack([sx, sy, sz], axis=-1)
-    C_new = Dinv * Bmat
-    J_new = Jb * (1.0 + dt * jnp.trace(C_new, axis1=-2, axis2=-1))
-    J_new = jnp.maximum(J_new, j_clamp)
-    x_new = xb + dt * v_new
+    def g2p_chunk(carry, lo):
+        ncols, off_min, off_max, osum, ocnt = carry
+        ctx, cols = chunk_particles(lo)
+        lane_alive = ctx.lane_alive
+        Jb = jnp.where(lane_alive, cols[..., _J], 1.0)
+        mban = jnp.where(lane_alive, cols[..., _M], 0.0)
+        volb = jnp.where(lane_alive, cols[..., _VOL], 0.0)
+        s0, sx, sy, sz = _ctx_g2p(ctx, gv)
+        x_new, v_new, C_new, J_new, off_new = _fluid_advect(
+            ctx, cols, s0, sx, sy, sz, Jb, dt, dx, j_clamp)
+        mk = lane_alive[..., None]
+        off_min = jnp.minimum(off_min, jnp.min(
+            jnp.where(mk, off_new, big), axis=(0, 1)))
+        off_max = jnp.maximum(off_max, jnp.max(
+            jnp.where(mk, off_new, -big), axis=(0, 1)))
+        osum = osum + jnp.sum(jnp.where(mk, off_new, 0), axis=(0, 1))
+        ocnt = ocnt + jnp.sum(lane_alive.astype(jnp.int32))
+        nc = _fluid_newcols(ctx, cols, x_new, v_new, C_new, J_new,
+                            mban, volb)
+        ncols = jax.lax.dynamic_update_slice_in_dim(ncols, nc, lo * K, 0)
+        return (ncols, off_min, off_max, osum, ocnt), None
 
-    base_new = jnp.floor((x_new - origin_w) / dx - 0.5).astype(jnp.int32)
-    off_new = base_new - borigin[:, None, :]
-    escaped = jnp.any(lane_alive[..., None] &
-                      ((off_new < 0) | (off_new > side - 3)))
+    carry0 = (jnp.zeros((L, _W), st.cols.dtype),
+              jnp.full((3,), big), jnp.full((3,), -big),
+              jnp.zeros((3,), jnp.int32), jnp.int32(0))
+    (ncols, off_min, off_max, osum, ocnt), _ = jax.lax.scan(
+        g2p_chunk, carry0, lo_arr)
 
-    ok3 = lane_alive[..., None]
-    ncols = jnp.concatenate(
-        [jnp.where(ok3, x_new, xb), jnp.where(ok3, v_new, vb),
-         jnp.where(lane_alive, J_new, Jb)[..., None],
-         jnp.where(ok3[..., None], C_new, Cb).reshape(B, K, 9),
-         mban[..., None], volb[..., None]], axis=-1).reshape(L, _W)
+    # ---- recenter + escape (global reductions from the chunk stats) ------
+    if cfg.recenter:
+        mean_off = osum.astype(jnp.float32) / jnp.maximum(ocnt, 1)
+        shift = jnp.clip(jnp.round(mean_off - 0.5 * (side - 3)),
+                         -1.0, 1.0).astype(jnp.int32)
+        off_min = off_min - shift
+        off_max = off_max - shift
+        tm = grid.transform.matrix.at[:3, 3].add(
+            shift.astype(jnp.float32) * dx)
+        grid = dataclasses.replace(
+            grid, transform=dataclasses.replace(grid.transform, matrix=tm))
+    escaped = jnp.any((off_min < 0) | (off_max > side - 3))
 
     grid = dataclasses.replace(grid, data={"m": gm, "v": gv})
     return dataclasses.replace(st, cols=ncols, grid=grid, max_vel=max_vel,
@@ -418,6 +476,18 @@ def _fluid_step2d(sim: MPMSim, st, dt, cfg: BinnedConfig2,
 
     base_new = jnp.floor((x_new - origin_w) / dx - 0.5).astype(jnp.int32)
     off_new = base_new - borigin[:, None, :]
+    if cfg.recenter:
+        # Galilean recentering — see the elastic step / BinnedConfig2
+        asum = jnp.maximum(jnp.sum(lane_alive.astype(jnp.int32)), 1)
+        mean_off = (jnp.sum(jnp.where(lane_alive[..., None], off_new, 0),
+                            axis=(0, 1)).astype(jnp.float32) / asum)
+        shift = jnp.clip(jnp.round(mean_off - 0.5 * (side - 3)),
+                         -1.0, 1.0).astype(jnp.int32)
+        off_new = off_new - shift[None, None, :]
+        tm = grid.transform.matrix.at[:2, 2].add(
+            shift.astype(jnp.float32) * dx)
+        grid = dataclasses.replace(
+            grid, transform=dataclasses.replace(grid.transform, matrix=tm))
     escaped = jnp.any(lane_alive[..., None] &
                       ((off_new < 0) | (off_new > side - 3)))
 
