@@ -151,7 +151,9 @@ def test_to_float_huge_magnitudes():
     for g, v in zip(got, vals):
         if abs(v) < 3.4e38:
             assert np.isfinite(g)
-        np.testing.assert_allclose(g, np.float32(v), rtol=1e-6)
+        with np.errstate(over="ignore"):        # expected: |v| > f32 max
+            want = np.float32(v)
+        np.testing.assert_allclose(g, want, rtol=1e-6)
 
 
 def test_rational_to_float_huge_ratio():
