@@ -404,3 +404,120 @@ def test_grid_stencil_trajectory_and_guards():
     # non-grid topology: build_grid_stencil refuses
     with pytest.raises(ValueError):
         build_grid_stencil(sim, ((0, 7, 7), (49, 1, 1)))
+
+
+def _two_layer_sten(nx, spacing, gap, dhat, **kw):
+    """Two-layer bench topology WITH the grid stencil attached (the
+    form the window-stencil contact path requires)."""
+    from zpc_tpu.sim.cloth import build_grid_stencil, build_incidence
+    sim, x0 = _two_layer(nx, nx, spacing, gap, dhat, **kw)
+    N = nx * nx
+    sim = build_grid_stencil(build_incidence(sim),
+                             ((0, nx, nx), (N, nx, nx)))
+    return sim, x0
+
+
+def test_window_contact_matches_candidate_set():
+    """ContactWindow completeness contract: window + residue == the
+    LBVH gathered path for the barrier energy, the assembled operator
+    apply, and its exact diagonal (in-window non-candidates are farther
+    than dhat and contribute exactly 0)."""
+    from zpc_tpu.sim.cloth import (ContactWindow, _pair_contact_energy,
+                                   apply_operator, assemble_operator,
+                                   classify_window_residue,
+                                   self_contact_candidates,
+                                   self_contact_energy,
+                                   window_contact_energy)
+    sim, x0 = _two_layer_sten(8, 0.05, 0.006, 0.008, k_stretch=2e2,
+                              k_bend=1e-4, mass=0.01)
+    rng = np.random.default_rng(11)
+    y = x0 + jnp.asarray(0.002 * rng.normal(size=x0.shape),
+                         jnp.float32)
+    cand, ovf = jax.jit(
+        lambda z: self_contact_candidates(sim, z, 8))(y)
+    assert not bool(ovf)
+    cw = ContactWindow(radius=1, max_residue=64)
+    vid, tidx, valid, rovf = jax.jit(
+        lambda c: classify_window_residue(sim, cw, c))(cand)
+    assert not bool(rovf)
+    e_dense = float(self_contact_energy(sim, y, cand))
+    assert e_dense > 0  # the state must actually exercise contact
+    e_win = float(window_contact_energy(sim, cw, y)
+                  + _pair_contact_energy(sim, y, vid, tidx, valid))
+    np.testing.assert_allclose(e_win, e_dense, rtol=1e-5)
+
+    dt = 0.005
+    dense = jax.jit(lambda z: assemble_operator(
+        sim, z, x0, dt, cand=cand))(y)
+    win = jax.jit(lambda z: assemble_operator(
+        sim, z, x0, dt, window=cw,
+        window_res=(vid, tidx, valid)))(y)
+    scale_d = float(jnp.max(jnp.abs(dense["diag"])))
+    np.testing.assert_allclose(np.asarray(win["diag"]),
+                               np.asarray(dense["diag"]),
+                               rtol=1e-5, atol=1e-6 * scale_d)
+    for k in range(4):
+        p = jnp.asarray(rng.normal(size=x0.shape).astype(np.float32))
+        qd = jax.jit(lambda q: apply_operator(sim, dense, q, dt))(p)
+        qw = jax.jit(lambda q: apply_operator(sim, win, q, dt))(p)
+        scale = float(jnp.max(jnp.abs(qd)))
+        np.testing.assert_allclose(np.asarray(qw), np.asarray(qd),
+                                   rtol=1e-5, atol=2e-6 * scale)
+
+
+def test_window_trajectory_matches_dense():
+    """implicit_step(contact_window=...) reproduces the dense gathered
+    trajectory through settle + rest (same CCD limits, same CG), with
+    no overflow."""
+    from zpc_tpu.sim.cloth import ContactWindow
+    sim, x0 = _two_layer_sten(6, 0.05, 0.012, 0.008, k_stretch=2e2,
+                              k_bend=1e-4, mass=0.01)
+    cw = ContactWindow(radius=1, max_residue=64)
+    dt = jnp.float32(0.005)
+    step_d = jax.jit(lambda c: implicit_step(
+        sim, c[0], c[1], dt, newton_iters=2, cg_iters=12,
+        self_contact=True))
+    step_w = jax.jit(lambda c: implicit_step(
+        sim, c[0], c[1], dt, newton_iters=2, cg_iters=12,
+        self_contact=True, contact_window=cw))
+    xd = xw = x0
+    vd = vw = jnp.zeros_like(x0)
+    for _ in range(12):
+        xd, vd, _ = step_d((xd, vd))
+        xw, vw, ovf = step_w((xw, vw))
+        assert not bool(ovf)
+    assert np.isfinite(np.asarray(xw)).all()
+    np.testing.assert_allclose(np.asarray(xw), np.asarray(xd),
+                               rtol=3e-4, atol=5e-6)
+    # B rests on A, no interpenetration (same invariant as the dense
+    # two-layer test)
+    N = 36
+    inner = np.asarray([N + i * 6 + j for i in range(5)
+                        for j in range(5)])
+    assert np.asarray(xw)[inner, 1].min() > 0.2 - 1e-4
+
+
+def test_window_residue_overflow_contract():
+    """A radius-0 window pushes (nearly) all candidates into the
+    residue; with a tiny budget the overflow flag must fire, with an
+    ample one the split stays exact."""
+    from zpc_tpu.sim.cloth import (ContactWindow, _pair_contact_energy,
+                                   classify_window_residue,
+                                   self_contact_candidates,
+                                   self_contact_energy,
+                                   window_contact_energy)
+    sim, x0 = _two_layer_sten(6, 0.05, 0.006, 0.008, k_stretch=2e2,
+                              k_bend=1e-4, mass=0.01)
+    cand, _ = self_contact_candidates(sim, x0, 8)
+    n_cand = int(jnp.sum((cand >= 0).astype(jnp.int32)))
+    assert n_cand > 4
+    tiny = ContactWindow(radius=0, max_residue=2)
+    *_, ovf = classify_window_residue(sim, tiny, cand)
+    assert bool(ovf)
+    ample = ContactWindow(radius=0, max_residue=n_cand + 8)
+    vid, tidx, valid, ovf = classify_window_residue(sim, ample, cand)
+    assert not bool(ovf)
+    e_dense = float(self_contact_energy(sim, x0, cand))
+    e_split = float(window_contact_energy(sim, ample, x0)
+                    + _pair_contact_energy(sim, x0, vid, tidx, valid))
+    np.testing.assert_allclose(e_split, e_dense, rtol=1e-5)
