@@ -695,6 +695,9 @@ def main():
     if not only or "fluid" in only:
         add_section("Fluid dam break (EOS)",
                     lambda: bench_fluid(quick=args.quick))
+        if not args.quick:   # scale-flatness row (VERDICT r5 item 3)
+            add_section("Fluid dam break at 1M (EOS)",
+                        lambda: bench_fluid(n=1 << 20))
     if not only or "cloth" in only:
         add_section("Codim cloth (self-contact)",
                     lambda: bench_cloth(quick=args.quick))

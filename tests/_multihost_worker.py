@@ -81,8 +81,48 @@ def _dd_sim_step(mesh, me):
     assert int(total) == n, int(total)
 
 
+def _dd_scale(mesh, me, ref_path):
+    """Round-5 SCALE scenario (VERDICT r4 item 6): 100k skewed
+    particles marching across the morton splits, per-step overflow +
+    host-side recovery ACROSS the process boundary, comm-stat digest
+    printed for exact comparison against the single-process run, and
+    this process's shards verified against the precomputed
+    single-device oracle (``ref_path`` npz written by the parent)."""
+    import json
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import _dd_scale_scenario as sc
+
+    sim, st = sc.build()
+    dds, n_rec, stats_all = sc.run_dd(sim, st, mesh)
+    # the slab must have tripped NB_SMALL at least once — the recovery
+    # re-trace actually ran across the DCN boundary
+    assert n_rec >= 1, "scenario no longer overflows NB_SMALL"
+    print(f"RECOVERED {n_rec}", flush=True)
+    print("DIGEST " + json.dumps(sc.stats_digest(stats_all)), flush=True)
+
+    ref = np.load(ref_path)
+    pid_l = np.concatenate([np.asarray(s.data).reshape(-1)
+                            for s in dds.pid.addressable_shards])
+    alive_l = np.concatenate([np.asarray(s.data).reshape(-1)
+                              for s in dds.alive.addressable_shards])
+    x_l = np.concatenate([np.asarray(s.data).reshape(-1, 3)
+                          for s in dds.channels["x"].addressable_shards])
+    v_l = np.concatenate([np.asarray(s.data).reshape(-1, 3)
+                          for s in dds.channels["v"].addressable_shards])
+    ids = pid_l[alive_l]
+    assert len(ids) > 0, "this process owns no particles?"
+    np.testing.assert_allclose(x_l[alive_l], ref["x"][ids], atol=1e-5)
+    np.testing.assert_allclose(v_l[alive_l], ref["v"][ids], atol=5e-4)
+    total = jax.jit(lambda a: shard_map(
+        lambda s: jax.lax.psum(jnp.sum(s.astype(jnp.int32)), "d"),
+        mesh=mesh, in_specs=P("d"), out_specs=P())(a))(dds.alive)
+    assert int(total) == sc.N, int(total)
+
+
 def main():
     port, pid = sys.argv[1], int(sys.argv[2])
+    mode = sys.argv[3] if len(sys.argv) > 3 else "basic"
     initialize_distributed(coordinator_address=f"127.0.0.1:{port}",
                            num_processes=2, process_id=pid)
     me, nproc, nlocal = process_info()
@@ -90,6 +130,11 @@ def main():
     assert nlocal == 4, nlocal
     assert jax.device_count() == 8, jax.device_count()
     mesh = make_global_mesh()
+
+    if mode == "scale":
+        _dd_scale(mesh, me, sys.argv[4])
+        print(f"WORKER{pid} OK", flush=True)
+        return
 
     # psum across the whole (cross-process) mesh
     local = np.full((4, 8), 1.0 + me, np.float32)     # proc0: 1s, proc1: 2s
