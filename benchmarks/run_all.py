@@ -622,35 +622,70 @@ def bench_cloth(nx=64, quick=False):
     nv, ntris = 2 * N, int(sim.tris.shape[0])
     dtj = jnp.float32(0.005)
 
-    def step(i, c, budget=None):
+    # round 5: the broad phase is CERTIFIED at this state (decomposed
+    # banded join + cubic quantization; the round-4 rows ran with a
+    # permanently-overflowed candidate set — docs/design.md round 5).
+    # mc=24 covers the measured worst vertex (18 raw AABB overlaps).
+    mc = 24
+    from zpc_tpu.sim.cloth import ContactWindow, self_contact_candidates
+    cw = ContactWindow(radius=1, max_residue=1024)
+
+    def step(i, c, budget=None, window=None):
         x, v = c
         x, v, _ = implicit_step(sim, x, v, dtj, newton_iters=2,
                                 cg_iters=24, self_contact=True,
-                                contact_budget=budget)
+                                max_cand=mc, contact_budget=budget,
+                                contact_window=window)
         return x, v
 
     # settle layer B onto A so the row measures the in-contact regime
     warm = jax.jit(lambda c: jax.lax.fori_loop(0, 40, step, c))
     c0 = jax.block_until_ready(warm((x0, jnp.zeros_like(x0))))
-    ms = chained_ms(step, c0, iters=5 if quick else 10, reps=3,
+    _, ovf = jax.jit(lambda x: self_contact_candidates(sim, x, mc))(c0[0])
+    tag = "certified" if not bool(ovf) else "OVERFLOWED"
+    stepw = lambda i, c: step(i, c, window=cw)
+    ms = chained_ms(stepw, c0, iters=5 if quick else 10, reps=3,
                     marginal=True)
     rows = [(f"cloth two-layer self-contact {nv // 1000}k verts "
-             f"({ntris} tris, Newton 2 x CG 24, assembled GN operator)",
+             f"({ntris} tris, Newton 2 x CG 24, WINDOW-stencil contact "
+             f"r=1, broad phase {tag} mc={mc})",
              f"{ms:.1f} ms/step",
              f"{nv / (ms / 1e3) / 1e6:.2f} M vert-steps/s")]
-    # contact active-set compaction (round 4): this resting scene is
-    # LIVE-DENSE (dhat ~ spacing -> 45021 of 65536 slots live,
-    # probe_r4_cloth5.py census), so only a covering budget (6N) is a
-    # legitimate physics row here; compaction's real regime is
-    # live-sparse states where max_cand >> live (docs/design.md)
-    stepb = lambda i, c: step(i, c, budget=6 * nv)
-    ms = chained_ms(stepb, c0, iters=5 if quick else 10, reps=3,
+    ms = chained_ms(step, c0, iters=5 if quick else 10, reps=3,
                     marginal=True)
     rows.append((f"cloth two-layer self-contact {nv // 1000}k verts "
-                 f"(compacted contact, covering budget 6N)",
+                 f"(dense gathered contact, assembled GN operator, "
+                 f"mc={mc})",
                  f"{ms:.1f} ms/step",
                  f"{nv / (ms / 1e3) / 1e6:.2f} M vert-steps/s"))
     return rows
+
+
+def bench_cloth_128k(nx=256):
+    """Reference-scale codim row (VERDICT r5 item 1): 128k verts
+    (two 256x256 layers), window-stencil contact."""
+    import benchmarks.probe_r5_cloth_window as pw
+    from zpc_tpu.sim.cloth import ContactWindow, implicit_step
+    sim, x0 = pw.build(nx)
+    nv = int(x0.shape[0])
+    dtj = jnp.float32(0.005)
+    cw = ContactWindow(radius=1, max_residue=8192)
+
+    def stepw(i, c):
+        x, v = c
+        x, v, _ = implicit_step(sim, x, v, dtj, newton_iters=2,
+                                cg_iters=24, self_contact=True,
+                                max_cand=24, contact_window=cw)
+        return x, v
+
+    warm = jax.jit(lambda c: jax.lax.fori_loop(0, 20, stepw, c))
+    c0 = jax.block_until_ready(warm((x0, jnp.zeros_like(x0))))
+    ms = chained_ms(stepw, c0, iters=5, reps=3, marginal=True)
+    return [(f"cloth two-layer self-contact {nv // 1000}k verts "
+             f"({int(sim.tris.shape[0])} tris, Newton 2 x CG 24, "
+             f"WINDOW-stencil contact r=1)",
+             f"{ms:.1f} ms/step",
+             f"{nv / (ms / 1e3) / 1e6:.2f} M vert-steps/s")]
 
 
 def main():
@@ -701,6 +736,9 @@ def main():
     if not only or "cloth" in only:
         add_section("Codim cloth (self-contact)",
                     lambda: bench_cloth(quick=args.quick))
+        if not args.quick:   # reference-scale row (VERDICT r5 item 1)
+            add_section("Codim cloth at 128k verts",
+                        bench_cloth_128k)
     lines = [f"# BENCHMARKS — measured on {dev.device_kind} "
              f"({time.strftime('%Y-%m-%d')})",
              "",

@@ -606,3 +606,30 @@ class TestExactDriver:
                                        jnp.asarray(qhi), 16, tile=64,
                                        residue_budget=64)
         assert bool(ovf)
+
+
+def test_nse_fused_matches_bruteforce():
+    """The fused chunked NSE sweep (round 5) == classic stack NSE, both
+    directions, across chunk boundaries (chunk=512 forces several)."""
+    from zpc_tpu.containers.bvh import _nse_dir_chunked
+    rng = np.random.default_rng(3)
+    g = 3000
+    d = rng.integers(1, 64, g).astype(np.int32)
+
+    def brute(strict):
+        sel = np.full(g, -(1 << 30), np.int64)
+        for i in range(g):
+            for j in range(i - 1, -1, -1):
+                if (d[j] < d[i]) if strict else (d[j] <= d[i]):
+                    sel[i] = (j << 6) | d[j]
+                    break
+        return sel
+
+    for strict in (False, True):
+        got = np.asarray(jax.jit(
+            lambda x, _s=strict: _nse_dir_chunked(x, _s, chunk=512))(
+            jnp.asarray(d)))
+        want = brute(strict)
+        none = got < 0
+        assert ((want < 0) == none).all()
+        np.testing.assert_array_equal(got[~none], want[~none])

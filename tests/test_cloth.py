@@ -521,3 +521,36 @@ def test_window_residue_overflow_contract():
     e_split = float(window_contact_energy(sim, ample, x0)
                     + _pair_contact_energy(sim, x0, vid, tidx, valid))
     np.testing.assert_allclose(e_split, e_dense, rtol=1e-5)
+
+
+def test_self_contact_candidates_complete_decomposed():
+    """Broad phase at DECOMPOSED scale (M > 512 routes through the
+    cells=8 banded join — round 5): completeness oracle on a 24x24
+    two-layer sheet, which is exactly the adversarial flat-slab
+    geometry where the plain band certified nothing (in-band 0.0000,
+    probe_r5_cloth2.py)."""
+    from zpc_tpu.geometry.distance import point_triangle_closest
+    from zpc_tpu.sim.cloth import self_contact_candidates
+    dhat = 0.02
+    sim, x0 = _two_layer(24, 24, 0.05, 0.015, dhat, k_stretch=2e2,
+                         k_bend=1e-4, mass=0.01)
+    assert int(sim.tris.shape[0]) > 512     # decomposed path engaged
+    mc = 24
+    cand, ovf = jax.jit(
+        lambda x: self_contact_candidates(sim, x, mc))(x0)
+    assert not bool(ovf)
+    cand = np.asarray(cand)
+    # vectorized brute oracle: [N, M] vertex-triangle distances
+    tv = x0[sim.tris]
+    _, cl = point_triangle_closest(
+        x0[:, None, :], tv[None, :, 0], tv[None, :, 1], tv[None, :, 2])
+    d = np.linalg.norm(np.asarray(cl) - np.asarray(x0)[:, None], axis=-1)
+    tris = np.asarray(sim.tris)
+    vs, ts = np.nonzero(d < dhat * 0.999)
+    n_pairs = 0
+    for vtx, t in zip(vs, ts):
+        if vtx in tris[t]:
+            continue
+        assert t in cand[vtx], (vtx, t, d[vtx, t])
+        n_pairs += 1
+    assert n_pairs > 100        # the oracle actually exercised pairs

@@ -119,6 +119,59 @@ class LBvh:
         return (self.lo.shape[0] + 1) // 2
 
 
+def _nse_dir_chunked(d: jax.Array, strict: bool, chunk: int = 8192):
+    """One direction of the Karras NSE sweep, FUSED over all 63 values
+    (round 5, VERDICT item 7): nearest j < i with ``d[j] <= d[i]``
+    (``strict=False``) or ``d[j] < d[i]`` (``strict=True``), as ONE
+    ``lax.scan`` over position chunks carrying a 64-wide register of
+    packed ``(pos << 6) | value`` bests.
+
+    Per chunk the masked per-value positions form a [64, C] block whose
+    axis-1 cummax, 64-carry fold, and axis-0 value-prefix cummax all
+    stay in on-chip scratch — the round-4 batched [64, g] attempt was
+    semantics-identical but materialized [64, 1M] intermediates in HBM
+    and measured 2.1x SLOWER than the 126-scan loop; chunking is the
+    same scratch-cliff fix as mpm_binned2.chunk_bins.  Max-by-position
+    wins ties by construction (positions are unique); the low 6 bits
+    recover the winner's d value, replacing the run_lv/run_rv carries.
+
+    Returns packed int32 [g]: ``(pos << 6) | d[pos]`` of the nearest
+    element, or a negative sentinel when none exists.
+    """
+    g = d.shape[0]
+    C = min(chunk, _next_mult(g, 128))
+    n_pad = -(-g // C) * C
+    NONE = jnp.int32(-(1 << 30))
+    dp = jnp.concatenate([d, jnp.zeros((n_pad - g,), d.dtype)])
+    xs = dp.reshape(-1, C)
+    offs = jnp.arange(xs.shape[0], dtype=jnp.int32) * C
+    viota = jax.lax.broadcasted_iota(jnp.int32, (64, C), 0)
+
+    def body(carry, inp):
+        dc, off = inp
+        pos = off + jnp.arange(C, dtype=jnp.int32)
+        mask = viota == dc[None, :]
+        packed = jnp.where(mask & (pos < g)[None, :],
+                           (pos << 6) | dc[None, :], NONE)
+        p = jax.lax.cummax(packed, axis=1)
+        p_excl = jnp.concatenate(
+            [jnp.full((64, 1), NONE, jnp.int32), p[:, :-1]], axis=1)
+        full = jnp.maximum(p_excl, carry[:, None])
+        f = jax.lax.cummax(full, axis=0)        # prefix over values
+        w = dc - (1 if strict else 0)           # d >= 1 always
+        sel = jnp.max(jnp.where(viota == w[None, :], f, NONE), axis=0)
+        carry = jnp.maximum(carry, p[:, -1])
+        return carry, sel
+
+    _, sels = jax.lax.scan(body, jnp.full((64,), NONE, jnp.int32),
+                           (xs, offs))
+    return sels.reshape(-1)[:g]
+
+
+def _next_mult(n, m):
+    return -(-n // m) * m
+
+
 def _karras_topology(codes: jax.Array):
     """Karras-2012 radix-tree topology as a min-Cartesian tree over the
     adjacent-gap delta array — vectorized nearest-smaller-element sweeps
@@ -149,51 +202,65 @@ def _karras_topology(codes: jax.Array):
     d = jnp.where(same, 32 + common_prefix_length(gi, gi + 1).astype(
         jnp.int32), d)
 
-    # the 63-value sweep is 126 cumulative scans: XLA's cummax/cummin
-    # are log-depth multi-pass (~0.38 ms each at 1M -> 50 ms measured,
-    # benchmarks/probe_karras.py); the Pallas chunked-carry scan is one
-    # streaming pass (~3.7x) — route there when on TPU and big enough
-    from ..ops.scan_pallas import scan_pallas, scan_supported
-    fast = (jax.default_backend() == "tpu" and scan_supported(d, "max"))
-
-    def cummax_fwd(x):
-        return scan_pallas(x, op="max") if fast else jax.lax.cummax(x)
-
-    def cummin_rev(x):
-        if fast:
-            return scan_pallas(x[::-1], op="min")[::-1]
-        return jax.lax.cummin(x, reverse=True)
-
     BIG = jnp.int32(1 << 30)
     none_l = jnp.full((g,), -1, jnp.int32)
     none_r = jnp.full((g,), BIG, jnp.int32)
-    nsel, nser = none_l, none_r
-    dl = jnp.full((g,), -1, jnp.int32)   # d at nsel (-1 = none)
-    dr = jnp.full((g,), -1, jnp.int32)   # d at nser
-    run_l, run_r = none_l, none_r        # best position so far over values
-    run_lv = jnp.full((g,), -1, jnp.int32)  # d value at run_l / run_r
-    run_rv = jnp.full((g,), -1, jnp.int32)
     # d = 0 impossible (codes and the invalid sentinel are non-negative:
     # sign bits equal); d = 64 impossible (tie delta = 32 + cpl(i, i+1)
     # and adjacent indices always differ)
-    for v in range(1, 64):
-        eq = d == v
-        # NSEr first: strict (u < d[i]) -> capture BEFORE folding in v
-        nser = jnp.where(eq, run_r, nser)
-        dr = jnp.where(eq, run_rv, dr)
-        fp = cummin_rev(jnp.where(eq, gi, BIG))
-        fp_excl = jnp.concatenate([fp[1:], none_r[:1]])
-        br = fp_excl < run_r
-        run_rv = jnp.where(br, v, run_rv)
-        run_r = jnp.where(br, fp_excl, run_r)
-        # NSEl: non-strict (u <= d[i]) -> capture AFTER folding in v
-        lp = cummax_fwd(jnp.where(eq, gi, -1))
-        lp_excl = jnp.concatenate([none_l[:1], lp[:-1]])
-        bl = lp_excl > run_l
-        run_lv = jnp.where(bl, v, run_lv)
-        run_l = jnp.where(bl, lp_excl, run_l)
-        nsel = jnp.where(eq, run_l, nsel)
-        dl = jnp.where(eq, run_lv, dl)
+    if g >= 1024:
+        # FUSED sweep (round 5): both directions over all 63 values in
+        # two chunk scans (see _nse_dir_chunked); replaces the 126-scan
+        # loop below, which remains as the small-size form and the
+        # oracle (tests/test_bvh.py pins them equal)
+        sel_l = _nse_dir_chunked(d, strict=False)
+        nsel = jnp.where(sel_l < 0, -1, sel_l >> 6)
+        dl = jnp.where(sel_l < 0, -1, sel_l & 63)
+        sel_r = _nse_dir_chunked(d[::-1], strict=True)[::-1]
+        nser = jnp.where(sel_r < 0, BIG, g - 1 - (sel_r >> 6))
+        dr = jnp.where(sel_r < 0, -1, sel_r & 63)
+    else:
+        # the 63-value sweep is 126 cumulative scans: XLA's
+        # cummax/cummin are log-depth multi-pass (~0.38 ms each at 1M
+        # -> 50 ms measured, benchmarks/probe_karras.py); the Pallas
+        # chunked-carry scan is one streaming pass (~3.7x) — route
+        # there when on TPU and big enough
+        from ..ops.scan_pallas import scan_pallas, scan_supported
+        fast = (jax.default_backend() == "tpu"
+                and scan_supported(d, "max"))
+
+        def cummax_fwd(x):
+            return scan_pallas(x, op="max") if fast else jax.lax.cummax(x)
+
+        def cummin_rev(x):
+            if fast:
+                return scan_pallas(x[::-1], op="min")[::-1]
+            return jax.lax.cummin(x, reverse=True)
+
+        nsel, nser = none_l, none_r
+        dl = jnp.full((g,), -1, jnp.int32)   # d at nsel (-1 = none)
+        dr = jnp.full((g,), -1, jnp.int32)   # d at nser
+        run_l, run_r = none_l, none_r    # best position so far over values
+        run_lv = jnp.full((g,), -1, jnp.int32)  # d value at run_l / run_r
+        run_rv = jnp.full((g,), -1, jnp.int32)
+        for v in range(1, 64):
+            eq = d == v
+            # NSEr first: strict (u < d[i]) -> capture BEFORE folding in v
+            nser = jnp.where(eq, run_r, nser)
+            dr = jnp.where(eq, run_rv, dr)
+            fp = cummin_rev(jnp.where(eq, gi, BIG))
+            fp_excl = jnp.concatenate([fp[1:], none_r[:1]])
+            br = fp_excl < run_r
+            run_rv = jnp.where(br, v, run_rv)
+            run_r = jnp.where(br, fp_excl, run_r)
+            # NSEl: non-strict (u <= d[i]) -> capture AFTER folding in v
+            lp = cummax_fwd(jnp.where(eq, gi, -1))
+            lp_excl = jnp.concatenate([none_l[:1], lp[:-1]])
+            bl = lp_excl > run_l
+            run_lv = jnp.where(bl, v, run_lv)
+            run_l = jnp.where(bl, lp_excl, run_l)
+            nsel = jnp.where(eq, run_l, nsel)
+            dl = jnp.where(eq, run_lv, dl)
 
     rlo = nsel + 1
     rhi = jnp.minimum(nser, g)
@@ -265,7 +332,18 @@ def build_lbvh(prim_lo: jax.Array, prim_hi: jax.Array,
     vhi = jnp.where(valid[:, None], prim_hi, -big)
     scene_lo = jnp.min(vlo, 0)
     scene_hi = jnp.max(vhi, 0)
-    extent = jnp.maximum(scene_hi - scene_lo, 1e-12)
+    # CUBIC quantization cells (round 5): per-axis normalization puts
+    # 10 full morton bits on a degenerate axis — for a flat sheet the
+    # thin axis becomes noise bits that destroy code locality, and any
+    # query dilated past the thin extent quantizes to the WHOLE axis,
+    # so its covering cells degenerate to the full domain (measured:
+    # the cloth broad phase's primary cell spanned all leaves,
+    # tests/test_cloth.py decomposed-completeness oracle).  One shared
+    # scale keeps cells world-space cubes, the assumption every morton
+    # consumer here (band, decompose, half_max dilation) is built on.
+    extent = jnp.broadcast_to(
+        jnp.max(jnp.maximum(scene_hi - scene_lo, 1e-12)),
+        scene_lo.shape)
     q = jnp.clip(((centers - scene_lo) / extent * 1024.0), 0, 1023).astype(
         jnp.int32)
     codes = morton3d(q)
@@ -385,7 +463,18 @@ def build_lbvh_complete(prim_lo: jax.Array, prim_hi: jax.Array,
     vhi = jnp.where(valid[:, None], prim_hi, -big)
     scene_lo = jnp.min(vlo, 0)
     scene_hi = jnp.max(vhi, 0)
-    extent = jnp.maximum(scene_hi - scene_lo, 1e-12)
+    # CUBIC quantization cells (round 5): per-axis normalization puts
+    # 10 full morton bits on a degenerate axis — for a flat sheet the
+    # thin axis becomes noise bits that destroy code locality, and any
+    # query dilated past the thin extent quantizes to the WHOLE axis,
+    # so its covering cells degenerate to the full domain (measured:
+    # the cloth broad phase's primary cell spanned all leaves,
+    # tests/test_cloth.py decomposed-completeness oracle).  One shared
+    # scale keeps cells world-space cubes, the assumption every morton
+    # consumer here (band, decompose, half_max dilation) is built on.
+    extent = jnp.broadcast_to(
+        jnp.max(jnp.maximum(scene_hi - scene_lo, 1e-12)),
+        scene_lo.shape)
     q = jnp.clip(((centers - scene_lo) / extent * 1024.0), 0, 1023).astype(
         jnp.int32)
     codes = morton3d(q)

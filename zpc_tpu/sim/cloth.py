@@ -390,13 +390,44 @@ def self_contact_candidates(sim: ClothSim, x: jax.Array,
     ``max_cand`` candidates or fell out of the band (caller re-traces
     with a larger budget, the framework's standard contract).
 
+    Round 5: the broad phase runs the DECOMPOSED banded join
+    (``decompose=True, cells=8``).  A flat sheet is the adversarial
+    case for the plain band — every vertex box straddles a high morton
+    plane, so the plain join certified NOTHING at the settled two-layer
+    state (measured in-band fraction 0.0000, probe_r5_cloth2.py) and
+    the overflow flag was permanently True.  Decomposed entries land
+    in-band by construction; returns are entry-granular with
+    duplicated qid and are combined here by segment ops (counts
+    scatter-ADD, band scatter-AND, hit slots via an occurrence-rank
+    scatter — the cells are disjoint so the union has no duplicates).
+
     Reference lineage: codim-IPC's spatial-hash/BVH broad phase feeding
     ``geometry/Distance.hpp`` barriers (the reference ships the kernels
     and leaves assembly to zeno's codim solver; here it is assembled).
     """
     from ..containers.bvh import build_lbvh_complete, query_overlaps_sorted
     N = x.shape[0]
+    M = int(sim.tris.shape[0])
     tv = x[sim.tris]                                    # [M, 3, 3]
+    vid = jnp.arange(N, dtype=jnp.int32)[:, None]
+    if M <= 512:
+        # toy scales: the banded join's window granularity (3 tiles of
+        # ceil(M/ntiles) leaves) is coarser than a tiny tree, so the
+        # band certificate fails spuriously — brute-force the [N, M]
+        # AABB table instead (exact, and trivial at this size)
+        tlo, thi = jnp.min(tv, 1), jnp.max(tv, 1)
+        ov = (jnp.all(tlo[None] <= (x + sim.dhat)[:, None], -1)
+              & jnp.all(thi[None] >= (x - sim.dhat)[:, None], -1))
+        incident = jnp.any(sim.tris[None] == vid[:, :, None], -1)
+        keep = ov & ~incident
+        cand_all = jnp.where(keep, jnp.arange(M, dtype=jnp.int32)[None],
+                             -1)
+        rank = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
+        slot = jnp.where(keep & (rank < max_cand), rank, max_cand)
+        cand = jnp.full((N, max_cand + 1), -1, jnp.int32).at[
+            vid, slot].set(cand_all)[:, :max_cand]
+        n_keep = jnp.sum(keep.astype(jnp.int32), axis=1)
+        return cand, jnp.any(n_keep > max_cand)
     bvh = build_lbvh_complete(jnp.min(tv, 1), jnp.max(tv, 1))
     nq = -(-N // tile) * tile
     far = jnp.float32(1e9)
@@ -404,29 +435,38 @@ def self_contact_candidates(sim: ClothSim, x: jax.Array,
     # vertex +- dhat boxes share one extent -> uniform_extent fast path
     # (3 center columns ride the entry sort instead of 6 box columns)
     pts = jnp.concatenate([x, jnp.full((pad, 3), far, x.dtype)])
+    R, C = 8, max_cand + 3      # per-CELL slot budget (hits split
+    #                             across a vertex's <= 8 covering cells)
     qid, hits, cnt, band = query_overlaps_sorted(
-        bvh, pts, pts, max_cand + 3, tile=tile,
-        uniform_extent=sim.dhat)
-    hits_v = jnp.full((nq, max_cand + 3), -1, jnp.int32
-                      ).at[qid].set(hits)[:N]
-    cnt_v = jnp.zeros((nq,), jnp.int32).at[qid].set(cnt)[:N]
-    band_v = jnp.zeros((nq,), bool).at[qid].set(band)[:N]
-    # drop triangles incident to the vertex (up to 3 slots reclaimed
-    # by the +3 query budget; grid vertices touch <= 6 but barriers at
-    # rest range only see the dhat ball)
+        bvh, pts, pts, C, tile=tile, uniform_extent=sim.dhat,
+        decompose=True, cells=R)
+    E = nq * R
+    # occurrence rank: every qid appears EXACTLY R times (invalid
+    # cells return empty intervals, never dropped), so after a stable
+    # sort by qid, sorted position j belongs to query j // R at
+    # occurrence j % R
+    pos = jnp.arange(E, dtype=jnp.int32)
+    _, perm = jax.lax.sort((qid, pos), num_keys=1, is_stable=True)
+    occ = jnp.zeros((E,), jnp.int32).at[perm].set(pos % R)
+    hits_v = jnp.full((nq, R, C), -1, jnp.int32
+                      ).at[qid, occ].set(hits)[:N].reshape(N, R * C)
+    cnt_e_ok = cnt <= C                 # per-entry slot truncation
+    live_q = qid < N
+    band_ok = jnp.all(jnp.where(live_q, band & cnt_e_ok, True))
+    # drop triangles incident to the vertex (statically excluded from
+    # the window term; the dhat ball at rest sees few of the <= 6)
     vid = jnp.arange(N, dtype=jnp.int32)[:, None]
-    tvid = sim.tris[jnp.maximum(hits_v, 0)]             # [N, C+3, 3]
+    tvid = sim.tris[jnp.maximum(hits_v, 0)]             # [N, R*C, 3]
     incident = jnp.any(tvid == vid[..., None], axis=-1) & (hits_v >= 0)
     cand_all = jnp.where(incident, -1, hits_v)
-    # compact the survivors into max_cand slots (static small C)
+    # compact the survivors into max_cand slots (static small R*C)
     keep = cand_all >= 0
     rank = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
     slot = jnp.where(keep & (rank < max_cand), rank, max_cand)
     cand = jnp.full((N, max_cand + 1), -1, jnp.int32).at[
         vid, slot].set(cand_all)[:, :max_cand]
     n_keep = jnp.sum(keep.astype(jnp.int32), axis=1)
-    overflow = jnp.any((n_keep > max_cand) | (cnt_v > max_cand + 3)
-                       | ~band_v)
+    overflow = jnp.any(n_keep > max_cand) | ~band_ok
     return cand, overflow
 
 
