@@ -25,7 +25,11 @@ from benchmarks.measure import chained_ms
 def build(nx):
     from zpc_tpu.sim.cloth import (ClothSim, build_grid_stencil,
                                    build_incidence, make_cloth_grid)
-    spacing, gap, dhat = 0.6 / nx, 0.015, 0.008
+    # scale-similar scene: dhat/gap track the mesh spacing so the
+    # contact regime (and candidate counts) are size-invariant; at
+    # nx=64 these are exactly the historical 0.008 / 0.015
+    spacing = 0.6 / nx
+    gap, dhat = 1.6 * spacing, 0.8533333 * spacing
     simA, xA = make_cloth_grid(nx, nx, spacing, height=0.2, dhat=dhat,
                                ground_off=-10.0, k_stretch=2e2,
                                k_bend=1e-4, mass=0.01)

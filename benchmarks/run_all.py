@@ -625,8 +625,9 @@ def bench_cloth(nx=64, quick=False):
     # round 5: the broad phase is CERTIFIED at this state (decomposed
     # banded join + cubic quantization; the round-4 rows ran with a
     # permanently-overflowed candidate set — docs/design.md round 5).
-    # mc=24 covers the measured worst vertex (18 raw AABB overlaps).
-    mc = 24
+    # mc=28 covers the measured worst vertex (26 raw AABB overlaps
+    # incl. incident, probe_r5_cloth2 at the settled state).
+    mc = 28
     from zpc_tpu.sim.cloth import ContactWindow, self_contact_candidates
     cw = ContactWindow(radius=1, max_residue=1024)
 
@@ -675,7 +676,7 @@ def bench_cloth_128k(nx=256):
         x, v = c
         x, v, _ = implicit_step(sim, x, v, dtj, newton_iters=2,
                                 cg_iters=24, self_contact=True,
-                                max_cand=24, contact_window=cw)
+                                max_cand=28, contact_window=cw)
         return x, v
 
     warm = jax.jit(lambda c: jax.lax.fori_loop(0, 20, stepw, c))

@@ -633,3 +633,19 @@ def test_nse_fused_matches_bruteforce():
         none = got < 0
         assert ((want < 0) == none).all()
         np.testing.assert_array_equal(got[~none], want[~none])
+
+
+def test_nse_pallas_matches_chunked():
+    """The Pallas fused NSE kernel (interpret mode on CPU) == the XLA
+    chunk-scan form, both directions, multi-block + ragged tail."""
+    from zpc_tpu.ops.nse_pallas import CHUNK, nse_pallas
+    from zpc_tpu.containers.bvh import _nse_dir_chunked
+    rng = np.random.default_rng(5)
+    g = 2 * CHUNK + 1234
+    d = jnp.asarray(rng.integers(1, 64, g, dtype=np.int32))
+    for strict in (False, True):
+        want = np.asarray(_nse_dir_chunked(d, strict))
+        got = np.asarray(nse_pallas(d, strict=strict, interpret=True))
+        none = want < 0
+        assert ((got < 0) == none).all()
+        np.testing.assert_array_equal(got[~none], want[~none])

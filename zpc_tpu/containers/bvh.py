@@ -208,15 +208,21 @@ def _karras_topology(codes: jax.Array):
     # d = 0 impossible (codes and the invalid sentinel are non-negative:
     # sign bits equal); d = 64 impossible (tie delta = 32 + cpl(i, i+1)
     # and adjacent indices always differ)
-    if g >= 1024:
+    from ..ops.nse_pallas import nse_pallas, nse_supported
+    use_pallas = (jax.default_backend() == "tpu" and nse_supported(d))
+    if use_pallas or g >= 1024:
         # FUSED sweep (round 5): both directions over all 63 values in
-        # two chunk scans (see _nse_dir_chunked); replaces the 126-scan
-        # loop below, which remains as the small-size form and the
-        # oracle (tests/test_bvh.py pins them equal)
-        sel_l = _nse_dir_chunked(d, strict=False)
+        # two streaming passes.  On TPU the Pallas kernel keeps the
+        # [64, 128] per-subrow state in VMEM (ops/nse_pallas.py); the
+        # XLA chunk-scan form (_nse_dir_chunked) is the CPU/test path
+        # — semantics identical, oracle-pinned (tests/test_bvh.py).
+        # The 126-scan loop below remains as the small-size form.
+        _dir = (lambda dd, s: nse_pallas(dd, strict=s)) if use_pallas \
+            else (lambda dd, s: _nse_dir_chunked(dd, s))
+        sel_l = _dir(d, False)
         nsel = jnp.where(sel_l < 0, -1, sel_l >> 6)
         dl = jnp.where(sel_l < 0, -1, sel_l & 63)
-        sel_r = _nse_dir_chunked(d[::-1], strict=True)[::-1]
+        sel_r = _dir(d[::-1], True)[::-1]
         nser = jnp.where(sel_r < 0, BIG, g - 1 - (sel_r >> 6))
         dr = jnp.where(sel_r < 0, -1, sel_r & 63)
     else:
