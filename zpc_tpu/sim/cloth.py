@@ -418,7 +418,9 @@ def self_contact_candidates(sim: ClothSim, x: jax.Array,
         tlo, thi = jnp.min(tv, 1), jnp.max(tv, 1)
         ov = (jnp.all(tlo[None] <= (x + sim.dhat)[:, None], -1)
               & jnp.all(thi[None] >= (x - sim.dhat)[:, None], -1))
-        incident = jnp.any(sim.tris[None] == vid[:, :, None], -1)
+        incident = jnp.zeros((N, M), bool)       # column form: no
+        for k in range(3):                       # [N, M, 3] lane pad
+            incident = incident | (sim.tris[:, k][None, :] == vid)
         keep = ov & ~incident
         cand_all = jnp.where(keep, jnp.arange(M, dtype=jnp.int32)[None],
                              -1)
@@ -454,10 +456,15 @@ def self_contact_candidates(sim: ClothSim, x: jax.Array,
     live_q = qid < N
     band_ok = jnp.all(jnp.where(live_q, band & cnt_e_ok, True))
     # drop triangles incident to the vertex (statically excluded from
-    # the window term; the dhat ball at rest sees few of the <= 6)
-    vid = jnp.arange(N, dtype=jnp.int32)[:, None]
-    tvid = sim.tris[jnp.maximum(hits_v, 0)]             # [N, R*C, 3]
-    incident = jnp.any(tvid == vid[..., None], axis=-1) & (hits_v >= 0)
+    # the window term; the dhat ball at rest sees few of the <= 6).
+    # Per-CORNER-column gathers: a [N, R*C, 3] row-gather lane-pads its
+    # 3-wide minor dim 42.7x (measured 15.5 GB HLO temp at 128k verts —
+    # the round-5 OOM), while three [N, R*C] column gathers are unpadded
+    hs = jnp.maximum(hits_v, 0)
+    incident = jnp.zeros(hits_v.shape, bool)
+    for k in range(3):
+        incident = incident | (sim.tris[:, k][hs] == vid)
+    incident = incident & (hits_v >= 0)
     cand_all = jnp.where(incident, -1, hits_v)
     # compact the survivors into max_cand slots (static small R*C)
     keep = cand_all >= 0
