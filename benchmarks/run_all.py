@@ -556,8 +556,14 @@ def bench_fluid(n=262144, quick=False):
     x = (ci[:, None, :] + offs[None, :, :]).reshape(-1, 3)
     x = (x + rng.uniform(-0.1, 0.1, x.shape)) * dx + 0.05
     x = x.astype(np.float32)[:n]
+    # lane/table budgets scale with n (the 1M row: 10240 bins x 128 lanes
+    # — the collapsing column spreads over more blocks than the elastic
+    # bench's settled cube, so give padding headroom — 8192 dilated
+    # blocks, 640-bin chunks)
+    big = n > 524288
+    nb_cap = 8192 if big else 4096
     st = make_fluid_state(jnp.asarray(x), dx=dx, rho=1e3,
-                          block_capacity=4096)
+                          block_capacity=nb_cap)
     tank = Collider(ComplementLevelSet(Cuboid(jnp.full(3, 0.02),
                                               jnp.full(3, 0.98))),
                     ColliderType.slip)
@@ -565,8 +571,9 @@ def bench_fluid(n=262144, quick=False):
                                        lam=jnp.float32(8e4),
                                        gamma=jnp.float32(7.0)),
                  gravity=jnp.asarray([0.0, -9.8, 0.0]), colliders=(tank,))
-    cfg = BinnedConfig2(bins_capacity=4096, block_capacity=4096,
-                        chunk_bins=512)
+    cfg = BinnedConfig2(bins_capacity=10240 if big else 4096,
+                        block_capacity=nb_cap,
+                        chunk_bins=640 if big else 512)
     bst = jax.block_until_ready(
         jax.jit(lambda s: bin_fluid_state(sim, s, cfg))(st))
     dtj = jnp.float32(2e-4)
@@ -625,9 +632,12 @@ def bench_cloth(nx=64, quick=False):
     # round 5: the broad phase is CERTIFIED at this state (decomposed
     # banded join + cubic quantization; the round-4 rows ran with a
     # permanently-overflowed candidate set — docs/design.md round 5).
-    # mc=28 covers the measured worst vertex (26 raw AABB overlaps
-    # incl. incident, probe_r5_cloth2 at the settled state).
-    mc = 28
+    # mc=32 covers the measured worst vertex (26 raw AABB overlaps incl.
+    # incident at the probe's settled state, probe_r5_cloth2) with slack:
+    # the trajectory depends on mc itself, and a budget that overflows
+    # mid-settle drops contacts -> penetrations -> a slower, uncertified
+    # regime (the round-4 94.6/146.9 ms rows; docs/design.md round 5).
+    mc = 32
     from zpc_tpu.sim.cloth import ContactWindow, self_contact_candidates
     cw = ContactWindow(radius=1, max_residue=1024)
 
@@ -676,7 +686,7 @@ def bench_cloth_128k(nx=256):
         x, v = c
         x, v, _ = implicit_step(sim, x, v, dtj, newton_iters=2,
                                 cg_iters=24, self_contact=True,
-                                max_cand=28, contact_window=cw)
+                                max_cand=32, contact_window=cw)
         return x, v
 
     warm = jax.jit(lambda c: jax.lax.fori_loop(0, 20, stepw, c))

@@ -206,6 +206,11 @@ def _sort_into_bins(keys: jax.Array, cols: jax.Array, pid: jax.Array,
     """
     N = keys.shape[0]
     L = cfg.bins_capacity * K
+    if L < N:
+        raise ValueError(
+            f"BinnedConfig2.bins_capacity={cfg.bins_capacity} gives only "
+            f"{L} lanes (x{K}/bin) for {N} particle lanes; raise "
+            f"bins_capacity to at least {-(-N // K)} (plus padding slack)")
     npad = L - N
 
     # per-block counts from a key-only sort (cheap: 1 col)
