@@ -294,6 +294,27 @@ def bench_bvh(n=1_048_576, quick=False):
     rows = [(f"LBVH build (Karras) {n // 1000}k", f"{ms:.1f} ms",
              f"{n / (ms / 1e3) / 1e6:.1f} Mprims/s")]
 
+    # topology alone (round 5: fused Pallas NSE, 72 -> ~25 ms): the rest
+    # of the full build is per-node box/reorder fetches at the measured
+    # 11 ns/row gather-launch floor (probe_r5_gather, docs/design.md)
+    from zpc_tpu.containers.bvh import _karras_topology
+    from zpc_tpu.math.bits import morton3d
+    codes0 = jax.block_until_ready(jax.jit(lambda l, h2: jnp.sort(
+        morton3d(jnp.clip(((0.5 * (l + h2) - jnp.min(l, 0))
+                           / jnp.max(jnp.maximum(jnp.max(h2, 0)
+                                                 - jnp.min(l, 0), 1e-12))
+                           * 1024.0), 0, 1023).astype(jnp.int32))))(lo, hi))
+
+    def topo_body(i, cc):
+        lft, rgt, rl, rh = _karras_topology(cc[0])
+        eps = (dep_scalar(lft) + dep_scalar(rgt) + dep_scalar(rl)
+               + dep_scalar(rh)).astype(jnp.int32)
+        return (cc[0] + eps,)
+
+    ms = chained_ms(topo_body, (codes0,), iters=4, reps=3, marginal=True)
+    rows.append((f"LBVH Karras topology only {n // 1000}k (Pallas NSE)",
+                 f"{ms:.1f} ms", f"{n / (ms / 1e3) / 1e6:.1f} Mprims/s"))
+
     def build_body2(i, lohi):
         l, h2 = lohi
         bvh = build_lbvh_complete(l, h2)
