@@ -71,15 +71,18 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--migrate", type=int, default=8192)
     ap.add_argument("--reserve", type=int, default=1)
+    ap.add_argument("--bins", type=int, default=0)
+    ap.add_argument("--chunk", type=int, default=0)
+    ap.add_argument("--skip-inc", action="store_true")
     args = ap.parse_args()
     from zpc_tpu.sim.fluid_binned2 import explicit_fluid_step_binned2
     from zpc_tpu.sim.mpm_binned2 import _rebin, rebin_adaptive
 
     n = args.n
     big = n > 524288
-    bins = 10240 if big else 4096
+    bins = args.bins or (10240 if big else 4096)
     nb = 8192 if big else 4096
-    chunk = 640 if big else 512
+    chunk = args.chunk or (640 if big else 512)
     dtj = jnp.float32(2e-4)
     print(f"n={n >> 10}k dev={jax.devices()[0].device_kind}", flush=True)
 
@@ -123,6 +126,8 @@ def main():
           f"({n / ms / 1e3:.1f} M pps)", flush=True)
 
     # --- incremental migration -------------------------------------------
+    if args.skip_inc:
+        return
     simi, bsti, cfgi = build(n, bins, nb, chunk,
                              reserve=args.reserve, migrate=args.migrate)
 

@@ -577,10 +577,14 @@ def bench_fluid(n=262144, quick=False):
     x = (ci[:, None, :] + offs[None, :, :]).reshape(-1, 3)
     x = (x + rng.uniform(-0.1, 0.1, x.shape)) * dx + 0.05
     x = x.astype(np.float32)[:n]
-    # lane/table budgets scale with n (the 1M row: 10240 bins x 128 lanes
-    # — the collapsing column spreads over more blocks than the elastic
-    # bench's settled cube, so give padding headroom — 8192 dilated
-    # blocks, 640-bin chunks)
+    # lane/table budgets scale with n, mirroring the elastic rows: the
+    # chunked transfers sweep ALL static bins, so oversized bins_capacity
+    # is a direct per-step tax — the round-4 config carried 4096 bins
+    # (524k lanes for 262k particles, 2x overhead) and measured 67 M pps;
+    # at the elastic-matched 2560 the same step does 117 (probe_r5_fluid:
+    # rebins fire 0/60 at the measured window, so lanes are the whole
+    # story).  1M: 10240 bins — the collapsing column spreads over more
+    # blocks than the elastic bench's settled cube, so keep pad headroom.
     big = n > 524288
     nb_cap = 8192 if big else 4096
     st = make_fluid_state(jnp.asarray(x), dx=dx, rho=1e3,
@@ -592,7 +596,7 @@ def bench_fluid(n=262144, quick=False):
                                        lam=jnp.float32(8e4),
                                        gamma=jnp.float32(7.0)),
                  gravity=jnp.asarray([0.0, -9.8, 0.0]), colliders=(tank,))
-    cfg = BinnedConfig2(bins_capacity=10240 if big else 4096,
+    cfg = BinnedConfig2(bins_capacity=10240 if big else 2560,
                         block_capacity=nb_cap,
                         chunk_bins=640 if big else 512)
     bst = jax.block_until_ready(

@@ -214,3 +214,18 @@ class TestFluidBinned2:
         np.testing.assert_allclose(np.asarray(out.particles["J"]),
                                    np.asarray(ref.particles["J"]),
                                    atol=1e-5)
+
+
+def test_bins_capacity_too_small_raises(rng):
+    # bins_capacity * 128 lanes < particle count must be a clear static
+    # error (the 1M bench crashed with an opaque negative-shape
+    # broadcast through bin_fluid_state, which bypasses bin_state's
+    # assert; round 5)
+    from zpc_tpu.sim.mpm_binned2 import BinnedConfig2
+    from zpc_tpu.sim.fluid_binned2 import bin_fluid_state
+    sim = _sim()
+    x = _block(rng, 384)
+    st = make_fluid_state(x, dx=0.05, block_capacity=256)
+    with pytest.raises(ValueError, match="bins_capacity"):
+        jax.eval_shape(lambda s: bin_fluid_state(
+            sim, s, BinnedConfig2(bins_capacity=2)), st)
