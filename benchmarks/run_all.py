@@ -674,12 +674,17 @@ def bench_cloth(nx=64, quick=False):
                                 contact_window=window)
         return x, v
 
-    # settle layer B onto A so the row measures the in-contact regime
-    warm = jax.jit(lambda c: jax.lax.fori_loop(0, 40, step, c))
+    # settle layer B onto A so the row measures the in-contact regime.
+    # Settle with the WINDOW step: its in-window contact is stencil-
+    # complete regardless of the cand budget, so a transient mid-impact
+    # cand overflow cannot drop contacts and settle into a penetrating
+    # (permanently-overflowing, CG-saturating) state — which is exactly
+    # what dense-settling at the same mc produced (102 vs 38 ms/step).
+    stepw = lambda i, c: step(i, c, window=cw)
+    warm = jax.jit(lambda c: jax.lax.fori_loop(0, 40, stepw, c))
     c0 = jax.block_until_ready(warm((x0, jnp.zeros_like(x0))))
     _, ovf = jax.jit(lambda x: self_contact_candidates(sim, x, mc))(c0[0])
     tag = "certified" if not bool(ovf) else "OVERFLOWED"
-    stepw = lambda i, c: step(i, c, window=cw)
     ms = chained_ms(stepw, c0, iters=5 if quick else 10, reps=3,
                     marginal=True)
     rows = [(f"cloth two-layer self-contact {nv // 1000}k verts "

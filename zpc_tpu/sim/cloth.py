@@ -379,7 +379,7 @@ def cloth_energy(sim: ClothSim, x: jax.Array) -> jax.Array:
 
 
 def self_contact_candidates(sim: ClothSim, x: jax.Array,
-                            max_cand: int = 8, tile: int = 128):
+                            max_cand: int = 8, tile: int = 512):
     """Lagged vertex-triangle candidate set for self-contact.
 
     LBVH over the current triangle boxes (complete-tree build: cloth M
@@ -395,11 +395,18 @@ def self_contact_candidates(sim: ClothSim, x: jax.Array,
     case for the plain band — every vertex box straddles a high morton
     plane, so the plain join certified NOTHING at the settled two-layer
     state (measured in-band fraction 0.0000, probe_r5_cloth2.py) and
-    the overflow flag was permanently True.  Decomposed entries land
-    in-band by construction; returns are entry-granular with
-    duplicated qid and are combined here by segment ops (counts
-    scatter-ADD, band scatter-AND, hit slots via an occurrence-rank
-    scatter — the cells are disjoint so the union has no duplicates).
+    the overflow flag was permanently True.  Decomposed entries get
+    SHORT morton intervals by construction, but short in CODE space is
+    not short in LEAF space: once the sheets settle and wrinkle, leaf
+    density inside a covering cell grows until the interval spills the
+    join's 3*TL-leaf tile window — at ``tile=128`` (window ~96 leaves)
+    51% of queries fell out of band at the settled 8k bench state;
+    ``tile=512`` (window ~375 leaves) certifies 100% with the compare
+    volume still trivial at cloth-scale M (probe_r5_cloth3.py sweep).
+    Returns are entry-granular with duplicated qid and are combined
+    here by segment ops (counts scatter-ADD, band scatter-AND, hit
+    slots via an occurrence-rank scatter — the cells are disjoint so
+    the union has no duplicates).
 
     Reference lineage: codim-IPC's spatial-hash/BVH broad phase feeding
     ``geometry/Distance.hpp`` barriers (the reference ships the kernels
